@@ -1,0 +1,223 @@
+"""Posting-list block format — the heart of the index.
+
+Semantics mirror reference `src/postings/` (128-doc blocks, strict-delta doc
+encoding, tf-minus-one encoding, per-block skip metadata incl. block-max
+(fieldnorm_id, tf) for WAND — `src/postings/skip.rs:7-43`), but the physical
+layout is TPU-first rather than a byte-stream:
+
+* Every posting list, regardless of length, is laid out as `ceil(df/128)`
+  blocks. The reference VInt-encodes the tail (<128 docs) — we keep the tail as
+  a normal (padded) block: fixed shapes are what XLA wants, and the padding
+  cost is bounded by one block per term.
+* Doc ids are strict-delta encoded: with `base = previous block's last doc + 1`
+  (0 for the first block), `delta[0] = doc[0] - base`, `delta[i] =
+  doc[i] - doc[i-1] - 1`. Decode is `base + cumsum(delta) + iota` — an
+  associative scan, the natural TPU shape. Padding lanes (tail block) decode to
+  values > last_doc and are masked by `block_len`.
+* Term freqs are stored minus one (tf >= 1 always), like
+  `compression/mod.rs:54-76`.
+* Packed words use power-of-two bit widths (see `common/bitpack.py`), and
+  blocks are *grouped by bit width* into per-width dense matrices
+  `[n_blocks_w, 128*w/32]` so the device decode kernel for width w is a dense
+  row-gather + shift/mask with no ragged indexing.
+* Per-block skip metadata is a struct-of-arrays: `last_doc`, `base`, `length`,
+  and the block-max `(fieldnorm_id, tf)` pair chosen at index time to maximize
+  the BM25 score under the segment's average fieldnorm (reference
+  `skip.rs:175-184` stores the same pair; exactness caveat identical).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from ..common import bitpack
+
+COMPRESSION_BLOCK_SIZE = 128
+#: Sentinel doc id (i32::MAX), reference `src/docset.rs:12`.
+TERMINATED = np.uint32(2147483647)
+
+_WIDTHS = bitpack.ALLOWED_BITS  # (0, 1, 2, 4, 8, 16, 32)
+_WIDTH_INDEX = {w: i for i, w in enumerate(_WIDTHS)}
+
+
+@dataclass
+class _WidthBucket:
+    """Accumulates packed 128-value groups of one bit width."""
+
+    bits: int
+    rows: list = field(default_factory=list)
+
+    def add(self, values: np.ndarray) -> int:
+        """Pack one padded 128-group; returns its row index in this bucket."""
+        row = bitpack.pack(values, self.bits)
+        self.rows.append(row)
+        return len(self.rows) - 1
+
+    def stack(self) -> np.ndarray:
+        n_words = bitpack.words_for(COMPRESSION_BLOCK_SIZE, self.bits)
+        if not self.rows:
+            return np.zeros((0, n_words), dtype=np.uint32)
+        return np.stack(self.rows).astype(np.uint32)
+
+
+class PostingsSerializer:
+    """Builds the per-field device-layout postings arrays.
+
+    Feed it terms in sorted order via `serialize_term(docs, tfs)`; call
+    `finish()` to obtain the dict-of-arrays written to the `.idx` component.
+    Equivalent role to reference `src/postings/serializer.rs` (PostingsSerializer
+    + SkipSerializer), re-shaped for device residency.
+    """
+
+    def __init__(self, avg_fieldnorm: float, fieldnorm_ids: np.ndarray | None,
+                 has_freqs: bool = True):
+        from ..query.bm25 import compute_tf_cache
+
+        self.has_freqs = has_freqs
+        self._doc_buckets = [_WidthBucket(w) for w in _WIDTHS]
+        self._tf_buckets = [_WidthBucket(w) for w in _WIDTHS]
+        # per-block columns
+        self._blk_last_doc: list[int] = []
+        self._blk_base: list[int] = []
+        self._blk_len: list[int] = []
+        self._blk_doc_bits: list[int] = []
+        self._blk_doc_row: list[int] = []
+        self._blk_tf_bits: list[int] = []
+        self._blk_tf_row: list[int] = []
+        self._blk_max_fnid: list[int] = []
+        self._blk_max_tf: list[int] = []
+        # per-term columns
+        self._term_block_start: list[int] = []
+        self._term_num_blocks: list[int] = []
+        self._term_doc_freq: list[int] = []
+        # block-max scoring inputs (index-time average fieldnorm)
+        self._fieldnorm_ids = fieldnorm_ids
+        self._tf_cache = compute_tf_cache(np.float32(max(avg_fieldnorm, 1e-12)))
+
+    def serialize_term(self, docs: np.ndarray, tfs: np.ndarray | None) -> int:
+        """Append one term's postings; returns the term ordinal."""
+        docs = np.ascontiguousarray(docs, dtype=np.uint32)
+        df = len(docs)
+        assert df > 0
+        if tfs is None:
+            tfs = np.ones(df, dtype=np.uint32)
+        else:
+            tfs = np.ascontiguousarray(tfs, dtype=np.uint32)
+
+        term_ord = len(self._term_doc_freq)
+        self._term_doc_freq.append(df)
+        self._term_block_start.append(len(self._blk_last_doc))
+        n_blocks = -(-df // COMPRESSION_BLOCK_SIZE)
+        self._term_num_blocks.append(n_blocks)
+
+        if self._fieldnorm_ids is not None:
+            norm_ids = self._fieldnorm_ids[docs]
+        else:
+            norm_ids = np.zeros(df, dtype=np.uint8)
+        # BM25 tf-factor is monotone in tf and in -cache[norm], so the
+        # block-max pair is argmax of tf/(tf+cache[norm]) over the block.
+        tf_f = tfs.astype(np.float32)
+        factors = tf_f / (tf_f + self._tf_cache[norm_ids])
+
+        base = 0
+        for b in range(n_blocks):
+            lo = b * COMPRESSION_BLOCK_SIZE
+            hi = min(lo + COMPRESSION_BLOCK_SIZE, df)
+            blk_docs = docs[lo:hi]
+            blk_tfs = tfs[lo:hi]
+            blk_len = hi - lo
+
+            deltas = np.empty(blk_len, dtype=np.uint32)
+            deltas[0] = blk_docs[0] - base
+            if blk_len > 1:
+                deltas[1:] = blk_docs[1:] - blk_docs[:-1] - 1
+            padded_d = np.zeros(COMPRESSION_BLOCK_SIZE, dtype=np.uint32)
+            padded_d[:blk_len] = deltas
+            doc_bits = bitpack.bits_required(int(deltas.max()))
+            doc_row = self._doc_buckets[_WIDTH_INDEX[doc_bits]].add(padded_d)
+
+            if self.has_freqs:
+                padded_t = np.zeros(COMPRESSION_BLOCK_SIZE, dtype=np.uint32)
+                padded_t[:blk_len] = blk_tfs - 1
+                tf_bits = bitpack.bits_required(int((blk_tfs - 1).max()))
+                tf_row = self._tf_buckets[_WIDTH_INDEX[tf_bits]].add(padded_t)
+            else:
+                tf_bits, tf_row = 0, 0
+
+            blk_factors = factors[lo:hi]
+            arg = int(np.argmax(blk_factors))
+            self._blk_max_fnid.append(int(norm_ids[lo + arg]))
+            self._blk_max_tf.append(int(blk_tfs[arg]))
+
+            self._blk_last_doc.append(int(blk_docs[-1]))
+            self._blk_base.append(base)
+            self._blk_len.append(blk_len)
+            self._blk_doc_bits.append(doc_bits)
+            self._blk_doc_row.append(doc_row)
+            self._blk_tf_bits.append(tf_bits)
+            self._blk_tf_row.append(tf_row)
+            base = int(blk_docs[-1]) + 1
+        return term_ord
+
+    def finish(self) -> dict[str, np.ndarray]:
+        out: dict[str, np.ndarray] = {
+            "has_freqs": np.asarray([1 if self.has_freqs else 0], dtype=np.int32),
+            "blk_last_doc": np.asarray(self._blk_last_doc, dtype=np.uint32),
+            "blk_base": np.asarray(self._blk_base, dtype=np.uint32),
+            "blk_len": np.asarray(self._blk_len, dtype=np.int32),
+            "blk_doc_bits": np.asarray(self._blk_doc_bits, dtype=np.uint8),
+            "blk_doc_row": np.asarray(self._blk_doc_row, dtype=np.int32),
+            "blk_tf_bits": np.asarray(self._blk_tf_bits, dtype=np.uint8),
+            "blk_tf_row": np.asarray(self._blk_tf_row, dtype=np.int32),
+            "blk_max_fnid": np.asarray(self._blk_max_fnid, dtype=np.uint8),
+            "blk_max_tf": np.asarray(self._blk_max_tf, dtype=np.uint32),
+            "term_block_start": np.asarray(self._term_block_start, dtype=np.int32),
+            "term_num_blocks": np.asarray(self._term_num_blocks, dtype=np.int32),
+            "term_doc_freq": np.asarray(self._term_doc_freq, dtype=np.uint32),
+        }
+        for w, bucket in zip(_WIDTHS, self._doc_buckets):
+            out[f"doc_w{w}"] = bucket.stack()
+        for w, bucket in zip(_WIDTHS, self._tf_buckets):
+            out[f"tf_w{w}"] = bucket.stack()
+        return out
+
+
+def decode_block_host(arrays: dict[str, np.ndarray], block_id: int):
+    """Host-side reference decoder (used by tests and the host read path).
+
+    Returns (docs, tfs) of length `blk_len[block_id]`.
+    """
+    bits = int(arrays["blk_doc_bits"][block_id])
+    row = int(arrays["blk_doc_row"][block_id])
+    base = int(arrays["blk_base"][block_id])
+    length = int(arrays["blk_len"][block_id])
+    words = arrays[f"doc_w{bits}"][row]
+    deltas = bitpack.unpack(words, bits, COMPRESSION_BLOCK_SIZE)
+    docs = base + np.cumsum(deltas, dtype=np.uint64) + np.arange(
+        COMPRESSION_BLOCK_SIZE, dtype=np.uint64
+    )
+    docs = docs[:length].astype(np.uint32)
+
+    if int(arrays["has_freqs"][0]) == 0:
+        return docs, np.ones(length, dtype=np.uint32)
+    tbits = int(arrays["blk_tf_bits"][block_id])
+    trow = int(arrays["blk_tf_row"][block_id])
+    twords = arrays[f"tf_w{tbits}"][trow]
+    tfs = bitpack.unpack(twords, tbits, COMPRESSION_BLOCK_SIZE)[:length] + 1
+    return docs, tfs.astype(np.uint32)
+
+
+def decode_term_host(arrays: dict[str, np.ndarray], term_ord: int):
+    """Decode a full posting list on the host. Returns (docs, tfs)."""
+    start = int(arrays["term_block_start"][term_ord])
+    n = int(arrays["term_num_blocks"][term_ord])
+    docs_parts, tf_parts = [], []
+    for b in range(start, start + n):
+        d, t = decode_block_host(arrays, b)
+        docs_parts.append(d)
+        tf_parts.append(t)
+    if not docs_parts:
+        return np.zeros(0, dtype=np.uint32), np.zeros(0, dtype=np.uint32)
+    return np.concatenate(docs_parts), np.concatenate(tf_parts)

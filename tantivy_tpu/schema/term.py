@@ -1,0 +1,86 @@
+"""Term binary encoding — order-preserving value bytes per field type.
+
+Parity with reference `src/schema/term.rs:22-29` semantics: a term identifies
+(field, type, value-bytes) and value bytes sort in natural value order so the
+term dictionary's lexicographic order doubles as a value order for ranges.
+Mappings follow `common/src/lib.rs` (i64/f64/date -> ordered u64).
+"""
+
+from __future__ import annotations
+
+import struct
+from dataclasses import dataclass
+
+
+def u64_to_bytes(v: int) -> bytes:
+    return struct.pack(">Q", v & 0xFFFFFFFFFFFFFFFF)
+
+
+def i64_to_u64(v: int) -> int:
+    """Order-preserving i64 -> u64 (flip sign bit)."""
+    return (v + (1 << 63)) & 0xFFFFFFFFFFFFFFFF
+
+
+def u64_to_i64(v: int) -> int:
+    return v - (1 << 63)
+
+
+def f64_to_u64(v: float) -> int:
+    """Order-preserving f64 -> u64 (sign-magnitude to biased)."""
+    bits = struct.unpack(">Q", struct.pack(">d", v))[0]
+    if bits >> 63:
+        return (~bits) & 0xFFFFFFFFFFFFFFFF
+    return bits | (1 << 63)
+
+
+def u64_to_f64(v: int) -> float:
+    if v >> 63:
+        bits = v & ~(1 << 63)
+    else:
+        bits = (~v) & 0xFFFFFFFFFFFFFFFF
+    return struct.unpack(">d", struct.pack(">Q", bits))[0]
+
+
+@dataclass(frozen=True)
+class Term:
+    field: str
+    value_bytes: bytes
+
+    @classmethod
+    def from_field_text(cls, field: str, text: str) -> "Term":
+        return cls(field, text.encode("utf-8"))
+
+    @classmethod
+    def from_field_u64(cls, field: str, value: int) -> "Term":
+        return cls(field, u64_to_bytes(value))
+
+    @classmethod
+    def from_field_i64(cls, field: str, value: int) -> "Term":
+        return cls(field, u64_to_bytes(i64_to_u64(value)))
+
+    @classmethod
+    def from_field_f64(cls, field: str, value: float) -> "Term":
+        return cls(field, u64_to_bytes(f64_to_u64(value)))
+
+    @classmethod
+    def from_field_bool(cls, field: str, value: bool) -> "Term":
+        return cls(field, u64_to_bytes(1 if value else 0))
+
+    @classmethod
+    def from_field_date(cls, field: str, timestamp_s: int) -> "Term":
+        """Date terms are truncated to seconds (reference `term.rs` date
+        precision truncation)."""
+        return cls(field, u64_to_bytes(i64_to_u64(int(timestamp_s))))
+
+    @classmethod
+    def from_field_bytes(cls, field: str, value: bytes) -> "Term":
+        return cls(field, bytes(value))
+
+    @classmethod
+    def from_facet(cls, field: str, facet_path: str) -> "Term":
+        """Facet `/a/b` encodes as `a\\x00b` (path-separated bytes)."""
+        parts = [p for p in facet_path.split("/") if p != ""]
+        return cls(field, b"\x00".join(p.encode("utf-8") for p in parts))
+
+    def text(self) -> str:
+        return self.value_bytes.decode("utf-8", errors="replace")
