@@ -1,0 +1,63 @@
+"""tantivy_tpu — a TPU-native full-text search engine.
+
+Public API parity with reference `src/lib.rs:215-344` re-exports. See
+SURVEY.md for the layer map and README.md for the design stance: host (Python,
+C++ planned) handles tokenization / segment build / lifecycle; the scoring
+read path runs on TPU via JAX/Pallas with queries batched per core.
+"""
+
+from .schema import (  # noqa: F401
+    FAST,
+    INDEXED,
+    STORED,
+    STORED_TEXT,
+    STRING,
+    TEXT,
+    Document,
+    FieldType,
+    IndexRecordOption,
+    NumericOptions,
+    Schema,
+    SchemaBuilder,
+    Term,
+    TextOptions,
+)
+from .index import Index, IndexReader, ReloadPolicy, Warmer  # noqa: F401
+from .indexer import IndexWriter, PreparedCommit  # noqa: F401
+from .indexer.merge_policy import LogMergePolicy, MergePolicy, NoMergePolicy  # noqa: F401
+from .searcher import DocAddress, Searcher  # noqa: F401
+from .collector import (  # noqa: F401
+    Collector,
+    Count,
+    DocSetCollector,
+    FilterCollector,
+    HistogramCollector,
+    MultiCollector,
+    TopDocs,
+)
+from .query import (  # noqa: F401
+    AllQuery,
+    BooleanQuery,
+    BoostQuery,
+    ConstScoreQuery,
+    DisjunctionMaxQuery,
+    EmptyQuery,
+    ExistsQuery,
+    FuzzyTermQuery,
+    MoreLikeThisQuery,
+    Occur,
+    PhrasePrefixQuery,
+    PhraseQuery,
+    Query,
+    RangeQuery,
+    RegexQuery,
+    TermQuery,
+    TermSetQuery,
+)
+from .postings.format import TERMINATED  # noqa: F401
+
+__version__ = "0.1.0"
+
+
+def version_string() -> str:
+    return f"tantivy_tpu v{__version__}"

@@ -1,0 +1,222 @@
+"""Fast fields (columnar storage) — counterpart of reference `columnar/` +
+`src/fastfield/`.
+
+A column = cardinality index x values (reference `columnar/src/lib.rs:82-95`):
+
+* FULL     — one value per doc: dense `values[max_doc]`
+* OPTIONAL — 0..1 value per doc: `values[n]` + sorted `present_docs[n]`
+  (rank = searchsorted, the device-friendly form of the reference's
+  dense/sparse rank-select blocks)
+* MULTI    — any number: `values[total]` + `offsets[max_doc+1]`
+
+All numeric types are stored as order-preserving u64 (monotonic mapping,
+reference `columnar/src/column_values/monotonic_mapping.rs`): i64/date via
+sign-flip, f64 via sign-magnitude-to-biased, bool as 0/1. Str/bytes columns are
+dictionary-encoded: per-field sorted dict + a u64 term-ord column (reference
+`columnar/src/column/dictionary_encoded.rs`). Dense u64 arrays live in HBM for
+range queries and aggregations — this is the most directly TPU-friendly piece
+of the index.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+from ..schema.term import f64_to_u64, i64_to_u64, u64_to_f64, u64_to_i64
+from ..termdict import TermDictionary
+
+CARD_FULL = 0
+CARD_OPTIONAL = 1
+CARD_MULTI = 2
+
+_TYPE_CODES = {"u64": 0, "i64": 1, "f64": 2, "bool": 3, "date": 4, "str": 5, "bytes": 6, "ip": 7}
+_TYPE_NAMES = {v: k for k, v in _TYPE_CODES.items()}
+
+
+def to_u64(value, type_name: str) -> int:
+    if type_name in ("u64", "ip"):
+        return int(value)
+    if type_name in ("i64", "date"):
+        return i64_to_u64(int(value))
+    if type_name == "f64":
+        return f64_to_u64(float(value))
+    if type_name == "bool":
+        return 1 if value else 0
+    raise TypeError(type_name)
+
+
+def from_u64(value: int, type_name: str):
+    if type_name in ("u64", "ip"):
+        return int(value)
+    if type_name in ("i64", "date"):
+        return u64_to_i64(int(value))
+    if type_name == "f64":
+        return u64_to_f64(int(value))
+    if type_name == "bool":
+        return bool(value)
+    raise TypeError(type_name)
+
+
+class ColumnarWriter:
+    """Reference `columnar/src/columnar/writer/mod.rs:50`."""
+
+    def __init__(self):
+        # field -> (type_name, list[(doc, value)])
+        self._columns: dict[str, tuple[str, list]] = {}
+
+    def record(self, doc: int, field: str, value, type_name: str) -> None:
+        col = self._columns.get(field)
+        if col is None:
+            col = (type_name, [])
+            self._columns[field] = col
+        elif col[0] != type_name:
+            raise TypeError(f"type mismatch on column {field}: {col[0]} vs {type_name}")
+        col[1].append((doc, value))
+
+    def serialize(self, max_doc: int) -> dict[str, np.ndarray]:
+        out: dict[str, np.ndarray] = {}
+        for field, (type_name, pairs) in self._columns.items():
+            prefix = f"col/{field}/"
+            is_bytes_like = type_name in ("str", "bytes")
+            if is_bytes_like:
+                raw_vals = [
+                    v.encode("utf-8") if isinstance(v, str) else bytes(v)
+                    for _, v in pairs
+                ]
+                dict_terms = sorted(set(raw_vals))
+                ord_of = {t: i for i, t in enumerate(dict_terms)}
+                td = TermDictionary.from_sorted_terms(dict_terms)
+                for k, v in td.to_arrays().items():
+                    out[prefix + "dict_" + k] = v
+                u64_vals = np.array([ord_of[v] for v in raw_vals], dtype=np.uint64)
+            else:
+                u64_vals = np.array(
+                    [to_u64(v, type_name) for _, v in pairs], dtype=np.uint64
+                )
+            docs = np.array([d for d, _ in pairs], dtype=np.uint32)
+
+            # choose cardinality
+            n = len(docs)
+            distinct = len(np.unique(docs))
+            if distinct < n:
+                card = CARD_MULTI
+            elif n == max_doc:
+                card = CARD_FULL
+            else:
+                card = CARD_OPTIONAL
+
+            order = np.argsort(docs, kind="stable")
+            docs_sorted = docs[order]
+            vals_sorted = u64_vals[order]
+            if card == CARD_FULL:
+                dense = np.zeros(max_doc, dtype=np.uint64)
+                dense[docs_sorted] = vals_sorted
+                out[prefix + "values"] = dense
+            elif card == CARD_OPTIONAL:
+                out[prefix + "values"] = vals_sorted
+                out[prefix + "present_docs"] = docs_sorted
+            else:
+                offsets = np.zeros(max_doc + 1, dtype=np.int64)
+                np.add.at(offsets[1:], docs_sorted, 1)
+                offsets = np.cumsum(offsets)
+                out[prefix + "values"] = vals_sorted
+                out[prefix + "offsets"] = offsets.astype(np.int64)
+            out[prefix + "meta"] = np.asarray(
+                [card, _TYPE_CODES[type_name], max_doc], dtype=np.int64
+            )
+        return out
+
+
+@dataclass
+class Column:
+    """Read handle for one fast-field column (reference `DynamicColumn`)."""
+
+    field: str
+    type_name: str
+    cardinality: int
+    max_doc: int
+    values: np.ndarray  # u64
+    present_docs: np.ndarray | None = None
+    offsets: np.ndarray | None = None
+    dictionary: TermDictionary | None = None
+
+    def values_for_doc(self, doc: int) -> list:
+        if self.cardinality == CARD_FULL:
+            raw = [int(self.values[doc])]
+        elif self.cardinality == CARD_OPTIONAL:
+            i = int(np.searchsorted(self.present_docs, doc))
+            if i < len(self.present_docs) and self.present_docs[i] == doc:
+                raw = [int(self.values[i])]
+            else:
+                raw = []
+        else:
+            lo, hi = int(self.offsets[doc]), int(self.offsets[doc + 1])
+            raw = [int(v) for v in self.values[lo:hi]]
+        if self.dictionary is not None:
+            return [self.dictionary.term(o) for o in raw]
+        return [from_u64(v, self.type_name) for v in raw]
+
+    def first(self, doc: int):
+        vals = self.values_for_doc(doc)
+        return vals[0] if vals else None
+
+    def has_value(self, doc: int) -> bool:
+        if self.cardinality == CARD_FULL:
+            return True
+        if self.cardinality == CARD_OPTIONAL:
+            i = int(np.searchsorted(self.present_docs, doc))
+            return i < len(self.present_docs) and self.present_docs[i] == doc
+        return int(self.offsets[doc + 1]) > int(self.offsets[doc])
+
+    def doc_count_with_value(self) -> int:
+        if self.cardinality == CARD_FULL:
+            return self.max_doc
+        if self.cardinality == CARD_OPTIONAL:
+            return len(self.present_docs)
+        return int(np.count_nonzero(np.diff(self.offsets)))
+
+
+class FastFieldReaders:
+    """Per-segment façade (reference `src/fastfield/readers.rs:22`)."""
+
+    def __init__(self, arrays: dict[str, np.ndarray]):
+        self._arrays = arrays
+        self._columns: dict[str, Column] = {}
+
+    def column_fields(self) -> list[str]:
+        fields = set()
+        for k in self._arrays:
+            if k.startswith("col/") and k.endswith("/meta"):
+                fields.add(k[len("col/"):-len("/meta")])
+        return sorted(fields)
+
+    def column(self, field: str) -> Column | None:
+        if field in self._columns:
+            return self._columns[field]
+        prefix = f"col/{field}/"
+        meta_key = prefix + "meta"
+        if meta_key not in self._arrays:
+            return None
+        card, type_code, max_doc = (int(x) for x in self._arrays[meta_key])
+        dictionary = None
+        if prefix + "dict_term_data" in self._arrays:
+            dictionary = TermDictionary.from_arrays(
+                {
+                    "term_data": self._arrays[prefix + "dict_term_data"],
+                    "term_offsets": self._arrays[prefix + "dict_term_offsets"],
+                }
+            )
+        col = Column(
+            field=field,
+            type_name=_TYPE_NAMES[type_code],
+            cardinality=card,
+            max_doc=max_doc,
+            values=self._arrays[prefix + "values"],
+            present_docs=self._arrays.get(prefix + "present_docs"),
+            offsets=self._arrays.get(prefix + "offsets"),
+            dictionary=dictionary,
+        )
+        self._columns[field] = col
+        return col

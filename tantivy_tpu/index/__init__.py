@@ -1,0 +1,175 @@
+"""Index — the top-level handle tying Directory + Schema + tokenizers
+(reference `src/index/index.rs:306`), and IndexReader with reload policies
+(reference `src/reader/mod.rs:21`).
+"""
+
+from __future__ import annotations
+
+import json
+import threading
+from enum import Enum
+
+from ..directory import (
+    Directory,
+    FsDirectory,
+    ManagedDirectory,
+    META_FILEPATH,
+    RamDirectory,
+)
+from ..schema import Schema
+from ..searcher import Searcher
+from ..tokenizer import TokenizerManager
+from .segment import IndexMeta, SegmentMeta
+from .segment_reader import SegmentReader
+
+
+class ReloadPolicy(str, Enum):
+    MANUAL = "manual"
+    ON_COMMIT = "on_commit"
+
+
+class Index:
+    def __init__(self, directory: Directory, schema: Schema,
+                 tokenizers: TokenizerManager | None = None):
+        self.directory = directory
+        self.schema = schema
+        self.tokenizers = tokenizers or TokenizerManager.default()
+
+    # -- constructors --------------------------------------------------------
+
+    @classmethod
+    def create_in_ram(cls, schema: Schema) -> "Index":
+        index = cls(ManagedDirectory(RamDirectory()), schema)
+        index.save_metas(IndexMeta(schema_json=schema.to_json()))
+        return index
+
+    @classmethod
+    def create_in_dir(cls, path, schema: Schema) -> "Index":
+        directory = ManagedDirectory(FsDirectory.create(path))
+        if directory.exists(META_FILEPATH):
+            raise FileExistsError(f"index already exists at {path}")
+        index = cls(directory, schema)
+        index.save_metas(IndexMeta(schema_json=schema.to_json()))
+        return index
+
+    @classmethod
+    def open_in_dir(cls, path) -> "Index":
+        directory = ManagedDirectory(FsDirectory(path))
+        meta = IndexMeta.from_json(
+            json.loads(directory.atomic_read(META_FILEPATH).decode("utf-8"))
+        )
+        schema = Schema.from_json(meta.schema_json)
+        return cls(directory, schema)
+
+    @classmethod
+    def open_or_create(cls, path, schema: Schema) -> "Index":
+        directory = ManagedDirectory(FsDirectory.create(path))
+        if directory.exists(META_FILEPATH):
+            index = cls.open_in_dir(path)
+            if index.schema.to_json() != schema.to_json():
+                raise ValueError("schema mismatch with existing index")
+            return index
+        index = cls(directory, schema)
+        index.save_metas(IndexMeta(schema_json=schema.to_json()))
+        return index
+
+    # -- metas ---------------------------------------------------------------
+
+    def load_metas(self) -> IndexMeta:
+        raw = self.directory.atomic_read(META_FILEPATH)
+        return IndexMeta.from_json(json.loads(raw.decode("utf-8")))
+
+    def save_metas(self, meta: IndexMeta) -> None:
+        payload = json.dumps(meta.to_json(), indent=1).encode("utf-8")
+        self.directory.atomic_write(META_FILEPATH, payload)
+        self.directory.sync_directory()
+
+    def searchable_segment_metas(self) -> list[SegmentMeta]:
+        return self.load_metas().segments
+
+    def validate_checksum(self) -> list[str]:
+        """Returns the list of corrupted files (reference `index.rs:729`)."""
+        damaged = []
+        validate = getattr(self.directory, "validate_checksum", None)
+        if validate is None:
+            return []
+        for meta in self.searchable_segment_metas():
+            for path in meta.list_files():
+                if self.directory.exists(path) and not validate(path):
+                    damaged.append(path)
+        return damaged
+
+    # -- writer / reader -----------------------------------------------------
+
+    def writer(self, memory_budget: int = 15_000_000, **kwargs):
+        from ..indexer import IndexWriter
+
+        return IndexWriter(self, memory_budget=memory_budget, **kwargs)
+
+    def writer_for_tests(self):
+        from ..indexer import IndexWriter
+        from ..indexer.merge_policy import NoMergePolicy
+
+        return IndexWriter(self, merge_policy=NoMergePolicy())
+
+    def reader(self, reload_policy: ReloadPolicy = ReloadPolicy.ON_COMMIT) -> "IndexReader":
+        return IndexReader(self, reload_policy)
+
+    # -- convenience ---------------------------------------------------------
+
+    def parse_query(self, query_str: str, default_fields: list[str] | None = None):
+        from ..query.parser import QueryParser
+
+        if default_fields is None:
+            default_fields = [
+                e.name
+                for e in self.schema.fields()
+                if e.is_indexed() and e.field_type.value in ("text", "json")
+            ]
+        return QueryParser.for_index(self, default_fields).parse_query(query_str)
+
+
+class IndexReader:
+    """Searcher factory with reload policy (reference `src/reader/`)."""
+
+    def __init__(self, index: Index, reload_policy: ReloadPolicy,
+                 warmers: list | None = None):
+        self.index = index
+        self.reload_policy = reload_policy
+        self._warmers = list(warmers or [])
+        self._lock = threading.Lock()
+        self._searcher: Searcher | None = None
+        self._watch_handle = None
+        self.reload()
+        if reload_policy == ReloadPolicy.ON_COMMIT:
+            self._watch_handle = index.directory.watch(self._on_commit)
+
+    def _on_commit(self) -> None:
+        try:
+            self.reload()
+        except Exception:
+            pass
+
+    def reload(self) -> None:
+        metas = self.index.load_metas()
+        readers = [
+            SegmentReader(m, self.index.directory, self.index.schema)
+            for m in metas.segments
+        ]
+        searcher = Searcher(self.index, readers)
+        for warmer in self._warmers:
+            warmer.warm(searcher)
+        with self._lock:
+            self._searcher = searcher
+
+    def searcher(self) -> Searcher:
+        with self._lock:
+            return self._searcher
+
+
+class Warmer:
+    """Reference `src/reader/warming.rs:14` — hook run on every new searcher
+    generation (e.g. pre-moving postings to HBM)."""
+
+    def warm(self, searcher: Searcher) -> None:
+        raise NotImplementedError

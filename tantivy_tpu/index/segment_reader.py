@@ -1,0 +1,167 @@
+"""SegmentReader — open all per-segment readers (reference
+`src/index/segment_reader.rs:33,144-221` + `inverted_index_reader.rs:30`).
+
+Host side holds numpy arrays; `ops.device_index.DeviceSegment` mirrors the
+scoring-relevant pieces into HBM lazily (first query touching the field).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..common import arrayio
+from ..directory import Directory
+from ..fastfield import FastFieldReaders
+from ..postings import format as pfmt
+from ..schema import Schema
+from ..store import StoreReader
+from ..termdict import TermDictionary
+from .segment import SegmentMeta
+
+
+class InvertedIndexReader:
+    """Per-(segment, field) postings access (reference
+    `inverted_index_reader.rs`)."""
+
+    def __init__(self, termdict: TermDictionary, arrays: dict[str, np.ndarray]):
+        self.termdict = termdict
+        self.arrays = arrays
+
+    def total_num_tokens(self) -> int:
+        return int(self.arrays["total_num_tokens"][0])
+
+    def doc_freq(self, term_bytes: bytes) -> int:
+        ord_ = self.termdict.term_ord(term_bytes)
+        if ord_ is None:
+            return 0
+        return int(self.arrays["term_doc_freq"][ord_])
+
+    def term_ord(self, term_bytes: bytes) -> int | None:
+        return self.termdict.term_ord(term_bytes)
+
+    def num_terms(self) -> int:
+        return len(self.termdict)
+
+    def read_postings(self, term_ord: int) -> tuple[np.ndarray, np.ndarray]:
+        """Host decode of a full posting list -> (docs, tfs)."""
+        return pfmt.decode_term_host(self.arrays, term_ord)
+
+    def positions_for_term(self, term_ord: int) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """Returns (docs, tfs, flat positions) for a term."""
+        docs, tfs = self.read_postings(term_ord)
+        start = int(self.arrays["term_pos_start"][term_ord])
+        total = int(tfs.sum())
+        pos = self.arrays["positions"][start : start + total]
+        return docs, tfs, pos
+
+
+class SegmentReader:
+    def __init__(self, meta: SegmentMeta, directory: Directory, schema: Schema):
+        self.meta = meta
+        self.schema = schema
+        self.segment_id = meta.segment_id
+        self.max_doc = meta.max_doc
+
+        self._idx = arrayio.load_arrays(directory.open_read(meta.relative_path("idx")))
+        self._term = arrayio.load_arrays(directory.open_read(meta.relative_path("term")))
+        self._fieldnorm = arrayio.load_arrays(
+            directory.open_read(meta.relative_path("fieldnorm"))
+        )
+        self._fast = FastFieldReaders(
+            arrayio.load_arrays(directory.open_read(meta.relative_path("fast")))
+        )
+        self._store = StoreReader(
+            arrayio.load_arrays(directory.open_read(meta.relative_path("store")))
+        )
+        if meta.has_deletes():
+            del_arrays = arrayio.load_arrays(
+                directory.open_read(meta.relative_path("del"))
+            )
+            self._alive = del_arrays["alive"].astype(bool)
+        else:
+            self._alive = None
+        self._inverted: dict[int, InvertedIndexReader] = {}
+        self._device = None
+
+    # -- doc liveness --------------------------------------------------------
+
+    def num_docs(self) -> int:
+        return self.meta.num_docs()
+
+    def num_deleted_docs(self) -> int:
+        return self.meta.num_deleted_docs
+
+    def has_deletes(self) -> bool:
+        return self._alive is not None
+
+    def alive_bitset(self) -> np.ndarray | None:
+        return self._alive
+
+    def is_deleted(self, doc: int) -> bool:
+        return self._alive is not None and not self._alive[doc]
+
+    def doc_ids_alive(self) -> np.ndarray:
+        if self._alive is None:
+            return np.arange(self.max_doc, dtype=np.uint32)
+        return np.nonzero(self._alive)[0].astype(np.uint32)
+
+    # -- component readers ---------------------------------------------------
+
+    def inverted_index(self, field_name: str) -> InvertedIndexReader:
+        entry = self.schema.get_field(field_name)
+        inv = self._inverted.get(entry.field_id)
+        if inv is None:
+            field_term = arrayio.field_arrays(self._term, entry.field_id)
+            field_idx = arrayio.field_arrays(self._idx, entry.field_id)
+            if not field_term:
+                td = TermDictionary.from_sorted_terms([])
+                field_idx = {
+                    "total_num_tokens": np.zeros(1, dtype=np.int64),
+                    "term_doc_freq": np.zeros(0, dtype=np.uint32),
+                    "term_block_start": np.zeros(0, dtype=np.int32),
+                    "term_num_blocks": np.zeros(0, dtype=np.int32),
+                }
+            else:
+                td = TermDictionary.from_arrays(field_term)
+            inv = InvertedIndexReader(td, field_idx)
+            self._inverted[entry.field_id] = inv
+        return inv
+
+    def fieldnorms(self, field_name: str) -> np.ndarray:
+        entry = self.schema.get_field(field_name)
+        arr = self._fieldnorm.get(str(entry.field_id))
+        if arr is None:
+            return np.zeros(self.max_doc, dtype=np.uint8)
+        return arr
+
+    def fast_fields(self) -> FastFieldReaders:
+        return self._fast
+
+    def store_reader(self) -> StoreReader:
+        return self._store
+
+    def doc(self, doc_id: int):
+        return self._store.get(doc_id)
+
+    # -- device mirror -------------------------------------------------------
+
+    def device(self):
+        """Lazy HBM mirror of the scoring-relevant arrays."""
+        if self._device is None:
+            from ..ops.device_index import DeviceSegment
+
+            self._device = DeviceSegment(self)
+        return self._device
+
+    def space_usage(self) -> dict[str, int]:
+        def nbytes(arrs) -> int:
+            return int(sum(a.nbytes for a in arrs.values()))
+
+        return {
+            "postings": nbytes(self._idx),
+            "termdict": nbytes(self._term),
+            "fieldnorms": nbytes(self._fieldnorm),
+            "fastfields": nbytes(self._fast._arrays),
+            "store": nbytes(self._store.__dict__.get("_arrays", {})) or len(self._store._blob),
+            "deletes": int(self._alive.nbytes) if self._alive is not None else 0,
+        }

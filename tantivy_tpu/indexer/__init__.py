@@ -1,0 +1,304 @@
+"""Write path — IndexWriter / deletes / commit / merge orchestration.
+
+Counterpart of reference `src/indexer/` (index_writer.rs:71,
+segment_updater.rs:274, delete_queue.rs). Threading model differs by design:
+the reference pipelines docs through crossbeam channels to N indexing threads;
+here ingestion is host-side Python (a C++ tokenize+hash core is the planned
+accelerator) and commits/merges run inline. The durable-commit semantics are
+identical: a commit atomically swaps meta.json; segments are immutable; deletes
+are opstamp-ordered tombstones.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..common import arrayio
+from ..directory import META_FILEPATH
+from ..index.segment import IndexMeta, SegmentMeta, new_segment_id
+from ..schema.document import Document
+from ..schema.term import Term
+from .merge_policy import LogMergePolicy, MergePolicy, NoMergePolicy
+from .merger import IndexMerger
+from .segment_writer import SegmentWriter
+
+#: reference `index_writer.rs:28-33`
+MEMORY_BUDGET_NUM_BYTES_MIN = 15_000_000
+MARGIN_IN_BYTES = 1_000_000
+
+
+class _DeleteOp:
+    __slots__ = ("opstamp", "kind", "payload")
+
+    def __init__(self, opstamp: int, kind: str, payload):
+        self.opstamp = opstamp
+        self.kind = kind  # "term" | "query"
+        self.payload = payload
+
+
+class PreparedCommit:
+    """Reference `prepared_commit.rs` — lets callers attach a payload before
+    finalizing."""
+
+    def __init__(self, writer: "IndexWriter", opstamp: int):
+        self._writer = writer
+        self.opstamp = opstamp
+        self._payload: str | None = None
+
+    def set_payload(self, payload: str) -> None:
+        self._payload = payload
+
+    def commit(self) -> int:
+        return self._writer._finish_commit(self.opstamp, self._payload)
+
+    def abort(self) -> None:
+        self._writer.rollback()
+
+
+class IndexWriter:
+    def __init__(self, index, memory_budget: int = MEMORY_BUDGET_NUM_BYTES_MIN,
+                 merge_policy: MergePolicy | None = None):
+        if memory_budget < MEMORY_BUDGET_NUM_BYTES_MIN:
+            raise ValueError(
+                f"memory budget below minimum ({MEMORY_BUDGET_NUM_BYTES_MIN})"
+            )
+        self.index = index
+        self.memory_budget = memory_budget
+        self._merge_policy = merge_policy or LogMergePolicy()
+        self._lock = index.directory.acquire_lock(".tantivy-writer.lock")
+        self._opstamp = index.load_metas().opstamp
+        self._segment_writer: SegmentWriter | None = None
+        self._doc_opstamps: list[int] = []
+        self._pending_segments: list[tuple[SegmentMeta, list[int]]] = []
+        self._deletes: list[_DeleteOp] = []
+        self._committed_opstamp = self._opstamp
+
+    # -- ops -----------------------------------------------------------------
+
+    def _stamp(self) -> int:
+        self._opstamp += 1
+        return self._opstamp
+
+    def add_document(self, doc: Document) -> int:
+        opstamp = self._stamp()
+        if self._segment_writer is None:
+            self._segment_writer = SegmentWriter(self.index.schema,
+                                                 self.index.tokenizers)
+            self._doc_opstamps = []
+        self._segment_writer.add_document(doc)
+        self._doc_opstamps.append(opstamp)
+        if self._segment_writer.mem_usage() >= self.memory_budget - MARGIN_IN_BYTES:
+            self._flush_segment()
+        return opstamp
+
+    def delete_term(self, term: Term) -> int:
+        opstamp = self._stamp()
+        self._deletes.append(_DeleteOp(opstamp, "term", term))
+        return opstamp
+
+    def delete_query(self, query) -> int:
+        """Reference `index_writer.rs:675-700` — the query is evaluated at
+        commit time against every segment."""
+        opstamp = self._stamp()
+        self._deletes.append(_DeleteOp(opstamp, "query", query))
+        return opstamp
+
+    def delete_all_documents(self) -> int:
+        from ..query import AllQuery
+
+        return self.delete_query(AllQuery())
+
+    # -- segment flushing ----------------------------------------------------
+
+    def _flush_segment(self) -> None:
+        sw = self._segment_writer
+        if sw is None or sw.max_doc == 0:
+            self._segment_writer = None
+            return
+        components = sw.serialize()
+        sid = new_segment_id()
+        meta = SegmentMeta(segment_id=sid, max_doc=sw.max_doc)
+        for comp, arrays in components.items():
+            self.index.directory.write(
+                f"{sid}.{comp}", arrayio.save_arrays(arrays)
+            )
+        self._pending_segments.append((meta, self._doc_opstamps))
+        self._segment_writer = None
+        self._doc_opstamps = []
+
+    # -- commit --------------------------------------------------------------
+
+    def prepare_commit(self) -> PreparedCommit:
+        self._flush_segment()
+        return PreparedCommit(self, self._stamp())
+
+    def commit(self) -> int:
+        return self.prepare_commit().commit()
+
+    def _finish_commit(self, commit_opstamp: int, payload: str | None) -> int:
+        from ..index.segment_reader import SegmentReader
+
+        meta = self.index.load_metas()
+        segments = list(meta.segments)
+
+        # new segments join the manifest
+        new_doc_opstamps = {m.segment_id: ops for m, ops in self._pending_segments}
+        segments.extend(m for m, _ in self._pending_segments)
+        self._pending_segments = []
+
+        # apply deletes (advance_deletes, reference index_writer.rs:131)
+        pending = [d for d in self._deletes if d.opstamp <= commit_opstamp]
+        self._deletes = [d for d in self._deletes if d.opstamp > commit_opstamp]
+        if pending:
+            segments = [
+                self._advance_deletes(s, pending, new_doc_opstamps.get(s.segment_id))
+                for s in segments
+            ]
+        segments = [s for s in segments if s.num_docs() > 0]
+
+        new_meta = IndexMeta(
+            schema_json=self.index.schema.to_json(),
+            segments=segments,
+            opstamp=commit_opstamp,
+            payload=payload,
+        )
+        self.index.save_metas(new_meta)
+        self._committed_opstamp = commit_opstamp
+
+        self._consider_merges()
+        self.garbage_collect_files()
+        return commit_opstamp
+
+    def _advance_deletes(self, seg_meta: SegmentMeta, ops: list[_DeleteOp],
+                         doc_opstamps: list[int] | None) -> SegmentMeta:
+        from ..index.segment_reader import SegmentReader
+        from ..searcher import Searcher
+
+        reader = SegmentReader(seg_meta, self.index.directory, self.index.schema)
+        alive = (
+            reader.alive_bitset().copy()
+            if reader.alive_bitset() is not None
+            else np.ones(seg_meta.max_doc, dtype=bool)
+        )
+        doc_opstamps_arr = (
+            np.asarray(doc_opstamps, dtype=np.int64) if doc_opstamps else None
+        )
+        changed = False
+        searcher = Searcher(self.index, [reader])
+        for op in ops:
+            if op.kind == "term":
+                inv = reader.inverted_index(op.payload.field)
+                ord_ = inv.term_ord(op.payload.value_bytes)
+                if ord_ is None:
+                    continue
+                docs, _ = inv.read_postings(ord_)
+            else:
+                weight = op.payload.weight(searcher, scoring=False)
+                docs = weight.execute(reader).docs
+            if doc_opstamps_arr is not None:
+                # a delete only applies to docs added before it
+                docs = docs[doc_opstamps_arr[docs] < op.opstamp]
+            if len(docs):
+                before = alive[docs].any()
+                alive[docs] = False
+                changed = changed or bool(before)
+        if not changed:
+            return seg_meta
+        num_deleted = int(seg_meta.max_doc - np.count_nonzero(alive))
+        new_meta = SegmentMeta(
+            segment_id=seg_meta.segment_id,
+            max_doc=seg_meta.max_doc,
+            delete_opstamp=ops[-1].opstamp,
+            num_deleted_docs=num_deleted,
+        )
+        self.index.directory.write(
+            new_meta.relative_path("del"),
+            arrayio.save_arrays({"alive": alive.astype(np.uint8)}),
+        )
+        return new_meta
+
+    def rollback(self) -> int:
+        """Drop everything since the last commit (reference
+        `index_writer.rs:563-596`)."""
+        self._segment_writer = None
+        self._doc_opstamps = []
+        self._pending_segments = []
+        self._deletes = []
+        self._opstamp = self._committed_opstamp
+        return self._opstamp
+
+    # -- merging -------------------------------------------------------------
+
+    def set_merge_policy(self, policy: MergePolicy) -> None:
+        self._merge_policy = policy
+
+    def get_merge_policy(self) -> MergePolicy:
+        return self._merge_policy
+
+    def _consider_merges(self) -> None:
+        meta = self.index.load_metas()
+        for candidate in self._merge_policy.compute_merge_candidates(meta.segments):
+            if len(candidate) >= 1:
+                try:
+                    self.merge(candidate)
+                except Exception:
+                    raise
+
+    def merge(self, segment_ids: list[str]) -> SegmentMeta | None:
+        """Merge the given segments into one (runs inline; reference spawns a
+        merge thread — `segment_updater.rs:490`)."""
+        from ..index.segment_reader import SegmentReader
+
+        meta = self.index.load_metas()
+        chosen = [s for s in meta.segments if s.segment_id in set(segment_ids)]
+        if len(chosen) < 1:
+            return None
+        readers = [
+            SegmentReader(s, self.index.directory, self.index.schema) for s in chosen
+        ]
+        merger = IndexMerger(self.index.schema, readers)
+        components, max_doc = merger.write()
+        sid = new_segment_id()
+        for comp, arrays in components.items():
+            self.index.directory.write(f"{sid}.{comp}", arrayio.save_arrays(arrays))
+        merged_meta = SegmentMeta(segment_id=sid, max_doc=max_doc)
+
+        chosen_ids = {s.segment_id for s in chosen}
+        new_segments = [s for s in meta.segments if s.segment_id not in chosen_ids]
+        if max_doc > 0:
+            new_segments.append(merged_meta)
+        self.index.save_metas(
+            IndexMeta(
+                schema_json=self.index.schema.to_json(),
+                segments=new_segments,
+                opstamp=meta.opstamp,
+                payload=meta.payload,
+            )
+        )
+        self.garbage_collect_files()
+        return merged_meta if max_doc > 0 else None
+
+    def wait_merging_threads(self) -> None:
+        """Merges run inline; provided for API parity."""
+
+    def garbage_collect_files(self) -> list[str]:
+        meta = self.index.load_metas()
+        living: set[str] = set()
+        for s in meta.segments:
+            living.update(s.list_files())
+        gc = getattr(self.index.directory, "garbage_collect", None)
+        if gc is None:
+            return []
+        return gc(living)
+
+    def commit_opstamp(self) -> int:
+        return self._committed_opstamp
+
+    def close(self) -> None:
+        self._lock.release()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()

@@ -1,0 +1,183 @@
+"""IndexMerger — merge N segments into one, dropping deleted docs (reference
+`src/indexer/merger.rs:116,950`).
+
+Doc-id mapping is "stacked": alive docs of segment 0 first, then segment 1,
+etc., each compacted (reference stacked mapping, `doc_id_mapping.rs`). Terms
+are k-way merged across per-segment term dictionaries; postings are decoded,
+remapped, and re-serialized through the block serializer so all block/skip/
+block-max metadata is rebuilt against the merged segment's average fieldnorm.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..fastfield import ColumnarWriter, from_u64
+from ..fieldnorm import FIELD_NORMS_TABLE
+from ..postings.format import PostingsSerializer
+from ..schema import FieldType, Schema
+from ..store import Compressor, StoreWriter
+from ..termdict import TermDictionary
+
+
+class IndexMerger:
+    def __init__(self, schema: Schema, segment_readers: list):
+        self.schema = schema
+        self.readers = segment_readers
+
+    def _doc_mappings(self):
+        """per-segment old_doc -> new_doc (int64, -1 for deleted), and new max_doc."""
+        mappings = []
+        next_id = 0
+        for r in self.readers:
+            m = np.full(r.max_doc, -1, dtype=np.int64)
+            alive = r.doc_ids_alive()
+            m[alive] = np.arange(next_id, next_id + len(alive), dtype=np.int64)
+            next_id += len(alive)
+            mappings.append(m)
+        return mappings, next_id
+
+    def write(self) -> dict[str, dict[str, np.ndarray]]:
+        mappings, max_doc = self._doc_mappings()
+
+        # fieldnorms ----------------------------------------------------------
+        fieldnorm_arrays: dict[str, np.ndarray] = {}
+        total_tokens: dict[int, int] = {}
+        norm_ids_by_field: dict[int, np.ndarray] = {}
+        for entry in self.schema.fields():
+            if not (entry.is_indexed() and entry.has_fieldnorms()):
+                continue
+            ids = np.zeros(max_doc, dtype=np.uint8)
+            for r, m in zip(self.readers, mappings):
+                src = r.fieldnorms(entry.name)
+                alive = m >= 0
+                ids[m[alive]] = src[alive]
+            fieldnorm_arrays[str(entry.field_id)] = ids
+            norm_ids_by_field[entry.field_id] = ids
+            total_tokens[entry.field_id] = int(
+                FIELD_NORMS_TABLE[ids].astype(np.int64).sum()
+            )
+
+        # postings ------------------------------------------------------------
+        idx_arrays: dict[str, np.ndarray] = {}
+        term_arrays: dict[str, np.ndarray] = {}
+        for entry in self.schema.fields():
+            if not entry.is_indexed():
+                continue
+            fid = entry.field_id
+            invs = [r.inverted_index(entry.name) for r in self.readers]
+            if all(inv.num_terms() == 0 for inv in invs):
+                continue
+            has_freqs = entry.index_record_option().has_freq()
+            has_positions = entry.index_record_option().has_positions()
+            tot = total_tokens.get(fid)
+            if tot is None:
+                # no fieldnorms (e.g. numeric): recompute token total as sum
+                tot = sum(inv.total_num_tokens() for inv in invs)
+            avg = (tot / max_doc) if max_doc else 0.0
+            ser = PostingsSerializer(
+                avg_fieldnorm=avg,
+                fieldnorm_ids=norm_ids_by_field.get(fid),
+                has_freqs=has_freqs,
+            )
+            merged_terms: list[bytes] = []
+
+            # merged sorted term stream (reference TermMerger k-way heap;
+            # host-side term dicts make a flat sort equally correct)
+            all_terms: list[tuple[bytes, int, int]] = []
+            for seg_i, inv in enumerate(invs):
+                for ord_, term in inv.termdict.stream():
+                    all_terms.append((term, seg_i, ord_))
+            all_terms.sort(key=lambda x: (x[0], x[1]))
+
+            i = 0
+            n = len(all_terms)
+            while i < n:
+                term = all_terms[i][0]
+                j = i
+                docs_parts, tfs_parts, pos_parts = [], [], []
+                while j < n and all_terms[j][0] == term:
+                    _, seg_i, ord_ = all_terms[j]
+                    inv = invs[seg_i]
+                    m = mappings[seg_i]
+                    if has_positions:
+                        docs, tfs, pos = inv.positions_for_term(ord_)
+                    else:
+                        docs, tfs = inv.read_postings(ord_)
+                        pos = None
+                    new_docs = m[docs]
+                    alive = new_docs >= 0
+                    if np.any(alive):
+                        docs_parts.append(new_docs[alive].astype(np.uint32))
+                        tfs_parts.append(tfs[alive])
+                        if pos is not None:
+                            cum = np.zeros(len(tfs) + 1, dtype=np.int64)
+                            np.cumsum(tfs, out=cum[1:])
+                            keep = np.concatenate(
+                                [
+                                    pos[cum[k] : cum[k + 1]]
+                                    for k in range(len(docs))
+                                    if alive[k]
+                                ]
+                            ) if np.any(alive) else np.zeros(0, dtype=np.uint32)
+                            pos_parts.append(keep)
+                    j += 1
+                if docs_parts:
+                    docs = np.concatenate(docs_parts)
+                    tfs = np.concatenate(tfs_parts)
+                    pos = (
+                        np.concatenate(pos_parts).astype(np.uint32)
+                        if has_positions
+                        else None
+                    )
+                    # stacked mapping keeps each part sorted and parts disjoint
+                    # & increasing, so concatenation is already sorted.
+                    ser.serialize_term(docs, tfs, pos)
+                    merged_terms.append(term)
+                i = j
+
+            arrays = ser.finish()
+            arrays["total_num_tokens"] = np.asarray([tot], dtype=np.int64)
+            for k, v in arrays.items():
+                idx_arrays[f"{fid}/{k}"] = v
+            td = TermDictionary.from_sorted_terms(merged_terms)
+            for k, v in td.to_arrays().items():
+                term_arrays[f"{fid}/{k}"] = v
+
+        # fast fields ---------------------------------------------------------
+        columnar = ColumnarWriter()
+        for entry in self.schema.fields():
+            if not entry.is_fast():
+                continue
+            for r, m in zip(self.readers, mappings):
+                col = r.fast_fields().column(entry.name)
+                if col is None:
+                    continue
+                for old_doc in r.doc_ids_alive():
+                    new_doc = int(m[old_doc])
+                    for v in col.values_for_doc(int(old_doc)):
+                        type_name = col.type_name
+                        if type_name == "str" and isinstance(v, bytes):
+                            v = v.decode("utf-8")
+                        columnar.record(new_doc, entry.name, v, type_name)
+
+        # store ---------------------------------------------------------------
+        store = StoreWriter(Compressor.ZSTD)
+        for r in self.readers:
+            sr = r.store_reader()
+            if not r.has_deletes():
+                for compressed, first, ndocs in sr.iter_raw_blocks():
+                    store.store_raw_block(compressed, first, ndocs)
+            else:
+                alive = r.alive_bitset()
+                for old_doc, doc in enumerate(sr.iter_documents()):
+                    if alive[old_doc]:
+                        store.store(doc)
+
+        return {
+            "idx": idx_arrays,
+            "term": term_arrays,
+            "fieldnorm": fieldnorm_arrays,
+            "fast": columnar.serialize(max_doc),
+            "store": store.finish(),
+        }, max_doc

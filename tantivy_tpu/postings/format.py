@@ -88,16 +88,33 @@ class PostingsSerializer:
         self._blk_tf_row: list[int] = []
         self._blk_max_fnid: list[int] = []
         self._blk_max_tf: list[int] = []
+        self._blk_tf_cum: list[int] = []
         # per-term columns
         self._term_block_start: list[int] = []
         self._term_num_blocks: list[int] = []
         self._term_doc_freq: list[int] = []
+        # positions (phrase queries): flat per-field array + per-term starts.
+        # Absolute in-doc token positions; the (term, posting) -> slice mapping
+        # is `term_pos_start[t] + blk_tf_cum[b] + in-block tf prefix sum`,
+        # mirroring the reference's tf_sum skip offsets (`positions/mod.rs`).
+        self._positions: list[np.ndarray] = []
+        self._term_pos_start: list[int] = []
+        self._pos_len = 0
         # block-max scoring inputs (index-time average fieldnorm)
         self._fieldnorm_ids = fieldnorm_ids
         self._tf_cache = compute_tf_cache(np.float32(max(avg_fieldnorm, 1e-12)))
 
-    def serialize_term(self, docs: np.ndarray, tfs: np.ndarray | None) -> int:
-        """Append one term's postings; returns the term ordinal."""
+    def serialize_term(
+        self,
+        docs: np.ndarray,
+        tfs: np.ndarray | None,
+        positions: np.ndarray | None = None,
+    ) -> int:
+        """Append one term's postings; returns the term ordinal.
+
+        `positions`, if given, is the flat concatenation of in-doc token
+        positions for each posting (length = sum(tfs)).
+        """
         docs = np.ascontiguousarray(docs, dtype=np.uint32)
         df = len(docs)
         assert df > 0
@@ -105,6 +122,13 @@ class PostingsSerializer:
             tfs = np.ones(df, dtype=np.uint32)
         else:
             tfs = np.ascontiguousarray(tfs, dtype=np.uint32)
+
+        self._term_pos_start.append(self._pos_len)
+        if positions is not None:
+            positions = np.ascontiguousarray(positions, dtype=np.uint32)
+            assert len(positions) == int(tfs.sum())
+            self._positions.append(positions)
+            self._pos_len += len(positions)
 
         term_ord = len(self._term_doc_freq)
         self._term_doc_freq.append(df)
@@ -121,6 +145,7 @@ class PostingsSerializer:
         tf_f = tfs.astype(np.float32)
         factors = tf_f / (tf_f + self._tf_cache[norm_ids])
 
+        tf_cum = 0
         base = 0
         for b in range(n_blocks):
             lo = b * COMPRESSION_BLOCK_SIZE
@@ -151,6 +176,8 @@ class PostingsSerializer:
             self._blk_max_fnid.append(int(norm_ids[lo + arg]))
             self._blk_max_tf.append(int(blk_tfs[arg]))
 
+            self._blk_tf_cum.append(tf_cum)
+            tf_cum += int(blk_tfs.sum())
             self._blk_last_doc.append(int(blk_docs[-1]))
             self._blk_base.append(base)
             self._blk_len.append(blk_len)
@@ -173,6 +200,13 @@ class PostingsSerializer:
             "blk_tf_row": np.asarray(self._blk_tf_row, dtype=np.int32),
             "blk_max_fnid": np.asarray(self._blk_max_fnid, dtype=np.uint8),
             "blk_max_tf": np.asarray(self._blk_max_tf, dtype=np.uint32),
+            "blk_tf_cum": np.asarray(self._blk_tf_cum, dtype=np.uint32),
+            "term_pos_start": np.asarray(self._term_pos_start, dtype=np.int64),
+            "positions": (
+                np.concatenate(self._positions).astype(np.uint32)
+                if self._positions
+                else np.zeros(0, dtype=np.uint32)
+            ),
             "term_block_start": np.asarray(self._term_block_start, dtype=np.int32),
             "term_num_blocks": np.asarray(self._term_num_blocks, dtype=np.int32),
             "term_doc_freq": np.asarray(self._term_doc_freq, dtype=np.uint32),

@@ -1,0 +1,199 @@
+"""Phrase queries (reference `src/query/phrase_query/`,
+`phrase_prefix_query/`).
+
+Match docs where the terms appear at consecutive positions (with optional
+slop); score is BM25 with tf = number of phrase matches and the idf-sum
+multi-term weight (reference `phrase_scorer.rs`, `bm25.rs:120-127`).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..schema import IndexRecordOption
+from ..schema.term import Term
+from . import Query, SegmentResult, Weight, member_lookup
+from .bm25 import Bm25Weight
+
+
+def _phrase_count_for_doc(pos_lists: list[np.ndarray], offsets: list[int],
+                          slop: int) -> int:
+    """Count phrase matches given per-term in-doc position arrays.
+
+    slop == 0: exact adjacency — p + (offset_i - offset_0) in pos_i for all i.
+    slop > 0: each subsequent term may be displaced by at most `slop` from its
+    expected position (and terms must stay in order), matching the reference's
+    sloppy intersection (`phrase_scorer.rs` intersection_count_with_slop).
+    """
+    base = pos_lists[0]
+    if slop == 0:
+        match = np.ones(len(base), dtype=bool)
+        for i in range(1, len(pos_lists)):
+            expected = base + np.uint32(offsets[i] - offsets[0])
+            found, _ = member_lookup(pos_lists[i], expected)
+            match &= found
+        return int(np.count_nonzero(match))
+    # sloppy: greedy left-to-right alignment per start position
+    count = 0
+    for p0 in base:
+        prev = int(p0)
+        ok = True
+        for i in range(1, len(pos_lists)):
+            expected = int(p0) + offsets[i] - offsets[0]
+            lo, hi = expected - slop, expected + slop
+            cand = pos_lists[i]
+            sel = cand[(cand >= max(lo, prev + 1)) & (cand <= hi)]
+            if len(sel) == 0:
+                ok = False
+                break
+            prev = int(sel[0])
+        if ok:
+            count += 1
+    return count
+
+
+class PhraseQuery(Query):
+    def __init__(self, field: str, terms: list[str | bytes], slop: int = 0,
+                 offsets: list[int] | None = None):
+        self.field = field
+        self.term_bytes = [
+            t.encode("utf-8") if isinstance(t, str) else bytes(t) for t in terms
+        ]
+        if len(self.term_bytes) < 2:
+            raise ValueError("PhraseQuery requires at least 2 terms")
+        self.slop = slop
+        self.offsets = offsets or list(range(len(self.term_bytes)))
+
+    def __repr__(self):
+        return f"PhraseQuery({self.field}:{self.term_bytes!r}, slop={self.slop})"
+
+    def weight(self, searcher, scoring: bool = True) -> Weight:
+        entry = searcher.schema.get_field(self.field)
+        if entry.index_record_option() != IndexRecordOption.WITH_FREQS_AND_POSITIONS:
+            raise ValueError(
+                f"field {self.field} is not indexed with positions "
+                "(required for phrase queries)"
+            )
+        bm25 = None
+        if scoring:
+            terms = [Term(self.field, tb) for tb in self.term_bytes]
+            dfs = [searcher.doc_freq(t) for t in terms]
+            stats = searcher.field_statistics(self.field)
+            bm25 = Bm25Weight.for_terms(
+                dfs, stats.total_num_docs, stats.average_fieldnorm
+            )
+        return PhraseWeight(self, bm25)
+
+
+class PhraseWeight(Weight):
+    def __init__(self, query: PhraseQuery, bm25: Bm25Weight | None):
+        self.q = query
+        self.bm25 = bm25
+
+    def _gather_term_data(self, segment_reader):
+        inv = segment_reader.inverted_index(self.q.field)
+        data = []
+        for tb in self.q.term_bytes:
+            ord_ = inv.term_ord(tb)
+            if ord_ is None:
+                return None
+            docs, tfs, pos = inv.positions_for_term(ord_)
+            cum = np.zeros(len(tfs) + 1, dtype=np.int64)
+            np.cumsum(tfs, out=cum[1:])
+            data.append((docs, tfs, pos, cum))
+        return data
+
+    def execute(self, segment_reader) -> SegmentResult:
+        data = self._gather_term_data(segment_reader)
+        if data is None:
+            return SegmentResult.empty()
+        # intersect docs
+        cand = data[0][0]
+        for docs, _, _, _ in data[1:]:
+            found, _ = member_lookup(docs, cand)
+            cand = cand[found]
+        if len(cand) == 0:
+            return SegmentResult.empty()
+
+        norm_ids = (
+            segment_reader.fieldnorms(self.q.field)[cand]
+            if self.bm25 is not None
+            else None
+        )
+        out_docs, out_scores = [], []
+        idx_per_term = [member_lookup(docs, cand)[1] for docs, _, _, _ in data]
+        for j, d in enumerate(cand):
+            pos_lists = []
+            for t, (docs, tfs, pos, cum) in enumerate(data):
+                i = int(idx_per_term[t][j])
+                pos_lists.append(pos[int(cum[i]) : int(cum[i]) + int(tfs[i])])
+            count = _phrase_count_for_doc(pos_lists, self.q.offsets, self.q.slop)
+            if count > 0:
+                out_docs.append(int(d))
+                if self.bm25 is not None:
+                    out_scores.append(self.bm25.score(int(norm_ids[j]), count))
+                else:
+                    out_scores.append(np.float32(1.0))
+        return SegmentResult(
+            np.asarray(out_docs, dtype=np.uint32),
+            np.asarray(out_scores, dtype=np.float32),
+        )
+
+
+class PhrasePrefixQuery(Query):
+    """Phrase whose last term is a prefix, expanded against the term dict
+    (reference `phrase_prefix_query/`, expansion cap
+    `max_expansions` default 50)."""
+
+    def __init__(self, field: str, terms: list[str | bytes],
+                 max_expansions: int = 50):
+        self.field = field
+        self.term_bytes = [
+            t.encode("utf-8") if isinstance(t, str) else bytes(t) for t in terms
+        ]
+        if not self.term_bytes:
+            raise ValueError("PhrasePrefixQuery requires at least 1 term")
+        self.max_expansions = max_expansions
+
+    def weight(self, searcher, scoring: bool = True) -> Weight:
+        return PhrasePrefixWeight(self, searcher, scoring)
+
+
+class PhrasePrefixWeight(Weight):
+    def __init__(self, query: PhrasePrefixQuery, searcher, scoring: bool):
+        self.q = query
+        self.searcher = searcher
+        self.scoring = scoring
+
+    def execute(self, segment_reader) -> SegmentResult:
+        from . import BooleanQuery, Occur, TermQuery
+
+        inv = segment_reader.inverted_index(self.q.field)
+        prefix = self.q.term_bytes[-1]
+        ords = list(inv.termdict.prefix_ords(prefix))[: self.q.max_expansions]
+        if not ords:
+            return SegmentResult.empty()
+        parts: list[SegmentResult] = []
+        for o in ords:
+            expanded = inv.termdict.term(o)
+            if len(self.q.term_bytes) == 1:
+                w = TermQuery(Term(self.q.field, expanded)).weight(
+                    self.searcher, self.scoring
+                )
+            else:
+                pq = PhraseQuery(
+                    self.q.field, self.q.term_bytes[:-1] + [expanded]
+                )
+                w = pq.weight(self.searcher, self.scoring)
+            parts.append(w.execute(segment_reader))
+        parts = [p for p in parts if len(p.docs)]
+        if not parts:
+            return SegmentResult.empty()
+        # union keeping max score per doc (expansion semantics)
+        cand = np.unique(np.concatenate([p.docs for p in parts]))
+        best = np.zeros(len(cand), dtype=np.float32)
+        for p in parts:
+            found, idx = member_lookup(p.docs, cand)
+            sc = np.where(found, p.scores[idx], np.float32(0.0)).astype(np.float32)
+            best = np.maximum(best, sc)
+        return SegmentResult(cand, best)

@@ -1,0 +1,107 @@
+"""Searcher — point-in-time snapshot over segment readers (reference
+`src/core/searcher.rs:69`).
+
+Also provides the index-global BM25 statistics (doc_freq / total tokens across
+segments — reference `Bm25StatisticsProvider`, `bm25.rs:27-50`).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+
+@dataclass(frozen=True, order=True)
+class DocAddress:
+    """(segment ordinal, doc id) — reference `src/lib.rs` DocAddress."""
+
+    segment_ord: int
+    doc_id: int
+
+
+@dataclass
+class TermStatistics:
+    doc_freq: int
+    total_num_docs: int
+    average_fieldnorm: np.float32
+
+
+@dataclass
+class FieldStatistics:
+    total_num_docs: int
+    average_fieldnorm: np.float32
+
+
+class Searcher:
+    def __init__(self, index, segment_readers: list):
+        self.index = index
+        self.schema = index.schema
+        self._segment_readers = list(segment_readers)
+
+    def segment_readers(self) -> list:
+        return self._segment_readers
+
+    def num_docs(self) -> int:
+        """Number of alive docs."""
+        return sum(r.num_docs() for r in self._segment_readers)
+
+    def max_docs(self) -> int:
+        """Total docs incl. deleted (reference total_num_docs uses max_doc)."""
+        return sum(r.max_doc for r in self._segment_readers)
+
+    def doc(self, address: DocAddress):
+        return self._segment_readers[address.segment_ord].doc(address.doc_id)
+
+    def doc_freq(self, term) -> int:
+        return sum(
+            r.inverted_index(term.field).doc_freq(term.value_bytes)
+            for r in self._segment_readers
+        )
+
+    def total_num_tokens(self, field: str) -> int:
+        return sum(
+            r.inverted_index(field).total_num_tokens() for r in self._segment_readers
+        )
+
+    def field_statistics(self, field: str) -> FieldStatistics:
+        # average_fieldnorm = total tokens / total docs, f32 division
+        # (reference bm25.rs:109-111 uses max_doc per segment)
+        total_docs = self.max_docs()
+        total_tokens = self.total_num_tokens(field)
+        avg = np.float32(total_tokens) / np.float32(max(total_docs, 1))
+        return FieldStatistics(total_docs, avg)
+
+    def term_statistics(self, term) -> TermStatistics:
+        fs = self.field_statistics(term.field)
+        return TermStatistics(self.doc_freq(term), fs.total_num_docs, fs.average_fieldnorm)
+
+    # -- search --------------------------------------------------------------
+
+    def search(self, query, collector, executor=None):
+        """Reference `core/searcher.rs:220` search_with_executor."""
+        scoring = collector.requires_scoring()
+        weight = query.weight(self, scoring=scoring)
+        fruits = []
+        for ord_, reader in enumerate(self._segment_readers):
+            fruits.append(collector.collect_segment(weight, ord_, reader))
+        return collector.merge_fruits(fruits)
+
+    def doc_store_cache_stats(self):
+        hits = sum(r.store_reader().cache_stats.cache_hits for r in self._segment_readers)
+        misses = sum(
+            r.store_reader().cache_stats.cache_misses for r in self._segment_readers
+        )
+        return {"cache_hits": hits, "cache_misses": misses}
+
+    def space_usage(self):
+        from collections import defaultdict
+
+        total = defaultdict(int)
+        per_segment = []
+        for r in self._segment_readers:
+            su = r.space_usage()
+            per_segment.append(su)
+            for k, v in su.items():
+                total[k] += v
+        return {"total": dict(total), "segments": per_segment}
