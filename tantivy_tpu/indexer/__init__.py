@@ -297,6 +297,12 @@ class IndexWriter:
     def close(self) -> None:
         self._lock.release()
 
+    def __del__(self):
+        try:
+            self._lock.release()
+        except Exception:
+            pass
+
     def __enter__(self):
         return self
 

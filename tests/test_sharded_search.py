@@ -1,0 +1,49 @@
+"""Sharded (multi-device) search: 8-virtual-device CPU mesh; results must
+match the host engine (modulo the ulp noise floor of device division)."""
+
+import jax
+import numpy as np
+import pytest
+
+import tantivy_tpu as tt
+from tantivy_tpu.parallel.shard import ShardedSearcher, default_mesh
+
+from test_device_ops import assert_hits_match, build_random_index
+
+
+@pytest.fixture(scope="module")
+def sharded_setup():
+    index, words = build_random_index(num_docs=600, vocab=30, num_commits=6)
+    searcher = index.reader().searcher()
+    assert len(searcher.segment_readers()) == 6
+    mesh = default_mesh()  # all 8 virtual devices
+    return searcher, words, mesh
+
+
+def test_mesh_has_8_devices():
+    assert len(jax.devices()) == 8
+
+
+def test_sharded_matches_host(sharded_setup):
+    searcher, words, mesh = sharded_setup
+    sharded = ShardedSearcher(searcher, mesh)
+    terms = [tt.Term.from_field_text("body", w) for w in words]
+    results = sharded.search_term_batch(terms, k=10)
+    for term, device_hits in zip(terms, results):
+        host_hits = searcher.search(tt.TermQuery(term), tt.TopDocs(10))
+        assert_hits_match(device_hits, host_hits, context=str(term))
+
+
+def test_sharded_with_deletes():
+    index, words = build_random_index(num_docs=300, vocab=20, num_commits=4)
+    w = index.writer_for_tests()
+    w.delete_term(tt.Term.from_field_text("body", words[1]))
+    w.commit()
+    w.close()
+    searcher = index.reader().searcher()
+    sharded = ShardedSearcher(searcher, default_mesh())
+    terms = [tt.Term.from_field_text("body", w_) for w_ in words[:6]]
+    results = sharded.search_term_batch(terms, k=10)
+    for term, device_hits in zip(terms, results):
+        host_hits = searcher.search(tt.TermQuery(term), tt.TopDocs(10))
+        assert_hits_match(device_hits, host_hits, context=str(term))
