@@ -131,7 +131,11 @@ class SegmentReader:
         entry = self.schema.get_field(field_name)
         arr = self._fieldnorm.get(str(entry.field_id))
         if arr is None:
-            return np.zeros(self.max_doc, dtype=np.uint8)
+            if entry.has_fieldnorms():
+                return np.zeros(self.max_doc, dtype=np.uint8)
+            # fields without fieldnorms score with constant fieldnorm 1
+            # (reference term_weight.rs:218 FieldNormReader::constant(.., 1))
+            return np.ones(self.max_doc, dtype=np.uint8)
         return arr
 
     def fast_fields(self) -> FastFieldReaders:

@@ -91,6 +91,9 @@ class SegmentWriter:
         self._postings: dict[int, dict[bytes, _TermPostings]] = defaultdict(dict)
         # field_id -> {doc: num_tokens}
         self._fieldnorms: dict[int, dict[int, int]] = defaultdict(dict)
+        # field_id -> total tokens subscribed (reference
+        # `postings_writer.rs:215` counts one per subscribe)
+        self._token_counts: dict[int, int] = defaultdict(int)
         self._columnar = ColumnarWriter()
         self._store = StoreWriter(compressor)
         self.max_doc = 0
@@ -136,6 +139,7 @@ class SegmentWriter:
 
     def _subscribe(self, field_id: int, term_bytes: bytes, doc_id: int,
                    positions: list[int] | None) -> None:
+        self._token_counts[field_id] += 1
         postings = self._postings[field_id]
         rec = postings.get(term_bytes)
         if rec is None:
@@ -203,17 +207,25 @@ class SegmentWriter:
         leaves: list[tuple[bytes, str | None]] = []
         encode_json_terms(b"", value, leaves)
         analyzer = self.tokenizers.get(entry.tokenizer_name())
+        has_positions = entry.index_record_option().has_positions()
+        pos_base = self._fieldnorms[entry.field_id].get(doc_id, 0)
+        pos = pos_base
+        postings = self._postings[entry.field_id]
         for term_prefix, text in leaves:
             if text is None:
                 self._subscribe(entry.field_id, term_prefix, doc_id, None)
+                if has_positions:
+                    postings[term_prefix].positions.append(pos)
+                pos += 1
             else:
                 for tok in analyzer.token_stream(text):
-                    self._subscribe(
-                        entry.field_id,
-                        term_prefix + tok.text.encode("utf-8"),
-                        doc_id,
-                        None,
-                    )
+                    tb = term_prefix + tok.text.encode("utf-8")
+                    self._subscribe(entry.field_id, tb, doc_id, None)
+                    if has_positions:
+                        postings[tb].positions.append(pos)
+                    pos += 1
+        if entry.has_fieldnorms():
+            self._fieldnorms[entry.field_id][doc_id] = pos
 
     def _index_ip(self, entry, doc_id: int, value) -> None:
         import ipaddress
@@ -237,16 +249,13 @@ class SegmentWriter:
         max_doc = self.max_doc
         fieldnorm_arrays: dict[str, np.ndarray] = {}
         norm_ids_by_field: dict[int, np.ndarray] = {}
-        total_tokens: dict[int, int] = {}
+        total_tokens: dict[int, int] = dict(self._token_counts)
         for field_id, per_doc in self._fieldnorms.items():
             ids = np.zeros(max_doc, dtype=np.uint8)
-            total = 0
             for d, n in per_doc.items():
                 ids[d] = fieldnorm_to_id(n)
-                total += n
             fieldnorm_arrays[str(field_id)] = ids
             norm_ids_by_field[field_id] = ids
-            total_tokens[field_id] = total
 
         idx_arrays: dict[str, np.ndarray] = {}
         term_arrays: dict[str, np.ndarray] = {}

@@ -50,10 +50,13 @@ class SegmentResult:
 def member_lookup(sorted_docs: np.ndarray, probes: np.ndarray):
     """Vectorized membership: returns (found: bool[], idx: int[]) of `probes`
     in `sorted_docs`."""
-    idx = np.searchsorted(sorted_docs, probes)
-    safe = np.minimum(idx, max(len(sorted_docs) - 1, 0))
     if len(sorted_docs) == 0:
-        return np.zeros(len(probes), dtype=bool), idx
+        return (
+            np.zeros(len(probes), dtype=bool),
+            np.zeros(len(probes), dtype=np.int64),
+        )
+    idx = np.searchsorted(sorted_docs, probes)
+    safe = np.minimum(idx, len(sorted_docs) - 1)
     found = sorted_docs[safe] == probes
     return found, safe
 
@@ -222,6 +225,8 @@ class BooleanWeight(Weight):
         scores = np.zeros(len(cand), dtype=np.float32)
         for i, _ in sorted(musts + shoulds):
             res = results[i]
+            if len(res.docs) == 0:
+                continue
             found, idx = member_lookup(res.docs, cand)
             contrib = np.where(found, res.scores[idx], np.float32(0.0))
             scores = (scores + contrib).astype(np.float32)
@@ -333,6 +338,8 @@ class DisjunctionMaxWeight(Weight):
         best = np.zeros(len(cand), dtype=np.float32)
         total = np.zeros(len(cand), dtype=np.float32)
         for r in results:
+            if len(r.docs) == 0:
+                continue
             found, idx = member_lookup(r.docs, cand)
             sc = np.where(found, r.scores[idx], np.float32(0.0)).astype(np.float32)
             best = np.maximum(best, sc)
