@@ -47,6 +47,8 @@ def main():
     import tantivy_tpu as tt
     from tantivy_tpu.parallel import BatchExecutor
 
+    tt.enable_compilation_cache()
+
     index, words, probs, build_s = build_corpus()
     searcher = index.reader().searcher()
     executor = BatchExecutor(searcher, mode="dense")
@@ -55,36 +57,55 @@ def main():
     batch_size = 256
     k = 10
 
-    def make_batch():
-        picks = rng.choice(len(words), batch_size, p=probs)
-        return [tt.Term.from_field_text("body", words[i]) for i in picks]
+    def term(w):
+        return tt.TermQuery(tt.Term.from_field_text("body", w))
 
-    # warmup (compiles)
-    for _ in range(3):
-        executor.search_term_batch(make_batch(), k)
+    def make_batch(kind):
+        picks = rng.choice(len(words), (batch_size, 2), p=probs)
+        if kind == "term":
+            return [term(words[i]) for i, _ in picks]
+        occur = tt.Occur.MUST if kind == "and" else tt.Occur.SHOULD
+        return [
+            tt.BooleanQuery([(occur, term(words[i])), (occur, term(words[j])) ])
+            for i, j in picks
+        ]
 
-    n_batches = 20
-    t0 = time.time()
-    total = 0
-    for _ in range(n_batches):
-        batch = make_batch()
-        res = executor.search_term_batch(batch, k)
-        total += len(res)
-    elapsed = time.time() - t0
-    qps = total / elapsed
+    suites = ("term", "and", "or")
+    # warmup (compiles; persistent cache makes later runs fast)
+    for kind in suites:
+        for _ in range(2):
+            executor.search_batch(make_batch(kind), k)
+
+    per_kind = {}
+    batch_times = []
+    n_batches = 10
+    for kind in suites:
+        t0 = time.time()
+        total = 0
+        for _ in range(n_batches):
+            batch = make_batch(kind)
+            bt = time.time()
+            res = executor.search_batch(batch, k)
+            batch_times.append(time.time() - bt)
+            total += len(res)
+        per_kind[kind] = round(total / (time.time() - t0), 1)
+    qps = float(np.mean(list(per_kind.values())))
+    p99_ms = float(np.percentile(np.array(batch_times) * 1000, 99))
 
     print(
         json.dumps(
             {
-                "metric": "batched_term_query_qps_top10_zipf20k",
+                "metric": "batched_qps_top10_zipf20k_term_and_or",
                 "value": round(qps, 1),
                 "unit": "queries/s",
                 "vs_baseline": round(qps / 1000.0, 3),
                 "detail": {
                     "corpus_docs": 20_000,
                     "batch_size": batch_size,
+                    "qps_per_suite": per_kind,
+                    "p99_batch_ms": round(p99_ms, 1),
                     "index_build_s": round(build_s, 1),
-                    "baseline_assumption": "1000 QPS/core tantivy term top-10",
+                    "baseline_assumption": "1000 QPS/core tantivy top-10",
                 },
             }
         )

@@ -61,3 +61,20 @@ __version__ = "0.1.0"
 
 def version_string() -> str:
     return f"tantivy_tpu v{__version__}"
+
+
+def enable_compilation_cache(path: str | None = None) -> None:
+    """Enable JAX's persistent compilation cache (kills multi-minute warmup
+    when device compiles go over a slow link). Call before first device use."""
+    import os
+
+    import jax
+
+    cache_dir = path or os.environ.get(
+        "JAX_COMPILATION_CACHE_DIR",
+        os.path.join(os.path.dirname(__file__), "..", ".jax_cache"),
+    )
+    os.makedirs(cache_dir, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)

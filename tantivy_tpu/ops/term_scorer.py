@@ -55,25 +55,23 @@ def _bucket(n: int) -> int:
     return b
 
 
-def topk_term_batch(
+def dispatch_term_topk(
     segment: DeviceSegment,
     field: str,
     term_ords: np.ndarray,
     weights: np.ndarray,
     caches: np.ndarray,
     k: int,
-):
-    """Top-k for a batch of term queries over one segment.
+) -> list[tuple[np.ndarray, int, object, object]]:
+    """Asynchronously dispatch a batch of term queries over one segment.
 
-    term_ords: int64[Q] (term ordinal per query; -1 = term absent)
-    weights:   f32[Q] BM25 weights; caches: f32[Q, 256]
-    Returns (scores f32[Q, k], docs u32[Q, k]) as numpy; invalid entries have
-    score -inf.
+    Returns a list of (qids, kk, vals_device, docs_device) — device arrays are
+    NOT materialized, so callers can overlap dispatch across
+    segments/buckets and sync once (critical when device round-trips are
+    expensive).
     """
     dfp = segment.field_postings(field)
     Q = len(term_ords)
-    out_scores = np.full((Q, k), NEG_INF, dtype=np.float32)
-    out_docs = np.zeros((Q, k), dtype=np.uint32)
 
     n_blocks = np.where(
         term_ords >= 0, dfp.term_num_blocks[np.maximum(term_ords, 0)], 0
@@ -88,6 +86,7 @@ def topk_term_batch(
             continue
         buckets.setdefault(_bucket(int(n_blocks[qi])), []).append(qi)
 
+    pending = []
     for B, qids in buckets.items():
         # pad the per-bucket query count to a power of two so the jit cache
         # sees a bounded set of (Qb, B, k) shapes across batches
@@ -117,7 +116,28 @@ def topk_term_batch(
             segment.alive,
             kk,
         )
-        out_scores[qids_arr, :kk] = np.asarray(vals)[: len(qids)]
-        out_docs[qids_arr, :kk] = np.asarray(docsel)[: len(qids)]
+        pending.append((qids_arr, kk, vals, docsel))
+    return pending
 
+
+def topk_term_batch(
+    segment: DeviceSegment,
+    field: str,
+    term_ords: np.ndarray,
+    weights: np.ndarray,
+    caches: np.ndarray,
+    k: int,
+):
+    """Synchronous wrapper: top-k for a batch of term queries over one
+    segment. Returns (scores f32[Q, k], docs u32[Q, k]); missing entries have
+    score -inf."""
+    Q = len(term_ords)
+    out_scores = np.full((Q, k), NEG_INF, dtype=np.float32)
+    out_docs = np.zeros((Q, k), dtype=np.uint32)
+    for qids_arr, kk, vals, docsel in dispatch_term_topk(
+        segment, field, term_ords, weights, caches, k
+    ):
+        nq = len(qids_arr)
+        out_scores[qids_arr, :kk] = np.asarray(vals)[:nq]
+        out_docs[qids_arr, :kk] = np.asarray(docsel)[:nq]
     return out_scores, out_docs
