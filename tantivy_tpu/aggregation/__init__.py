@@ -1,0 +1,807 @@
+"""Aggregations — Elasticsearch-compatible JSON aggregation tree.
+
+Counterpart of reference `src/aggregation/` (its largest module): bucket aggs
+{terms, histogram, date_histogram, range, filter} and metric aggs {avg, min,
+max, sum, value_count, stats, extended_stats, percentiles, cardinality,
+top_hits}, with nested sub-aggregations, executed over fast-field columns.
+
+Execution model mirrors the reference's two-phase design
+(`intermediate_agg_result.rs`): each segment produces an
+`IntermediateAggregationResults` (mergeable, JSON-serializable — the
+cross-shard reduce hook), then `finalize()` renders the ES-shaped response.
+The per-segment collection is vectorized numpy over the matching-doc array;
+the dense-column layout makes histogram/stats a pure vector op (the same
+shape the device path uses).
+
+Request shape (ES JSON):
+    {"prices": {"histogram": {"field": "price", "interval": 10.0},
+                "aggs": {"avg_rating": {"avg": {"field": "rating"}}}}}
+"""
+
+from __future__ import annotations
+
+import json
+import math
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from ..collector import Collector, _alive_filter
+
+BUCKET_TYPES = ("terms", "histogram", "date_histogram", "range", "filter")
+METRIC_TYPES = (
+    "avg", "min", "max", "sum", "value_count", "stats", "extended_stats",
+    "percentiles", "cardinality", "top_hits",
+)
+
+
+class AggregationError(ValueError):
+    pass
+
+
+@dataclass
+class AggregationLimits:
+    """Reference `agg_limits.rs:27-64`."""
+
+    memory_limit: int = 500 * 1024 * 1024
+    bucket_limit: int = 65_000
+
+    def check_buckets(self, n: int):
+        if n > self.bucket_limit:
+            raise AggregationError(
+                f"too many buckets: {n} > limit {self.bucket_limit}"
+            )
+
+
+def parse_aggregations(req: dict) -> dict:
+    """Validate an ES-style aggregation request tree."""
+    out = {}
+    for name, body in req.items():
+        if not isinstance(body, dict):
+            raise AggregationError(f"aggregation '{name}' must be an object")
+        kinds = [k for k in body if k in BUCKET_TYPES + METRIC_TYPES]
+        if len(kinds) != 1:
+            raise AggregationError(
+                f"aggregation '{name}' must have exactly one agg type, "
+                f"got {kinds}"
+            )
+        kind = kinds[0]
+        sub = body.get("aggs") or body.get("aggregations") or {}
+        if sub and kind in METRIC_TYPES:
+            raise AggregationError(f"metric aggregation '{name}' cannot have sub-aggs")
+        out[name] = {"kind": kind, "body": body[kind], "aggs": parse_aggregations(sub)}
+    return out
+
+
+# ---------------------------------------------------------------------------
+# column access helpers
+
+
+def _column_values(reader, field_name: str, docs: np.ndarray):
+    """Returns (values f64[], doc_index i64[]) — one row per (doc, value)."""
+    col = reader.fast_fields().column(field_name)
+    if col is None or len(docs) == 0:
+        return np.zeros(0, dtype=np.float64), np.zeros(0, dtype=np.int64)
+    from ..fastfield import CARD_FULL, CARD_MULTI, CARD_OPTIONAL, from_u64
+
+    if col.cardinality == CARD_FULL:
+        raw = col.values[docs]
+        idx = np.arange(len(docs), dtype=np.int64)
+    elif col.cardinality == CARD_OPTIONAL:
+        pos = np.searchsorted(col.present_docs, docs)
+        pos = np.minimum(pos, max(len(col.present_docs) - 1, 0))
+        present = (
+            col.present_docs[pos] == docs if len(col.present_docs) else
+            np.zeros(len(docs), dtype=bool)
+        )
+        raw = col.values[pos[present]]
+        idx = np.nonzero(present)[0].astype(np.int64)
+    else:
+        starts = col.offsets[docs]
+        ends = col.offsets[docs + 1]
+        counts = (ends - starts).astype(np.int64)
+        idx = np.repeat(np.arange(len(docs), dtype=np.int64), counts)
+        if counts.sum() == 0:
+            return np.zeros(0, dtype=np.float64), np.zeros(0, dtype=np.int64)
+        flat = np.concatenate(
+            [col.values[int(s):int(e)] for s, e in zip(starts, ends) if e > s]
+        )
+        raw = flat
+    tname = col.type_name
+    if tname in ("u64", "ip"):
+        vals = raw.astype(np.float64)
+    elif tname in ("i64", "date"):
+        # undo the order-preserving sign-flip: flip top bit, reinterpret i64
+        vals = (
+            (raw.astype(np.uint64) ^ np.uint64(1 << 63))
+            .view(np.int64)
+            .astype(np.float64)
+        )
+    elif tname == "f64":
+        from ..schema.term import u64_to_f64
+
+        vals = np.array([u64_to_f64(int(v)) for v in raw], dtype=np.float64)
+    elif tname == "bool":
+        vals = raw.astype(np.float64)
+    else:  # str/bytes dict columns: value = term ordinal
+        vals = raw.astype(np.float64)
+    return vals, idx
+
+
+def _column_ords(reader, field_name: str, docs: np.ndarray):
+    """For dict-encoded columns: (term_ords u64[], doc_index i64[])."""
+    col = reader.fast_fields().column(field_name)
+    if col is None or len(docs) == 0:
+        return np.zeros(0, dtype=np.int64), np.zeros(0, dtype=np.int64), None
+    from ..fastfield import CARD_FULL, CARD_MULTI, CARD_OPTIONAL
+
+    if col.cardinality == CARD_FULL:
+        ords = col.values[docs].astype(np.int64)
+        idx = np.arange(len(docs), dtype=np.int64)
+    elif col.cardinality == CARD_OPTIONAL:
+        pos = np.searchsorted(col.present_docs, docs)
+        pos = np.minimum(pos, max(len(col.present_docs) - 1, 0))
+        present = (
+            col.present_docs[pos] == docs if len(col.present_docs) else
+            np.zeros(len(docs), dtype=bool)
+        )
+        ords = col.values[pos[present]].astype(np.int64)
+        idx = np.nonzero(present)[0].astype(np.int64)
+    else:
+        starts = col.offsets[docs]
+        ends = col.offsets[docs + 1]
+        counts = (ends - starts).astype(np.int64)
+        idx = np.repeat(np.arange(len(docs), dtype=np.int64), counts)
+        if counts.sum() == 0:
+            return np.zeros(0, dtype=np.int64), np.zeros(0, dtype=np.int64), col.dictionary
+        ords = np.concatenate(
+            [col.values[int(s):int(e)] for s, e in zip(starts, ends) if e > s]
+        ).astype(np.int64)
+    return ords, idx, col.dictionary
+
+
+# ---------------------------------------------------------------------------
+# intermediate results (mergeable across segments/shards)
+
+
+class Intermediate:
+    def merge(self, other: "Intermediate") -> None:
+        raise NotImplementedError
+
+    def finalize(self):
+        raise NotImplementedError
+
+    def to_json(self):
+        raise NotImplementedError
+
+
+@dataclass
+class InterMetric(Intermediate):
+    kind: str
+    count: int = 0
+    total: float = 0.0
+    total_sq: float = 0.0
+    vmin: float = math.inf
+    vmax: float = -math.inf
+
+    def collect(self, vals: np.ndarray):
+        if len(vals) == 0:
+            return
+        self.count += len(vals)
+        self.total += float(vals.sum())
+        self.total_sq += float((vals * vals).sum())
+        self.vmin = min(self.vmin, float(vals.min()))
+        self.vmax = max(self.vmax, float(vals.max()))
+
+    def merge(self, other: "InterMetric") -> None:
+        self.count += other.count
+        self.total += other.total
+        self.total_sq += other.total_sq
+        self.vmin = min(self.vmin, other.vmin)
+        self.vmax = max(self.vmax, other.vmax)
+
+    def finalize(self):
+        c = self.count
+        avg = self.total / c if c else None
+        if self.kind == "avg":
+            return {"value": avg}
+        if self.kind == "min":
+            return {"value": self.vmin if c else None}
+        if self.kind == "max":
+            return {"value": self.vmax if c else None}
+        if self.kind == "sum":
+            return {"value": self.total}
+        if self.kind == "value_count":
+            return {"value": c}
+        if self.kind == "stats":
+            return {
+                "count": c,
+                "min": self.vmin if c else None,
+                "max": self.vmax if c else None,
+                "sum": self.total,
+                "avg": avg,
+            }
+        if self.kind == "extended_stats":
+            if not c:
+                return {"count": 0, "sum": 0.0, "min": None, "max": None,
+                        "avg": None, "sum_of_squares": None, "variance": None,
+                        "std_deviation": None}
+            variance = max(self.total_sq / c - (self.total / c) ** 2, 0.0)
+            std = math.sqrt(variance)
+            return {
+                "count": c, "min": self.vmin, "max": self.vmax,
+                "sum": self.total, "avg": avg,
+                "sum_of_squares": self.total_sq,
+                "variance": variance,
+                "std_deviation": std,
+                "std_deviation_bounds": {
+                    "upper": avg + 2 * std,
+                    "lower": avg - 2 * std,
+                },
+            }
+        raise AggregationError(self.kind)
+
+    def to_json(self):
+        return {
+            "type": "metric", "kind": self.kind, "count": self.count,
+            "total": self.total, "total_sq": self.total_sq,
+            "min": None if math.isinf(self.vmin) else self.vmin,
+            "max": None if math.isinf(self.vmax) else self.vmax,
+        }
+
+    @classmethod
+    def from_json(cls, d):
+        m = cls(d["kind"], d["count"], d["total"], d["total_sq"])
+        m.vmin = math.inf if d["min"] is None else d["min"]
+        m.vmax = -math.inf if d["max"] is None else d["max"]
+        return m
+
+
+@dataclass
+class InterPercentiles(Intermediate):
+    """DDSketch-style log-bucket sketch (reference uses DDSketch too);
+    relative accuracy ~1%."""
+
+    percents: list
+    gamma: float = 1.02
+    pos: dict = field(default_factory=dict)  # bucket -> count
+    zeros: int = 0
+    neg: dict = field(default_factory=dict)
+
+    def collect(self, vals: np.ndarray):
+        if len(vals) == 0:
+            return
+        lg = math.log(self.gamma)
+        pos_vals = vals[vals > 0]
+        neg_vals = -vals[vals < 0]
+        self.zeros += int(np.count_nonzero(vals == 0))
+        for store, arr in ((self.pos, pos_vals), (self.neg, neg_vals)):
+            if len(arr):
+                buckets = np.ceil(np.log(arr) / lg).astype(np.int64)
+                uniq, counts = np.unique(buckets, return_counts=True)
+                for b, c in zip(uniq, counts):
+                    store[int(b)] = store.get(int(b), 0) + int(c)
+
+    def merge(self, other):
+        self.zeros += other.zeros
+        for store, ostore in ((self.pos, other.pos), (self.neg, other.neg)):
+            for b, c in ostore.items():
+                store[b] = store.get(b, 0) + c
+
+    def _quantile(self, q: float):
+        total = self.zeros + sum(self.pos.values()) + sum(self.neg.values())
+        if total == 0:
+            return None
+        rank = q * (total - 1)
+        acc = 0
+        for b in sorted(self.neg, reverse=True):
+            acc += self.neg[b]
+            if acc > rank:
+                return -2 * self.gamma ** b / (self.gamma + 1)
+        if self.zeros:
+            acc += self.zeros
+            if acc > rank:
+                return 0.0
+        for b in sorted(self.pos):
+            acc += self.pos[b]
+            if acc > rank:
+                return 2 * self.gamma ** b / (self.gamma + 1)
+        return None
+
+    def finalize(self):
+        return {
+            "values": {
+                str(p): self._quantile(p / 100.0) for p in self.percents
+            }
+        }
+
+    def to_json(self):
+        return {
+            "type": "percentiles", "percents": self.percents, "zeros": self.zeros,
+            "pos": {str(k): v for k, v in self.pos.items()},
+            "neg": {str(k): v for k, v in self.neg.items()},
+        }
+
+    @classmethod
+    def from_json(cls, d):
+        p = cls(d["percents"])
+        p.zeros = d["zeros"]
+        p.pos = {int(k): v for k, v in d["pos"].items()}
+        p.neg = {int(k): v for k, v in d["neg"].items()}
+        return p
+
+
+@dataclass
+class InterCardinality(Intermediate):
+    """HyperLogLog with 2^12 registers (reference uses DataSketches HLL)."""
+
+    registers: np.ndarray = field(
+        default_factory=lambda: np.zeros(4096, dtype=np.uint8)
+    )
+
+    def collect_hashes(self, hashes: np.ndarray):
+        if len(hashes) == 0:
+            return
+        idx = (hashes >> np.uint64(52)).astype(np.int64)  # top 12 bits
+        rest = hashes << np.uint64(12)
+        # rank = leading zeros of remaining 52 bits + 1 (capped)
+        lz = np.zeros(len(hashes), dtype=np.uint8)
+        v = rest
+        for shift in (32, 16, 8, 4, 2, 1):
+            mask = v < (np.uint64(1) << np.uint64(64 - shift))
+            lz = np.where(mask, lz + shift, lz)
+            v = np.where(mask, v << np.uint64(shift), v)
+        rank = np.minimum(lz + 1, 53).astype(np.uint8)
+        np.maximum.at(self.registers, idx, rank)
+
+    def merge(self, other):
+        np.maximum(self.registers, other.registers, out=self.registers)
+
+    def finalize(self):
+        m = 4096.0
+        alpha = 0.7213 / (1 + 1.079 / m)
+        est = alpha * m * m / float((2.0 ** -self.registers.astype(np.float64)).sum())
+        zeros = int(np.count_nonzero(self.registers == 0))
+        if est <= 2.5 * m and zeros:
+            est = m * math.log(m / zeros)
+        return {"value": int(round(est))}
+
+    def to_json(self):
+        import base64
+
+        return {
+            "type": "cardinality",
+            "registers": base64.b64encode(self.registers.tobytes()).decode(),
+        }
+
+    @classmethod
+    def from_json(cls, d):
+        import base64
+
+        return cls(np.frombuffer(base64.b64decode(d["registers"]), dtype=np.uint8).copy())
+
+
+@dataclass
+class InterTopHits(Intermediate):
+    size: int
+    hits: list = field(default_factory=list)  # (score, seg_ord, doc)
+
+    def merge(self, other):
+        self.hits.extend(other.hits)
+
+    def finalize(self):
+        self.hits.sort(key=lambda x: (-x[0], (x[1], x[2])))
+        return {
+            "hits": [
+                {"_score": s, "_seg": seg, "_doc": d}
+                for s, seg, d in self.hits[: self.size]
+            ]
+        }
+
+    def to_json(self):
+        return {"type": "top_hits", "size": self.size, "hits": self.hits}
+
+    @classmethod
+    def from_json(cls, d):
+        return cls(d["size"], [tuple(h) for h in d["hits"]])
+
+
+@dataclass
+class InterBuckets(Intermediate):
+    """Generic bucket container: key -> (doc_count, sub_results)."""
+
+    kind: str
+    body: dict
+    buckets: dict = field(default_factory=dict)  # key -> [count, {name: Intermediate}]
+
+    def merge(self, other):
+        for key, (cnt, subs) in other.buckets.items():
+            mine = self.buckets.get(key)
+            if mine is None:
+                self.buckets[key] = [cnt, subs]
+            else:
+                mine[0] += cnt
+                for name, inter in subs.items():
+                    if name in mine[1]:
+                        mine[1][name].merge(inter)
+                    else:
+                        mine[1][name] = inter
+
+    def finalize(self):
+        kind, body = self.kind, self.body
+        items = list(self.buckets.items())
+        if kind == "terms":
+            size = body.get("size", 10)
+            order = body.get("order", {"_count": "desc"})
+            ((okey, odir),) = order.items() if isinstance(order, dict) else (("_count", "desc"),)
+            reverse = odir == "desc"
+            if okey == "_count":
+                items.sort(key=lambda kv: (-kv[1][0] if reverse else kv[1][0], kv[0] if isinstance(kv[0], str) else str(kv[0])))
+            else:  # _key
+                items.sort(key=lambda kv: kv[0], reverse=reverse)
+            shown = items[:size]
+            sum_other = sum(cnt for _, (cnt, _) in items[size:])
+            return {
+                "buckets": [
+                    {
+                        "key": key,
+                        "doc_count": cnt,
+                        **{n: i.finalize() for n, i in subs.items()},
+                    }
+                    for key, (cnt, subs) in shown
+                ],
+                "sum_other_doc_count": sum_other,
+                "doc_count_error_upper_bound": 0,
+            }
+        if kind in ("histogram", "date_histogram"):
+            items.sort(key=lambda kv: kv[0])
+            return {
+                "buckets": [
+                    {
+                        "key": key,
+                        "doc_count": cnt,
+                        **{n: i.finalize() for n, i in subs.items()},
+                    }
+                    for key, (cnt, subs) in items
+                ]
+            }
+        if kind == "range":
+            def range_sort_key(kv):
+                return kv[1][2] if len(kv[1]) > 2 else 0
+
+            out = []
+            for key, entry in sorted(items, key=lambda kv: kv[0]):
+                cnt, subs = entry[0], entry[1]
+                out.append(
+                    {
+                        "key": key,
+                        "doc_count": cnt,
+                        **{n: i.finalize() for n, i in subs.items()},
+                    }
+                )
+            return {"buckets": out}
+        if kind == "filter":
+            (entry,) = items or [(None, [0, {}])]
+            cnt, subs = entry[1][0], entry[1][1]
+            return {"doc_count": cnt, **{n: i.finalize() for n, i in subs.items()}}
+        raise AggregationError(kind)
+
+    def to_json(self):
+        return {
+            "type": "buckets", "kind": self.kind, "body": self.body,
+            "buckets": [
+                [key, cnt, {n: i.to_json() for n, i in subs.items()}]
+                for key, (cnt, subs) in self.buckets.items()
+            ],
+        }
+
+    @classmethod
+    def from_json(cls, d):
+        b = cls(d["kind"], d["body"])
+        for key, cnt, subs in d["buckets"]:
+            if isinstance(key, list):
+                key = tuple(key)
+            b.buckets[key] = [cnt, {n: intermediate_from_json(i) for n, i in subs.items()}]
+        return b
+
+
+def intermediate_from_json(d) -> Intermediate:
+    t = d["type"]
+    if t == "metric":
+        return InterMetric.from_json(d)
+    if t == "percentiles":
+        return InterPercentiles.from_json(d)
+    if t == "cardinality":
+        return InterCardinality.from_json(d)
+    if t == "top_hits":
+        return InterTopHits.from_json(d)
+    if t == "buckets":
+        return InterBuckets.from_json(d)
+    raise AggregationError(t)
+
+
+class IntermediateAggregationResults:
+    """Mergeable + JSON-serializable cross-segment/shard results (reference
+    `intermediate_agg_result.rs`)."""
+
+    def __init__(self, results: dict | None = None):
+        self.results: dict[str, Intermediate] = results or {}
+
+    def merge(self, other: "IntermediateAggregationResults"):
+        for name, inter in other.results.items():
+            if name in self.results:
+                self.results[name].merge(inter)
+            else:
+                self.results[name] = inter
+
+    def finalize(self) -> dict:
+        return {name: inter.finalize() for name, inter in self.results.items()}
+
+    def to_json_bytes(self) -> bytes:
+        return json.dumps(
+            {n: i.to_json() for n, i in self.results.items()}
+        ).encode()
+
+    @classmethod
+    def from_json_bytes(cls, data: bytes) -> "IntermediateAggregationResults":
+        d = json.loads(data)
+        return cls({n: intermediate_from_json(i) for n, i in d.items()})
+
+
+# ---------------------------------------------------------------------------
+# per-segment collection
+
+
+def _hash64(values: np.ndarray) -> np.ndarray:
+    """splitmix64 over u64 values (for HLL)."""
+    x = values.astype(np.uint64).copy()
+    x += np.uint64(0x9E3779B97F4A7C15)
+    x = (x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    x = (x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    return x ^ (x >> np.uint64(31))
+
+
+def collect_segment_aggs(
+    aggs: dict, reader, seg_ord: int, docs: np.ndarray,
+    scores: np.ndarray | None, limits: AggregationLimits,
+) -> IntermediateAggregationResults:
+    out = {}
+    for name, node in aggs.items():
+        out[name] = _collect_node(node, reader, seg_ord, docs, scores, limits)
+    return IntermediateAggregationResults(out)
+
+
+def _collect_node(node, reader, seg_ord, docs, scores, limits) -> Intermediate:
+    kind, body, sub = node["kind"], node["body"], node["aggs"]
+    if kind in ("avg", "min", "max", "sum", "value_count", "stats", "extended_stats"):
+        m = InterMetric(kind)
+        vals, _ = _column_values(reader, body["field"], docs)
+        m.collect(vals)
+        return m
+    if kind == "percentiles":
+        p = InterPercentiles(body.get("percents", [1, 5, 25, 50, 75, 95, 99]))
+        vals, _ = _column_values(reader, body["field"], docs)
+        p.collect(vals)
+        return p
+    if kind == "cardinality":
+        c = InterCardinality()
+        col = reader.fast_fields().column(body["field"])
+        if col is not None and len(docs):
+            if col.dictionary is not None:
+                ords, _, dic = _column_ords(reader, body["field"], docs)
+                # hash the term bytes for cross-segment stability
+                terms = [dic.term(int(o)) for o in np.unique(ords)]
+                raw = np.array(
+                    [int.from_bytes(_stable_bytes_hash(t), "little") for t in terms],
+                    dtype=np.uint64,
+                )
+                c.collect_hashes(raw)
+            else:
+                vals, _ = _column_ords_raw(col, docs)
+                c.collect_hashes(_hash64(vals))
+        return c
+    if kind == "top_hits":
+        th = InterTopHits(body.get("size", 3))
+        if scores is not None and len(docs):
+            order = np.argsort(-scores.astype(np.float64), kind="stable")[: th.size]
+            th.hits = [
+                (float(scores[i]), seg_ord, int(docs[i])) for i in order
+            ]
+        return th
+    if kind == "terms":
+        b = InterBuckets("terms", body)
+        fld = body["field"]
+        col = reader.fast_fields().column(fld)
+        if col is not None and len(docs):
+            if col.dictionary is not None:
+                ords, idx, dic = _column_ords(reader, fld, docs)
+                uniq, inv = np.unique(ords, return_inverse=True)
+                limits.check_buckets(len(uniq))
+                for u_i, o in enumerate(uniq):
+                    sel = inv == u_i
+                    key = dic.term(int(o)).decode("utf-8", "replace")
+                    sub_docs = docs[idx[sel]]
+                    b.buckets[key] = [
+                        int(sel.sum()),
+                        {
+                            n: _collect_node(nd, reader, seg_ord, sub_docs,
+                                             None, limits)
+                            for n, nd in sub.items()
+                        },
+                    ]
+            else:
+                vals, idx = _column_values(reader, fld, docs)
+                uniq, inv = np.unique(vals, return_inverse=True)
+                limits.check_buckets(len(uniq))
+                for u_i, v in enumerate(uniq):
+                    sel = inv == u_i
+                    key = int(v) if float(v).is_integer() else float(v)
+                    sub_docs = docs[idx[sel]]
+                    b.buckets[key] = [
+                        int(sel.sum()),
+                        {
+                            n: _collect_node(nd, reader, seg_ord, sub_docs,
+                                             None, limits)
+                            for n, nd in sub.items()
+                        },
+                    ]
+        return b
+    if kind in ("histogram", "date_histogram"):
+        b = InterBuckets(kind, body)
+        if kind == "date_histogram":
+            interval = _parse_fixed_interval(body.get("fixed_interval", "1d"))
+        else:
+            interval = float(body["interval"])
+        offset = float(body.get("offset", 0.0))
+        vals, idx = _column_values(reader, body["field"], docs)
+        if len(vals):
+            keys = np.floor((vals - offset) / interval) * interval + offset
+            uniq, inv = np.unique(keys, return_inverse=True)
+            limits.check_buckets(len(uniq))
+            for u_i, kv in enumerate(uniq):
+                sel = inv == u_i
+                sub_docs = docs[idx[sel]]
+                b.buckets[float(kv)] = [
+                    int(sel.sum()),
+                    {
+                        n: _collect_node(nd, reader, seg_ord, sub_docs, None,
+                                         limits)
+                        for n, nd in sub.items()
+                    },
+                ]
+        return b
+    if kind == "range":
+        b = InterBuckets("range", body)
+        vals, idx = _column_values(reader, body["field"], docs)
+        for r in body["ranges"]:
+            lo = r.get("from", -math.inf)
+            hi = r.get("to", math.inf)
+            key = r.get("key", f"{_fmt(lo)}-{_fmt(hi)}")
+            sel = (vals >= lo) & (vals < hi)
+            sub_docs = docs[idx[sel]]
+            b.buckets[key] = [
+                int(sel.sum()),
+                {
+                    n: _collect_node(nd, reader, seg_ord, sub_docs, None, limits)
+                    for n, nd in sub.items()
+                },
+            ]
+        return b
+    if kind == "filter":
+        from ..query.parser import QueryParser
+
+        b = InterBuckets("filter", body)
+        # body is a query dict: {"query_string": {"query": "..."}} or term
+        sub_docs = _filter_docs(body, reader, docs)
+        b.buckets["_filter"] = [
+            len(sub_docs),
+            {
+                n: _collect_node(nd, reader, seg_ord, sub_docs, None, limits)
+                for n, nd in sub.items()
+            },
+        ]
+        return b
+    raise AggregationError(kind)
+
+
+def _column_ords_raw(col, docs):
+    from ..fastfield import CARD_FULL, CARD_OPTIONAL
+
+    if col.cardinality == CARD_FULL:
+        return col.values[docs], np.arange(len(docs), dtype=np.int64)
+    if col.cardinality == CARD_OPTIONAL:
+        pos = np.searchsorted(col.present_docs, docs)
+        pos = np.minimum(pos, max(len(col.present_docs) - 1, 0))
+        present = col.present_docs[pos] == docs
+        return col.values[pos[present]], np.nonzero(present)[0].astype(np.int64)
+    starts = col.offsets[docs]
+    ends = col.offsets[docs + 1]
+    counts = (ends - starts).astype(np.int64)
+    idx = np.repeat(np.arange(len(docs), dtype=np.int64), counts)
+    flat = (
+        np.concatenate([col.values[int(s):int(e)] for s, e in zip(starts, ends) if e > s])
+        if counts.sum()
+        else np.zeros(0, dtype=np.uint64)
+    )
+    return flat, idx
+
+
+def _stable_bytes_hash(data: bytes) -> bytes:
+    import hashlib
+
+    return hashlib.blake2b(data, digest_size=8).digest()
+
+
+def _filter_docs(body: dict, reader, docs: np.ndarray) -> np.ndarray:
+    """Evaluate a filter sub-query over the candidate docs."""
+    from ..query import member_lookup
+
+    if "term" in body:
+        ((fld, val),) = body["term"].items()
+        col = reader.fast_fields().column(fld)
+        if col is None:
+            return docs[:0]
+        mask = np.array(
+            [val in [_norm_val(v) for v in col.values_for_doc(int(d))] for d in docs],
+            dtype=bool,
+        )
+        return docs[mask]
+    raise AggregationError(f"unsupported filter body: {list(body)}")
+
+
+def _norm_val(v):
+    if isinstance(v, bytes):
+        return v.decode("utf-8", "replace")
+    return v
+
+
+def _fmt(x):
+    return "*" if math.isinf(x) else f"{x:g}"
+
+
+def _parse_fixed_interval(s: str) -> float:
+    units = {"ms": 0.001, "s": 1, "m": 60, "h": 3600, "d": 86400}
+    for suffix in sorted(units, key=len, reverse=True):
+        if s.endswith(suffix):
+            return float(s[: -len(suffix)]) * units[suffix]
+    return float(s)
+
+
+# ---------------------------------------------------------------------------
+# collector
+
+
+class AggregationCollector(Collector):
+    """Run an ES-style aggregation tree as a collector (reference
+    `src/aggregation/collector.rs:23`)."""
+
+    def __init__(self, aggs: dict, limits: AggregationLimits | None = None):
+        self.aggs = parse_aggregations(aggs)
+        self.limits = limits or AggregationLimits()
+
+    def requires_scoring(self) -> bool:
+        return _tree_needs_scores(self.aggs)
+
+    def collect_segment(self, weight, segment_ord: int, reader):
+        res = weight.execute(reader)
+        docs, scores = _alive_filter(res, reader)
+        return collect_segment_aggs(
+            self.aggs, reader, segment_ord, docs, scores, self.limits
+        )
+
+    def merge_fruits(self, fruits):
+        if not fruits:
+            return {}
+        acc = fruits[0]
+        for f in fruits[1:]:
+            acc.merge(f)
+        return acc.finalize()
+
+
+def _tree_needs_scores(aggs: dict) -> bool:
+    for node in aggs.values():
+        if node["kind"] == "top_hits":
+            return True
+        if _tree_needs_scores(node["aggs"]):
+            return True
+    return False

@@ -1,0 +1,198 @@
+"""Aggregation tests — ES-shaped requests/responses, cross-segment merging,
+intermediate serialization (the cross-shard hook)."""
+
+import numpy as np
+import pytest
+
+import tantivy_tpu as tt
+from tantivy_tpu.aggregation import (
+    AggregationCollector,
+    AggregationError,
+    AggregationLimits,
+    IntermediateAggregationResults,
+    parse_aggregations,
+)
+
+
+@pytest.fixture(scope="module")
+def setup():
+    b = tt.Schema.builder()
+    b.add_text_field("text", tt.TEXT)
+    b.add_f64_field("price", tt.FAST)
+    b.add_u64_field("qty", tt.FAST)
+    b.add_i64_field("delta", tt.FAST)
+    b.add_text_field("brand", tt.TextOptions(fast=True, indexed=True, tokenizer="raw"))
+    schema = b.build()
+    index = tt.Index.create_in_ram(schema)
+    w = index.writer_for_tests()
+    data = [
+        ("red apple", 10.0, 3, -5, "acme"),
+        ("green apple", 20.0, 1, 2, "acme"),
+        ("red cherry", 30.0, 2, 7, "globex"),
+        ("blue berry", 40.0, 5, -1, "globex"),
+        ("red berry", 50.0, 4, 0, "initech"),
+    ]
+    # two commits -> two segments, to exercise merging
+    for i, (txt, price, qty, delta, brand) in enumerate(data):
+        w.add_document(
+            tt.Document(text=txt, price=price, qty=qty, delta=delta, brand=brand)
+        )
+        if i == 2:
+            w.commit()
+    w.commit()
+    w.close()
+    searcher = index.reader().searcher()
+    assert len(searcher.segment_readers()) == 2
+    return index, searcher
+
+
+def agg(searcher, query, req):
+    return searcher.search(query, AggregationCollector(req))
+
+
+class TestMetrics:
+    def test_stats_family(self, setup):
+        _, s = setup
+        res = agg(s, tt.AllQuery(), {
+            "a": {"avg": {"field": "price"}},
+            "mn": {"min": {"field": "price"}},
+            "mx": {"max": {"field": "price"}},
+            "sm": {"sum": {"field": "price"}},
+            "ct": {"value_count": {"field": "price"}},
+            "st": {"stats": {"field": "price"}},
+            "xs": {"extended_stats": {"field": "price"}},
+        })
+        assert res["a"]["value"] == 30.0
+        assert res["mn"]["value"] == 10.0
+        assert res["mx"]["value"] == 50.0
+        assert res["sm"]["value"] == 150.0
+        assert res["ct"]["value"] == 5
+        assert res["st"] == {
+            "count": 5, "min": 10.0, "max": 50.0, "sum": 150.0, "avg": 30.0
+        }
+        assert res["xs"]["variance"] == pytest.approx(200.0)
+
+    def test_i64_metric(self, setup):
+        _, s = setup
+        res = agg(s, tt.AllQuery(), {"m": {"min": {"field": "delta"}},
+                                     "x": {"max": {"field": "delta"}}})
+        assert res["m"]["value"] == -5.0
+        assert res["x"]["value"] == 7.0
+
+    def test_metric_under_query(self, setup):
+        index, s = setup
+        q = index.parse_query("text:red")
+        res = agg(s, q, {"a": {"avg": {"field": "price"}}})
+        assert res["a"]["value"] == pytest.approx((10 + 30 + 50) / 3)
+
+    def test_percentiles(self, setup):
+        _, s = setup
+        res = agg(s, tt.AllQuery(), {"p": {"percentiles": {"field": "price"}}})
+        v50 = res["p"]["values"]["50"]
+        assert abs(v50 - 30.0) / 30.0 < 0.02
+
+    def test_cardinality(self, setup):
+        _, s = setup
+        res = agg(s, tt.AllQuery(), {"c": {"cardinality": {"field": "brand"}}})
+        assert res["c"]["value"] == 3
+        res = agg(s, tt.AllQuery(), {"c": {"cardinality": {"field": "qty"}}})
+        assert res["c"]["value"] == 5
+
+
+class TestBuckets:
+    def test_terms_str(self, setup):
+        _, s = setup
+        res = agg(s, tt.AllQuery(), {"b": {"terms": {"field": "brand"}}})
+        buckets = {b["key"]: b["doc_count"] for b in res["b"]["buckets"]}
+        assert buckets == {"acme": 2, "globex": 2, "initech": 1}
+        # count-desc ordering
+        assert res["b"]["buckets"][0]["doc_count"] == 2
+
+    def test_terms_numeric_with_subagg(self, setup):
+        _, s = setup
+        res = agg(s, tt.AllQuery(), {
+            "b": {"terms": {"field": "brand"},
+                  "aggs": {"total": {"sum": {"field": "price"}}}}
+        })
+        by_key = {b["key"]: b for b in res["b"]["buckets"]}
+        assert by_key["acme"]["total"]["value"] == 30.0
+        assert by_key["globex"]["total"]["value"] == 70.0
+
+    def test_histogram(self, setup):
+        _, s = setup
+        res = agg(s, tt.AllQuery(), {
+            "h": {"histogram": {"field": "price", "interval": 20.0}}
+        })
+        assert [(b["key"], b["doc_count"]) for b in res["h"]["buckets"]] == [
+            (0.0, 1), (20.0, 2), (40.0, 2)
+        ]
+
+    def test_range(self, setup):
+        _, s = setup
+        res = agg(s, tt.AllQuery(), {
+            "r": {"range": {"field": "price", "ranges": [
+                {"to": 25.0}, {"from": 25.0, "to": 45.0}, {"from": 45.0}
+            ]}}
+        })
+        counts = {b["key"]: b["doc_count"] for b in res["r"]["buckets"]}
+        assert counts == {"*-25": 2, "25-45": 2, "45-*": 1}
+
+    def test_filter_agg(self, setup):
+        _, s = setup
+        res = agg(s, tt.AllQuery(), {
+            "f": {"filter": {"term": {"brand": "acme"}},
+                  "aggs": {"a": {"avg": {"field": "price"}}}}
+        })
+        assert res["f"]["doc_count"] == 2
+        assert res["f"]["a"]["value"] == 15.0
+
+    def test_bucket_limit(self, setup):
+        _, s = setup
+        with pytest.raises(AggregationError):
+            agg_col = AggregationCollector(
+                {"b": {"terms": {"field": "brand"}}},
+                AggregationLimits(bucket_limit=1),
+            )
+            s.search(tt.AllQuery(), agg_col)
+
+
+class TestIntermediate:
+    def test_roundtrip_and_merge(self, setup):
+        _, s = setup
+        col = AggregationCollector({
+            "b": {"terms": {"field": "brand"},
+                  "aggs": {"a": {"avg": {"field": "price"}}}},
+            "st": {"stats": {"field": "qty"}},
+        })
+        weight = tt.AllQuery().weight(s, scoring=False)
+        fruits = [
+            col.collect_segment(weight, i, r)
+            for i, r in enumerate(s.segment_readers())
+        ]
+        # serialize each fruit (simulating cross-shard transfer), then merge
+        revived = [
+            IntermediateAggregationResults.from_json_bytes(f.to_json_bytes())
+            for f in fruits
+        ]
+        acc = revived[0]
+        for f in revived[1:]:
+            acc.merge(f)
+        res = acc.finalize()
+        by_key = {b["key"]: b for b in res["b"]["buckets"]}
+        assert by_key["acme"]["a"]["value"] == 15.0
+        assert res["st"]["sum"] == 15.0
+
+    def test_parse_errors(self):
+        with pytest.raises(AggregationError):
+            parse_aggregations({"x": {"avg": {"field": "f"}, "sum": {"field": "g"}}})
+        with pytest.raises(AggregationError):
+            parse_aggregations({"x": {"avg": {"field": "f"}, "aggs": {"y": {"sum": {"field": "g"}}}}})
+
+
+class TestTopHits:
+    def test_top_hits(self, setup):
+        index, s = setup
+        q = index.parse_query("text:red")
+        res = agg(s, q, {"th": {"top_hits": {"size": 2}}})
+        assert len(res["th"]["hits"]) == 2
+        assert res["th"]["hits"][0]["_score"] >= res["th"]["hits"][1]["_score"]
