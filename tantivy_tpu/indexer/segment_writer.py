@@ -82,11 +82,53 @@ def encode_json_terms(path_prefix: bytes, value, out: list[tuple[bytes, str]]):
         raise TypeError(f"unsupported json value: {type(value)}")
 
 
+def _merge_postings(nd, ntf, npos, pd, ptf, ppos, has_positions):
+    """Merge two sorted posting lists of one term (same doc may appear in
+    both when a doc mixes ASCII/non-ASCII values): tf sums, positions merge
+    sorted per doc."""
+    docs_all = np.union1d(nd, pd).astype(np.uint32)
+    tfs_out = np.zeros(len(docs_all), dtype=np.uint32)
+    n_idx = np.searchsorted(nd, docs_all)
+    p_idx = np.searchsorted(pd, docs_all)
+    n_found = (n_idx < len(nd)) & (nd[np.minimum(n_idx, max(len(nd) - 1, 0))] == docs_all)
+    p_found = (p_idx < len(pd)) & (pd[np.minimum(p_idx, max(len(pd) - 1, 0))] == docs_all)
+    tfs_out += np.where(n_found, ntf[np.minimum(n_idx, max(len(nd) - 1, 0))], 0).astype(np.uint32)
+    tfs_out += np.where(p_found, ptf[np.minimum(p_idx, max(len(pd) - 1, 0))], 0).astype(np.uint32)
+    pos_out = None
+    if has_positions:
+        ncum = np.zeros(len(ntf) + 1, dtype=np.int64)
+        np.cumsum(ntf, out=ncum[1:])
+        pcum = np.zeros(len(ptf) + 1, dtype=np.int64)
+        np.cumsum(ptf, out=pcum[1:])
+        parts = []
+        for di, d in enumerate(docs_all):
+            merged = []
+            if n_found[di]:
+                k = int(n_idx[di])
+                merged.append(npos[int(ncum[k]) : int(ncum[k + 1])])
+            if p_found[di]:
+                k = int(p_idx[di])
+                merged.append(ppos[int(pcum[k]) : int(pcum[k + 1])])
+            seg = np.concatenate(merged) if merged else np.zeros(0, np.uint32)
+            parts.append(np.sort(seg))
+        pos_out = (
+            np.concatenate(parts).astype(np.uint32)
+            if parts
+            else np.zeros(0, np.uint32)
+        )
+    return docs_all, tfs_out, pos_out
+
+
 class SegmentWriter:
     def __init__(self, schema: Schema, tokenizers: TokenizerManager | None = None,
-                 compressor: str = Compressor.ZSTD):
+                 compressor: str = Compressor.ZSTD, use_native: bool = True):
         self.schema = schema
         self.tokenizers = tokenizers or TokenizerManager.default()
+        self._native = None
+        if use_native:
+            from ..native import NativeIndexerCore
+
+            self._native = NativeIndexerCore.create()
         # field_id -> {term_bytes: _TermPostings}
         self._postings: dict[int, dict[bytes, _TermPostings]] = defaultdict(dict)
         # field_id -> {doc: num_tokens}
@@ -149,10 +191,25 @@ class SegmentWriter:
 
     def _index_text(self, entry, doc_id: int, text: str) -> None:
         if entry.is_indexed():
+            record = entry.index_record_option()
+            # native fast path: default analyzer + pure-ASCII text
+            if (
+                self._native is not None
+                and entry.tokenizer_name() == "default"
+                and text.isascii()
+            ):
+                prev = self._fieldnorms[entry.field_id].get(doc_id, 0)
+                kept = self._native.index_text(
+                    entry.field_id, doc_id, text.encode("ascii"),
+                    record.has_positions(), prev,
+                )
+                self._fieldnorms[entry.field_id][doc_id] = prev + kept
+                if entry.is_fast():
+                    self._columnar.record(doc_id, entry.name, text, "str")
+                return
             analyzer = self.tokenizers.get(entry.tokenizer_name())
             if analyzer is None:
                 raise KeyError(f"tokenizer not registered: {entry.tokenizer_name()}")
-            record = entry.index_record_option()
             num_tokens = 0
             # accumulate per-term in-doc positions, then subscribe once
             local: dict[bytes, list[int]] = {}
@@ -169,8 +226,9 @@ class SegmentWriter:
                     )
                 if record.has_positions():
                     self._postings[entry.field_id][term_bytes].positions.extend(positions)
-            if entry.has_fieldnorms():
-                self._fieldnorms[entry.field_id][doc_id] = prev_num_tokens + num_tokens
+            # tracked even without fieldnorms: doubles as the multi-value
+            # position offset (arrays emitted only for has_fieldnorms fields)
+            self._fieldnorms[entry.field_id][doc_id] = prev_num_tokens + num_tokens
         if entry.is_fast():
             self._columnar.record(doc_id, entry.name, text, "str")
 
@@ -251,19 +309,38 @@ class SegmentWriter:
         norm_ids_by_field: dict[int, np.ndarray] = {}
         total_tokens: dict[int, int] = dict(self._token_counts)
         for field_id, per_doc in self._fieldnorms.items():
+            entry = self.schema.get_field_entry(field_id)
+            if not entry.has_fieldnorms():
+                continue
             ids = np.zeros(max_doc, dtype=np.uint8)
             for d, n in per_doc.items():
                 ids[d] = fieldnorm_to_id(n)
             fieldnorm_arrays[str(field_id)] = ids
             norm_ids_by_field[field_id] = ids
 
+        # native core exports (sorted terms + postings arrays per field)
+        native_exports: dict[int, dict] = {}
+        if self._native is not None:
+            for entry in self.schema.fields():
+                exp = self._native.export_field(entry.field_id)
+                if exp is not None and exp["n_terms"] > 0:
+                    native_exports[entry.field_id] = exp
+                    total_tokens[entry.field_id] = (
+                        total_tokens.get(entry.field_id, 0) + exp["total_tokens"]
+                    )
+
         idx_arrays: dict[str, np.ndarray] = {}
         term_arrays: dict[str, np.ndarray] = {}
-        for field_id, postings in self._postings.items():
+        field_ids = sorted(set(self._postings) | set(native_exports))
+        for field_id in field_ids:
             entry = self.schema.get_field_entry(field_id)
             has_freqs = entry.index_record_option().has_freq()
             has_positions = entry.index_record_option().has_positions()
             norm_ids = norm_ids_by_field.get(field_id)
+            if norm_ids is None and entry.is_indexed():
+                # no-fieldnorm fields score with constant fieldnorm 1; the
+                # block-max pair must use the same id or pruning is unsafe
+                norm_ids = np.ones(max_doc, dtype=np.uint8)
             tot = total_tokens.get(field_id, 0)
             avg = (tot / max_doc) if max_doc else 0.0
             ser = PostingsSerializer(
@@ -271,17 +348,12 @@ class SegmentWriter:
                 fieldnorm_ids=norm_ids,
                 has_freqs=has_freqs,
             )
-            sorted_terms = sorted(postings)
-            for term_bytes in sorted_terms:
-                rec = postings[term_bytes]
-                docs = np.asarray(rec.docs, dtype=np.uint32)
-                tfs = np.asarray(rec.tfs, dtype=np.uint32)
-                pos = (
-                    np.asarray(rec.positions, dtype=np.uint32)
-                    if has_positions
-                    else None
-                )
+            sorted_terms = []
+            for term_bytes, docs, tfs, pos in self._merged_term_stream(
+                field_id, native_exports.get(field_id), has_positions
+            ):
                 ser.serialize_term(docs, tfs, pos)
+                sorted_terms.append(term_bytes)
             arrays = ser.finish()
             arrays["total_num_tokens"] = np.asarray([tot], dtype=np.int64)
             for k, v in arrays.items():
@@ -297,3 +369,63 @@ class SegmentWriter:
             "fast": self._columnar.serialize(max_doc),
             "store": self._store.finish(),
         }
+
+    def _merged_term_stream(self, field_id: int, native_exp: dict | None,
+                            has_positions: bool):
+        """Yields (term_bytes, docs, tfs, positions) in sorted term order,
+        merging the native core's export with the Python-side postings."""
+        py = self._postings.get(field_id, {})
+        py_terms = sorted(py)
+
+        def py_rec(term_bytes):
+            rec = py[term_bytes]
+            docs = np.asarray(rec.docs, dtype=np.uint32)
+            tfs = np.asarray(rec.tfs, dtype=np.uint32)
+            pos = (
+                np.asarray(rec.positions, dtype=np.uint32) if has_positions else None
+            )
+            return docs, tfs, pos
+
+        if native_exp is None:
+            for tb in py_terms:
+                yield (tb, *py_rec(tb))
+            return
+
+        term_data = native_exp["term_data"].tobytes()
+        toff = native_exp["term_offsets"]
+        poff = native_exp["post_offsets"]
+        n_docs_arr = native_exp["docs"]
+        n_tfs_arr = native_exp["tfs"]
+        n_pos_arr = native_exp["positions"]
+        n_terms = native_exp["n_terms"]
+        # per-term position offsets = cumsum of tfs at posting boundaries
+        tf_cum = np.zeros(len(n_tfs_arr) + 1, dtype=np.int64)
+        np.cumsum(n_tfs_arr, out=tf_cum[1:])
+
+        def native_rec(i):
+            lo, hi = int(poff[i]), int(poff[i + 1])
+            docs = n_docs_arr[lo:hi]
+            tfs = n_tfs_arr[lo:hi]
+            pos = (
+                n_pos_arr[int(tf_cum[lo]) : int(tf_cum[hi])] if has_positions else None
+            )
+            return docs, tfs, pos
+
+        i, j = 0, 0
+        while i < n_terms or j < len(py_terms):
+            nt = term_data[toff[i] : toff[i + 1]] if i < n_terms else None
+            pt = py_terms[j] if j < len(py_terms) else None
+            if pt is None or (nt is not None and nt < pt):
+                yield (nt, *native_rec(i))
+                i += 1
+            elif nt is None or pt < nt:
+                yield (pt, *py_rec(pt))
+                j += 1
+            else:
+                # same term on both sides: merge doc-wise
+                nd, ntf, npos = native_rec(i)
+                pd, ptf, ppos = py_rec(pt)
+                yield (nt, *_merge_postings(nd, ntf, npos, pd, ptf, ppos,
+                                            has_positions))
+                i += 1
+                j += 1
