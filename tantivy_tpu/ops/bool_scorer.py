@@ -46,6 +46,7 @@ def flat_bool_topk(
     qid,         # [W] i32 (num_queries = padding)
     weight,      # [W] f32 (0 for must_not)
     kind,        # [W] i32 (KIND_*)
+    clause,      # [W] i32 (clause index within its query, < T_MAX)
     valid,       # [W] bool
     norm_ids,    # [max_doc] u8
     alive,       # [max_doc] bool
@@ -69,15 +70,20 @@ def flat_bool_topk(
     fdoc = docs.reshape(-1)
     fscore = jnp.where(lane_ok.reshape(-1), scores.reshape(-1), jnp.float32(0.0))
     fkind = jnp.repeat(kind, lanes)
+    fclause = jnp.repeat(clause, lanes)
     dead = ~lane_ok.reshape(-1)
     # dead lanes become singleton groups of the padding query
     iota = jnp.arange(n, dtype=jnp.uint32)
     fq = jnp.where(dead, jnp.int32(num_queries), fq)
     fdoc = jnp.where(dead, iota, fdoc)
 
-    # group lanes by (query, doc); stable => clause order within group
-    fq, fdoc, fscore, fkind = jax.lax.sort(
-        (fq, fdoc, fscore, fkind), num_keys=2
+    # group lanes by (query, doc) with the clause index packed into the doc
+    # key's low 3 bits: composite (qid, doc<<3|clause) is UNIQUE, so an
+    # unstable 2-key sort is exact and clause order within each group is
+    # preserved by the packed bits. Constraint: doc ids < 2^29 per segment.
+    packed = (fdoc << jnp.uint32(3)) | fclause.astype(jnp.uint32)
+    fq, _, fdoc, fscore, fkind = jax.lax.sort(
+        (fq, packed, fdoc, fscore, fkind), num_keys=2, is_stable=False
     )
 
     prev_q = jnp.concatenate([jnp.full((1,), -1, jnp.int32), fq[:-1]])
@@ -113,8 +119,12 @@ def flat_bool_topk(
     sel_score = jnp.where(ok, acc, NEG_INF)
     sel_q = jnp.where(ok, fq, jnp.int32(num_queries))
 
+    # rows are already doc-ascending per query from the group sort, so a
+    # STABLE (qid, score-desc) sort preserves the doc tie-break
     skey = _sortable_desc(sel_score)
-    sq, _, sdoc, ssc = jax.lax.sort((sel_q, skey, fdoc, sel_score), num_keys=3)
+    sq, _, sdoc, ssc = jax.lax.sort(
+        (sel_q, skey, fdoc, sel_score), num_keys=2, is_stable=True
+    )
     firsts = jnp.searchsorted(sq, jnp.arange(num_queries, dtype=jnp.int32))
     nexts = jnp.searchsorted(sq, jnp.arange(1, num_queries + 1, dtype=jnp.int32))
     idx = firsts[:, None] + jnp.arange(k, dtype=jnp.int32)[None, :]

@@ -63,23 +63,28 @@ def flat_topk_kernel(
     mask = (docs != jnp.uint32(TERMINATED)) & valid[:, None] & alive[safe]
     scores = jnp.where(mask, scores, NEG_INF)
 
-    flat_scores = scores.reshape(-1)
-    flat_docs = docs.reshape(-1)
-    flat_qid = jnp.repeat(qid, lanes)
-    # mask lanes -> qid = num_queries so they sort after all real queries
+    # per-block top-k prefilter: a query's global top-k is contained in the
+    # union of its blocks' per-block top-k, so only W*k lanes reach the sort
+    kk = min(k, lanes)
+    row_sc, row_idx = jax.lax.top_k(scores, kk)              # [W, kk]
+    row_doc = jnp.take_along_axis(docs, row_idx, axis=1)
+
+    flat_scores = row_sc.reshape(-1)
+    flat_docs = row_doc.reshape(-1)
+    flat_qid = jnp.repeat(qid, kk)
     flat_qid = jnp.where(flat_scores == NEG_INF, jnp.int32(num_queries), flat_qid)
 
+    # 3-key sort on the reduced W*k set: qid asc, score desc, doc asc
     skey = _sortable_desc(flat_scores)
-    # three sort keys: qid asc, score desc, doc asc — the exact TopNComputer
-    # ordering, independent of work-list layout
     sq, _, sdoc, ssc = jax.lax.sort(
-        (flat_qid, skey, flat_docs, flat_scores), num_keys=3
+        (flat_qid, skey, flat_docs, flat_scores), num_keys=3, is_stable=False
     )
     firsts = jnp.searchsorted(sq, jnp.arange(num_queries, dtype=jnp.int32))
     nexts = jnp.searchsorted(sq, jnp.arange(1, num_queries + 1, dtype=jnp.int32))
+    n = w * kk
     idx = firsts[:, None] + jnp.arange(k, dtype=jnp.int32)[None, :]
     ok = idx < nexts[:, None]
-    idx = jnp.minimum(idx, w * lanes - 1)
+    idx = jnp.minimum(idx, n - 1)
     out_sc = jnp.where(ok, ssc[idx], NEG_INF)
     out_doc = jnp.where(ok, sdoc[idx], jnp.uint32(0))
     return out_sc, out_doc

@@ -269,27 +269,30 @@ class BatchExecutor:
                     continue
                 field = field_of_q[qi]
                 wl = per_field.setdefault(
-                    field, {"blocks": [], "qid": [], "weight": [], "kind": []}
+                    field,
+                    {"blocks": [], "qid": [], "weight": [], "kind": [],
+                     "clause": []},
                 )
                 dfp = self._device_segments[seg_ord].field_postings(field)
                 q_blocks = []
-                for kd, term, w in info:
+                for ci, (kd, term, w) in enumerate(info):
                     o = self._term_ord(seg_ord, reader, field, term.value_bytes)
                     if o < 0:
                         continue
                     s0 = int(dfp.term_block_start[o])
                     n = int(dfp.term_num_blocks[o])
                     ids = np.arange(s0, s0 + n)
-                    q_blocks.append((ids, kd, w))
-                total = sum(len(b) for b, _, _ in q_blocks)
+                    q_blocks.append((ids, kd, w, ci))
+                total = sum(len(b) for b, _, _, _ in q_blocks)
                 if total > top:
                     host_fallback.add(qi)
                     continue
-                for ids, kd, w in q_blocks:
+                for ids, kd, w, ci in q_blocks:
                     wl["blocks"].append(ids)
                     wl["qid"].append(np.full(len(ids), qi, dtype=np.int32))
                     wl["weight"].append(np.full(len(ids), w, dtype=np.float32))
                     wl["kind"].append(np.full(len(ids), kd, dtype=np.int32))
+                    wl["clause"].append(np.full(len(ids), ci, dtype=np.int32))
 
             for field, wl in per_field.items():
                 if not wl["blocks"]:
@@ -298,6 +301,7 @@ class BatchExecutor:
                 qids = np.concatenate(wl["qid"])
                 ws = np.concatenate(wl["weight"])
                 kinds = np.concatenate(wl["kind"])
+                clauses = np.concatenate(wl["clause"])
                 # chunk on query boundaries
                 dseg = self._device_segments[seg_ord]
                 dfp = dseg.field_postings(field)
@@ -328,16 +332,19 @@ class BatchExecutor:
                     q_pad = np.full(W, Q, dtype=np.int32)
                     w_pad = np.zeros(W, dtype=np.float32)
                     k_pad = np.zeros(W, dtype=np.int32)
+                    c_pad = np.zeros(W, dtype=np.int32)
                     v_pad = np.zeros(W, dtype=bool)
                     b_pad[: hi - lo] = blocks[lo:hi]
                     q_pad[: hi - lo] = qids[lo:hi]
                     w_pad[: hi - lo] = ws[lo:hi]
                     k_pad[: hi - lo] = kinds[lo:hi]
+                    c_pad[: hi - lo] = clauses[lo:hi]
                     v_pad[: hi - lo] = True
                     docs, tfs = dfp.gather_blocks(b_pad)
                     out = flat_bool_topk(
                         docs, tfs, jnp.asarray(q_pad), jnp.asarray(w_pad),
-                        jnp.asarray(k_pad), jnp.asarray(v_pad),
+                        jnp.asarray(k_pad), jnp.asarray(c_pad),
+                        jnp.asarray(v_pad),
                         dfp.norm_ids, alive, jnp.asarray(cache),
                         jnp.asarray(req_must), jnp.asarray(req_should),
                         k, Q,
