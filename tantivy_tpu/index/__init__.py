@@ -28,28 +28,77 @@ class ReloadPolicy(str, Enum):
     ON_COMMIT = "on_commit"
 
 
+class IndexSettings:
+    """Reference `index_meta.rs:248` IndexSettings{sort_by_field,
+    docstore_compression, docstore_blocksize}."""
+
+    def __init__(self, sort_by_field: tuple[str, str] | None = None,
+                 docstore_compression: str = "zstd",
+                 docstore_blocksize: int = 16_384):
+        # sort_by_field: (field_name, "asc"|"desc")
+        self.sort_by_field = sort_by_field
+        self.docstore_compression = docstore_compression
+        self.docstore_blocksize = docstore_blocksize
+
+    def to_json(self) -> dict:
+        return {
+            "sort_by_field": list(self.sort_by_field) if self.sort_by_field else None,
+            "docstore_compression": self.docstore_compression,
+            "docstore_blocksize": self.docstore_blocksize,
+        }
+
+    @classmethod
+    def from_json(cls, d: dict | None) -> "IndexSettings":
+        if not d:
+            return cls()
+        sbf = d.get("sort_by_field")
+        return cls(
+            sort_by_field=tuple(sbf) if sbf else None,
+            docstore_compression=d.get("docstore_compression", "zstd"),
+            docstore_blocksize=d.get("docstore_blocksize", 16_384),
+        )
+
+
 class Index:
     def __init__(self, directory: Directory, schema: Schema,
-                 tokenizers: TokenizerManager | None = None):
+                 tokenizers: TokenizerManager | None = None,
+                 settings: "IndexSettings | None" = None):
         self.directory = directory
         self.schema = schema
         self.tokenizers = tokenizers or TokenizerManager.default()
+        self.settings = settings or IndexSettings()
+        self.search_executor = None
+
+    def set_multithread_executor(self, num_threads: int) -> None:
+        """Reference `Index::set_multithread_executor`."""
+        from ..executor import Executor
+
+        self.search_executor = Executor.multi_thread(num_threads)
+
+    def set_default_multithread_executor(self) -> None:
+        import os
+
+        self.set_multithread_executor(os.cpu_count() or 1)
 
     # -- constructors --------------------------------------------------------
 
     @classmethod
-    def create_in_ram(cls, schema: Schema) -> "Index":
-        index = cls(ManagedDirectory(RamDirectory()), schema)
-        index.save_metas(IndexMeta(schema_json=schema.to_json()))
+    def create_in_ram(cls, schema: Schema, settings: "IndexSettings | None" = None) -> "Index":
+        index = cls(ManagedDirectory(RamDirectory()), schema, settings=settings)
+        index.save_metas(
+            IndexMeta(schema_json=schema.to_json(), settings=index.settings.to_json())
+        )
         return index
 
     @classmethod
-    def create_in_dir(cls, path, schema: Schema) -> "Index":
+    def create_in_dir(cls, path, schema: Schema, settings: "IndexSettings | None" = None) -> "Index":
         directory = ManagedDirectory(FsDirectory.create(path))
         if directory.exists(META_FILEPATH):
             raise FileExistsError(f"index already exists at {path}")
-        index = cls(directory, schema)
-        index.save_metas(IndexMeta(schema_json=schema.to_json()))
+        index = cls(directory, schema, settings=settings)
+        index.save_metas(
+            IndexMeta(schema_json=schema.to_json(), settings=index.settings.to_json())
+        )
         return index
 
     @classmethod
@@ -59,7 +108,7 @@ class Index:
             json.loads(directory.atomic_read(META_FILEPATH).decode("utf-8"))
         )
         schema = Schema.from_json(meta.schema_json)
-        return cls(directory, schema)
+        return cls(directory, schema, settings=IndexSettings.from_json(meta.settings))
 
     @classmethod
     def open_or_create(cls, path, schema: Schema) -> "Index":

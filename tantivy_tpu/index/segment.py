@@ -78,6 +78,7 @@ class IndexMeta:
     segments: list[SegmentMeta] = field(default_factory=list)
     opstamp: int = 0
     payload: str | None = None
+    settings: dict | None = None
 
     def to_json(self) -> dict:
         import json
@@ -88,6 +89,7 @@ class IndexMeta:
             "schema": json.loads(self.schema_json),
             "opstamp": self.opstamp,
             "payload": self.payload,
+            "settings": self.settings,
         }
 
     @classmethod
@@ -105,4 +107,5 @@ class IndexMeta:
             segments=[SegmentMeta.from_json(s) for s in d["segments"]],
             opstamp=d["opstamp"],
             payload=d.get("payload"),
+            settings=d.get("settings"),
         )

@@ -82,8 +82,11 @@ class IndexWriter:
     def add_document(self, doc: Document) -> int:
         opstamp = self._stamp()
         if self._segment_writer is None:
-            self._segment_writer = SegmentWriter(self.index.schema,
-                                                 self.index.tokenizers)
+            self._segment_writer = SegmentWriter(
+                self.index.schema,
+                self.index.tokenizers,
+                sort_by_field=self.index.settings.sort_by_field,
+            )
             self._doc_opstamps = []
         self._segment_writer.add_document(doc)
         self._doc_opstamps.append(opstamp)
@@ -161,6 +164,7 @@ class IndexWriter:
             segments=segments,
             opstamp=commit_opstamp,
             payload=payload,
+            settings=self.index.settings.to_json(),
         )
         self.index.save_metas(new_meta)
         self._committed_opstamp = commit_opstamp
@@ -256,7 +260,10 @@ class IndexWriter:
         readers = [
             SegmentReader(s, self.index.directory, self.index.schema) for s in chosen
         ]
-        merger = IndexMerger(self.index.schema, readers)
+        merger = IndexMerger(
+            self.index.schema, readers,
+            sort_by_field=self.index.settings.sort_by_field,
+        )
         components, max_doc = merger.write()
         sid = new_segment_id()
         for comp, arrays in components.items():
@@ -273,6 +280,7 @@ class IndexWriter:
                 segments=new_segments,
                 opstamp=meta.opstamp,
                 payload=meta.payload,
+                settings=self.index.settings.to_json(),
             )
         )
         self.garbage_collect_files()

@@ -21,12 +21,18 @@ from ..termdict import TermDictionary
 
 
 class IndexMerger:
-    def __init__(self, schema: Schema, segment_readers: list):
+    def __init__(self, schema: Schema, segment_readers: list,
+                 sort_by_field: tuple[str, str] | None = None):
         self.schema = schema
         self.readers = segment_readers
+        self.sort_by_field = sort_by_field
 
     def _doc_mappings(self):
-        """per-segment old_doc -> new_doc (int64, -1 for deleted), and new max_doc."""
+        """per-segment old_doc -> new_doc (int64, -1 for deleted), and new
+        max_doc. Stacked by default; k-way merged by sort key when the index
+        is sorted (reference `doc_id_mapping.rs`)."""
+        if self.sort_by_field is not None:
+            return self._sorted_doc_mappings()
         mappings = []
         next_id = 0
         for r in self.readers:
@@ -36,6 +42,41 @@ class IndexMerger:
             next_id += len(alive)
             mappings.append(m)
         return mappings, next_id
+
+    def _sorted_doc_mappings(self):
+        field, order = self.sort_by_field
+        keys_parts, seg_parts, doc_parts = [], [], []
+        for seg_i, r in enumerate(self.readers):
+            alive = r.doc_ids_alive()
+            col = r.fast_fields().column(field)
+            keys = np.full(len(alive), np.iinfo(np.uint64).max, dtype=np.uint64)
+            if col is not None:
+                from ..fastfield import CARD_FULL
+
+                if col.cardinality == CARD_FULL:
+                    keys = col.values[alive]
+                else:
+                    for i, d in enumerate(alive):
+                        if col.has_value(int(d)):
+                            from ..fastfield import to_u64
+
+                            v = col.values_for_doc(int(d))[0]
+                            keys[i] = to_u64(v, col.type_name)
+            if order == "desc":
+                keys = np.iinfo(np.uint64).max - keys
+            keys_parts.append(keys)
+            seg_parts.append(np.full(len(alive), seg_i, dtype=np.int64))
+            doc_parts.append(alive.astype(np.int64))
+        keys = np.concatenate(keys_parts) if keys_parts else np.zeros(0, np.uint64)
+        segs = np.concatenate(seg_parts) if seg_parts else np.zeros(0, np.int64)
+        docs = np.concatenate(doc_parts) if doc_parts else np.zeros(0, np.int64)
+        # tie-break: (key, segment ord, old doc) — stable sort over
+        # concatenation in (seg, doc) order achieves it
+        perm = np.argsort(keys, kind="stable")
+        mappings = [np.full(r.max_doc, -1, dtype=np.int64) for r in self.readers]
+        for new_id, p in enumerate(perm):
+            mappings[int(segs[p])][int(docs[p])] = new_id
+        return mappings, len(perm)
 
     def write(self) -> dict[str, dict[str, np.ndarray]]:
         mappings, max_doc = self._doc_mappings()
@@ -130,8 +171,19 @@ class IndexMerger:
                         if has_positions
                         else None
                     )
-                    # stacked mapping keeps each part sorted and parts disjoint
-                    # & increasing, so concatenation is already sorted.
+                    if self.sort_by_field is not None:
+                        # sorted mapping interleaves segments: re-sort by doc
+                        order = np.argsort(docs, kind="stable")
+                        if pos is not None:
+                            cum = np.zeros(len(tfs) + 1, dtype=np.int64)
+                            np.cumsum(tfs, out=cum[1:])
+                            pos = np.concatenate(
+                                [pos[cum[x] : cum[x + 1]] for x in order]
+                            ).astype(np.uint32) if len(order) else pos
+                        docs = docs[order]
+                        tfs = tfs[order]
+                    # stacked mapping keeps each part sorted and parts
+                    # disjoint & increasing => already sorted in that case
                     ser.serialize_term(docs, tfs, pos)
                     merged_terms.append(term)
                 i = j
@@ -163,16 +215,28 @@ class IndexMerger:
 
         # store ---------------------------------------------------------------
         store = StoreWriter(Compressor.ZSTD)
-        for r in self.readers:
-            sr = r.store_reader()
-            if not r.has_deletes():
-                for compressed, first, ndocs in sr.iter_raw_blocks():
-                    store.store_raw_block(compressed, first, ndocs)
-            else:
-                alive = r.alive_bitset()
-                for old_doc, doc in enumerate(sr.iter_documents()):
-                    if alive[old_doc]:
-                        store.store(doc)
+        if self.sort_by_field is not None:
+            # mapped order: old (seg, doc) for each new id
+            old_of_new: list[tuple[int, int] | None] = [None] * max_doc
+            for seg_i, m in enumerate(mappings):
+                for old_doc, new_doc in enumerate(m):
+                    if new_doc >= 0:
+                        old_of_new[int(new_doc)] = (seg_i, old_doc)
+            readers_docs = [list(r.store_reader().iter_documents()) for r in self.readers]
+            for entry_ in old_of_new:
+                seg_i, old_doc = entry_
+                store.store(readers_docs[seg_i][old_doc])
+        else:
+            for r in self.readers:
+                sr = r.store_reader()
+                if not r.has_deletes():
+                    for compressed, first, ndocs in sr.iter_raw_blocks():
+                        store.store_raw_block(compressed, first, ndocs)
+                else:
+                    alive = r.alive_bitset()
+                    for old_doc, doc in enumerate(sr.iter_documents()):
+                        if alive[old_doc]:
+                            store.store(doc)
 
         return {
             "idx": idx_arrays,

@@ -86,6 +86,18 @@ def _merge_postings(nd, ntf, npos, pd, ptf, ppos, has_positions):
     """Merge two sorted posting lists of one term (same doc may appear in
     both when a doc mixes ASCII/non-ASCII values): tf sums, positions merge
     sorted per doc."""
+    if len(pd) == 0:
+        return (
+            np.asarray(nd, dtype=np.uint32),
+            np.asarray(ntf, dtype=np.uint32),
+            np.asarray(npos, dtype=np.uint32) if has_positions else None,
+        )
+    if len(nd) == 0:
+        return (
+            np.asarray(pd, dtype=np.uint32),
+            np.asarray(ptf, dtype=np.uint32),
+            np.asarray(ppos, dtype=np.uint32) if has_positions else None,
+        )
     docs_all = np.union1d(nd, pd).astype(np.uint32)
     tfs_out = np.zeros(len(docs_all), dtype=np.uint32)
     n_idx = np.searchsorted(nd, docs_all)
@@ -121,9 +133,13 @@ def _merge_postings(nd, ntf, npos, pd, ptf, ppos, has_positions):
 
 class SegmentWriter:
     def __init__(self, schema: Schema, tokenizers: TokenizerManager | None = None,
-                 compressor: str = Compressor.ZSTD, use_native: bool = True):
+                 compressor: str = Compressor.ZSTD, use_native: bool = True,
+                 sort_by_field: tuple[str, str] | None = None):
         self.schema = schema
         self.tokenizers = tokenizers or TokenizerManager.default()
+        self.sort_by_field = sort_by_field
+        # when sorting, stored docs are buffered and written in mapped order
+        self._stored_buffer: list[Document] | None = [] if sort_by_field else None
         self._native = None
         if use_native:
             from ..native import NativeIndexerCore
@@ -168,7 +184,10 @@ class SegmentWriter:
             else:
                 raise TypeError(f"unhandled field type {ftype}")
         # every doc gets a (possibly empty) store row so doc ids stay aligned
-        self._store.store(self._stored_subdoc(doc))
+        if self._stored_buffer is not None:
+            self._stored_buffer.append(self._stored_subdoc(doc))
+        else:
+            self._store.store(self._stored_subdoc(doc))
         self._mem_hint += 200 + sum(len(str(v)) for _, v in doc.field_values())
         return doc_id
 
@@ -301,9 +320,110 @@ class SegmentWriter:
 
     # -- serialization -------------------------------------------------------
 
+    def _sort_mapping(self) -> np.ndarray | None:
+        """new_of_old[old_doc] = new_doc when index sorting is enabled
+        (reference `doc_id_mapping.rs` sorted mapping)."""
+        if self.sort_by_field is None or self.max_doc == 0:
+            return None
+        field, order = self.sort_by_field
+        from ..fastfield import to_u64
+
+        col = self._columnar._columns.get(field)
+        keys = np.full(self.max_doc, np.iinfo(np.uint64).max, dtype=np.uint64)
+        if col is not None:
+            type_name, pairs = col
+            for doc, value in pairs:
+                keys[doc] = to_u64(value, type_name)
+        if order == "desc":
+            keys = np.iinfo(np.uint64).max - keys
+        old_sorted = np.argsort(keys, kind="stable")  # stable: doc-id tiebreak
+        new_of_old = np.empty(self.max_doc, dtype=np.int64)
+        new_of_old[old_sorted] = np.arange(self.max_doc)
+        return new_of_old
+
+    def _apply_doc_mapping(self, new_of_old: np.ndarray) -> None:
+        """Remap every in-memory structure to the sorted doc order. The
+        native core (if any) is drained into the Python dicts first so the
+        remap runs over one unified store."""
+        if self._native is not None:
+            for entry in self.schema.fields():
+                exp = self._native.export_field(entry.field_id)
+                if exp is None or exp["n_terms"] == 0:
+                    continue
+                postings = self._postings[entry.field_id]
+                term_data = exp["term_data"].tobytes()
+                toff, poff = exp["term_offsets"], exp["post_offsets"]
+                tf_cum = np.zeros(len(exp["tfs"]) + 1, dtype=np.int64)
+                np.cumsum(exp["tfs"], out=tf_cum[1:])
+                for i in range(exp["n_terms"]):
+                    tb = term_data[toff[i] : toff[i + 1]]
+                    lo, hi = int(poff[i]), int(poff[i + 1])
+                    rec = postings.get(tb)
+                    if rec is None:
+                        rec = _TermPostings()
+                        postings[tb] = rec
+                    # merge native postings into python rec (docs disjoint or
+                    # overlapping -> use _merge_postings)
+                    nd = exp["docs"][lo:hi]
+                    ntf = exp["tfs"][lo:hi]
+                    npos = exp["positions"][int(tf_cum[lo]) : int(tf_cum[hi])]
+                    pd = np.asarray(rec.docs, dtype=np.uint32)
+                    ptf = np.asarray(rec.tfs, dtype=np.uint32)
+                    ppos = np.asarray(rec.positions, dtype=np.uint32)
+                    has_pos = bool(len(npos)) or bool(len(ppos))
+                    docs, tfs, pos = _merge_postings(
+                        nd, ntf, npos, pd, ptf, ppos, has_pos
+                    )
+                    rec.docs = list(docs)
+                    rec.tfs = list(tfs)
+                    rec.positions = list(pos) if pos is not None else []
+                self._token_counts[entry.field_id] += exp["total_tokens"]
+            self._native = None  # drained
+        self._apply_doc_mapping_py_only(new_of_old)
+
+    def _apply_doc_mapping_py_only(self, new_of_old):
+        for field_id, postings in self._postings.items():
+            for rec in postings.values():
+                docs = new_of_old[np.asarray(rec.docs, dtype=np.int64)]
+                tfs = np.asarray(rec.tfs, dtype=np.uint32)
+                order = np.argsort(docs, kind="stable")
+                if rec.positions:
+                    cum = np.zeros(len(tfs) + 1, dtype=np.int64)
+                    np.cumsum(tfs, out=cum[1:])
+                    pos = np.asarray(rec.positions, dtype=np.uint32)
+                    rec.positions = list(
+                        np.concatenate([pos[cum[i] : cum[i + 1]] for i in order])
+                    )
+                rec.docs = list(docs[order].astype(np.uint32))
+                rec.tfs = list(tfs[order])
+        self._remap_norms_cols_store(new_of_old)
+
+    def _remap_norms_cols_store(self, new_of_old):
+        for field_id, per_doc in self._fieldnorms.items():
+            self._fieldnorms[field_id] = {
+                int(new_of_old[d]): n for d, n in per_doc.items()
+            }
+        for field, (type_name, pairs) in self._columnar._columns.items():
+            self._columnar._columns[field] = (
+                type_name,
+                [(int(new_of_old[d]), v) for d, v in pairs],
+            )
+        if self._stored_buffer is not None:
+            order = np.argsort(new_of_old)  # old doc for each new id
+            for old in order:
+                self._store.store(self._stored_buffer[int(old)])
+            self._stored_buffer = None
+
     def serialize(self) -> dict[str, dict[str, np.ndarray]]:
         """Returns component -> arrays: {"idx", "term", "fieldnorm", "fast",
         "store"}."""
+        mapping = self._sort_mapping()
+        if mapping is not None:
+            self._apply_doc_mapping(mapping)
+        elif self._stored_buffer is not None:
+            for doc in self._stored_buffer:
+                self._store.store(doc)
+            self._stored_buffer = None
         max_doc = self.max_doc
         fieldnorm_arrays: dict[str, np.ndarray] = {}
         norm_ids_by_field: dict[int, np.ndarray] = {}

@@ -140,6 +140,91 @@ class PhraseWeight(Weight):
         )
 
 
+class RegexPhraseQuery(Query):
+    """Phrase where each slot may be a regex/wildcard matching several terms
+    (reference `phrase_query/regex_phrase_{query,weight}.rs`): per slot, the
+    union of all matching terms' postings/positions participates in the
+    phrase intersection. Scores are const 1.0 (expansion semantics)."""
+
+    def __init__(self, field: str, patterns: list[str], slop: int = 0,
+                 max_expansions: int = 1 << 14):
+        import re as _re
+
+        self.field = field
+        self.patterns = [_re.compile(_wildcard_to_regex(p)) for p in patterns]
+        if len(self.patterns) < 2:
+            raise ValueError("RegexPhraseQuery requires at least 2 terms")
+        self.slop = slop
+        self.offsets = list(range(len(self.patterns)))
+        self.max_expansions = max_expansions
+
+    def weight(self, searcher, scoring: bool = True) -> Weight:
+        return RegexPhraseWeight(self)
+
+
+def _wildcard_to_regex(pattern: str) -> str:
+    """`*`/`?` wildcards pass through as regex if they look like one;
+    plain words with `*` become `.*` etc. (reference wildcard mode)."""
+    import re as _re
+
+    # treat as raw regex if it contains regex metachars beyond * and ?
+    if any(c in pattern for c in ".[](){}|+\\^$"):
+        return pattern
+    out = []
+    for ch in pattern:
+        if ch == "*":
+            out.append(".*")
+        elif ch == "?":
+            out.append(".")
+        else:
+            out.append(_re.escape(ch))
+    return "".join(out)
+
+
+class RegexPhraseWeight(Weight):
+    def __init__(self, query: RegexPhraseQuery):
+        self.q = query
+
+    def execute(self, segment_reader) -> SegmentResult:
+        inv = segment_reader.inverted_index(self.q.field)
+        # per slot: union of matching terms' (docs, tfs, positions)
+        slot_data = []
+        for pat in self.q.patterns:
+            ords = []
+            for i, tb in inv.termdict.stream():
+                if pat.fullmatch(tb.decode("utf-8", errors="replace")):
+                    ords.append(i)
+                    if len(ords) >= self.q.max_expansions:
+                        break
+            if not ords:
+                return SegmentResult.empty()
+            per_doc: dict[int, list] = {}
+            for o in ords:
+                docs, tfs, pos = inv.positions_for_term(o)
+                cum = np.zeros(len(tfs) + 1, dtype=np.int64)
+                np.cumsum(tfs, out=cum[1:])
+                for i_d, d in enumerate(docs):
+                    per_doc.setdefault(int(d), []).append(
+                        pos[int(cum[i_d]) : int(cum[i_d + 1])]
+                    )
+            slot_data.append(
+                {d: np.sort(np.concatenate(ps)) for d, ps in per_doc.items()}
+            )
+        # intersect docs across slots
+        cand = set(slot_data[0])
+        for sd in slot_data[1:]:
+            cand &= set(sd)
+        out_docs = []
+        for d in sorted(cand):
+            pos_lists = [sd[d] for sd in slot_data]
+            if _phrase_count_for_doc(pos_lists, self.q.offsets, self.q.slop) > 0:
+                out_docs.append(d)
+        return SegmentResult(
+            np.asarray(out_docs, dtype=np.uint32),
+            np.ones(len(out_docs), dtype=np.float32),
+        )
+
+
 class PhrasePrefixQuery(Query):
     """Phrase whose last term is a prefix, expanded against the term dict
     (reference `phrase_prefix_query/`, expansion cap

@@ -82,9 +82,18 @@ class Searcher:
         """Reference `core/searcher.rs:220` search_with_executor."""
         scoring = collector.requires_scoring()
         weight = query.weight(self, scoring=scoring)
-        fruits = []
-        for ord_, reader in enumerate(self._segment_readers):
-            fruits.append(collector.collect_segment(weight, ord_, reader))
+        if executor is None:
+            executor = getattr(self.index, "search_executor", None)
+        if executor is not None:
+            fruits = executor.map(
+                lambda pair: collector.collect_segment(weight, pair[0], pair[1]),
+                list(enumerate(self._segment_readers)),
+            )
+        else:
+            fruits = [
+                collector.collect_segment(weight, ord_, reader)
+                for ord_, reader in enumerate(self._segment_readers)
+            ]
         return collector.merge_fruits(fruits)
 
     def doc_store_cache_stats(self):
