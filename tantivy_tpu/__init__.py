@@ -22,7 +22,7 @@ from .schema import (  # noqa: F401
     Term,
     TextOptions,
 )
-from .index import Index, IndexReader, ReloadPolicy, Warmer  # noqa: F401
+from .index import Index, IndexReader, IndexSettings, ReloadPolicy, Warmer  # noqa: F401
 from .indexer import IndexWriter, PreparedCommit  # noqa: F401
 from .indexer.merge_policy import LogMergePolicy, MergePolicy, NoMergePolicy  # noqa: F401
 from .searcher import DocAddress, Searcher  # noqa: F401
@@ -55,6 +55,13 @@ from .query import (  # noqa: F401
     TermSetQuery,
 )
 from .postings.format import TERMINATED  # noqa: F401
+from .query.phrase_query import RegexPhraseQuery  # noqa: F401
+from .query.parser import QueryParser, QueryParserError  # noqa: F401
+from .aggregation import AggregationCollector, AggregationLimits  # noqa: F401
+from .collector.facet_collector import Facet, FacetCollector  # noqa: F401
+from .snippet import Snippet, SnippetGenerator  # noqa: F401
+from .executor import Executor  # noqa: F401
+from .parallel import BatchExecutor  # noqa: F401
 
 __version__ = "0.1.0"
 

@@ -59,29 +59,62 @@ class SegmentReader:
     def __init__(self, meta: SegmentMeta, directory: Directory, schema: Schema):
         self.meta = meta
         self.schema = schema
+        self.directory = directory
         self.segment_id = meta.segment_id
         self.max_doc = meta.max_doc
-
-        self._idx = arrayio.load_arrays(directory.open_read(meta.relative_path("idx")))
-        self._term = arrayio.load_arrays(directory.open_read(meta.relative_path("term")))
-        self._fieldnorm = arrayio.load_arrays(
-            directory.open_read(meta.relative_path("fieldnorm"))
-        )
-        self._fast = FastFieldReaders(
-            arrayio.load_arrays(directory.open_read(meta.relative_path("fast")))
-        )
-        self._store = StoreReader(
-            arrayio.load_arrays(directory.open_read(meta.relative_path("store")))
-        )
-        if meta.has_deletes():
-            del_arrays = arrayio.load_arrays(
-                directory.open_read(meta.relative_path("del"))
-            )
-            self._alive = del_arrays["alive"].astype(bool)
-        else:
-            self._alive = None
+        # components load lazily (reference startup is mmap + <10ms open)
+        self._idx_cache = None
+        self._term_cache = None
+        self._fieldnorm_cache = None
+        self._fast_cache = None
+        self._store_cache = None
+        self._alive_cache = None
+        self._alive_loaded = False
         self._inverted: dict[int, InvertedIndexReader] = {}
         self._device = None
+
+    def _load(self, component: str) -> dict[str, np.ndarray]:
+        return arrayio.load_arrays(
+            self.directory.open_read(self.meta.relative_path(component))
+        )
+
+    @property
+    def _idx(self):
+        if self._idx_cache is None:
+            self._idx_cache = self._load("idx")
+        return self._idx_cache
+
+    @property
+    def _term(self):
+        if self._term_cache is None:
+            self._term_cache = self._load("term")
+        return self._term_cache
+
+    @property
+    def _fieldnorm(self):
+        if self._fieldnorm_cache is None:
+            self._fieldnorm_cache = self._load("fieldnorm")
+        return self._fieldnorm_cache
+
+    @property
+    def _fast(self):
+        if self._fast_cache is None:
+            self._fast_cache = FastFieldReaders(self._load("fast"))
+        return self._fast_cache
+
+    @property
+    def _store(self):
+        if self._store_cache is None:
+            self._store_cache = StoreReader(self._load("store"))
+        return self._store_cache
+
+    @property
+    def _alive(self):
+        if not self._alive_loaded:
+            self._alive_loaded = True
+            if self.meta.has_deletes():
+                self._alive_cache = self._load("del")["alive"].astype(bool)
+        return self._alive_cache
 
     # -- doc liveness --------------------------------------------------------
 
