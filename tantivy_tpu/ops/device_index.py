@@ -44,6 +44,11 @@ class DeviceFieldPostings:
         self.term_doc_freq = arrays["term_doc_freq"]
         self.has_freqs = bool(arrays["has_freqs"][0])
         self.num_blocks = len(self.blk_len)
+        # phrase support (lazy device mirrors; see ensure_positions)
+        self.term_pos_start = arrays["term_pos_start"]
+        self._positions_np = arrays["positions"]
+        self.positions = None
+        self.pos_cum = None
 
         self.norm_ids = jnp.asarray(norm_ids, dtype=jnp.uint8)
 
@@ -97,6 +102,22 @@ class DeviceFieldPostings:
                     tdec = decode_tf_rows(twords, int(w))
                     tfs = tfs.at[jnp.asarray(tsel)].set(tdec)
         return docs, tfs
+
+    def ensure_positions(self):
+        """Upload the flat positions array and build the exclusive cumsum of
+        real tfs over the flattened block store (pad lanes contribute 0) —
+        the probe kernels turn a hit index into a position-slice base with
+        `term_pos_start[t] + pos_cum[hit] - pos_cum[region_start]`."""
+        if self.positions is None:
+            assert self.mode == "dense", "phrase device path needs dense mode"
+            assert len(self._positions_np) < 2**31
+            self.positions = jnp.asarray(self._positions_np, dtype=jnp.uint32)
+            real = jnp.where(
+                self.docs != jnp.uint32(TERMINATED), self.tfs, jnp.uint32(0)
+            ).reshape(-1)
+            incl = jnp.cumsum(real, dtype=jnp.uint32)
+            self.pos_cum = incl - real
+        return self.positions, self.pos_cum
 
     # -- query-time block fetch ----------------------------------------------
 

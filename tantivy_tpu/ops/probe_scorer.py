@@ -1,0 +1,278 @@
+"""Probe-based batched boolean(term) device scorer.
+
+The previous boolean kernel shipped *every block of every clause* and
+group-reduced lanes with a giant multi-key sort. This kernel inverts the
+design around one observation: in the dense device layout a term's postings
+are a contiguous, sorted region of the flattened `[n_blocks*128]` doc array
+(TERMINATED padding sorts last), so the tf of ANY (term, doc) pair is one
+vectorized binary search away.
+
+So a boolean query ships only *candidate-enumerating* blocks:
+
+* >=1 MUST clause: only the rarest MUST clause ("leader") ships — every
+  match must appear there (reference block-wand intersection's leader,
+  `block_wand_intersection.rs:19-150`).
+* pure SHOULD: every positive clause ships (reference union).
+
+and each candidate lane computes its FULL score by probing all other clauses
+(presence + tf) straight out of HBM. Consequences:
+
+* scores are complete per lane → per-block top-k prefilter applies → no
+  giant sort;
+* MUST/MUST_NOT/minimum_should_match checks come from probe presence counts,
+  so MUST_NOT and unshipped SHOULD clauses cost probes, not blocks;
+* pruning any shipped block is safe whenever its score upper bound is below
+  the running threshold: a doc whose primary block is pruned has true score
+  <= that block's UB (see `parallel/__init__.py` planning), exactly the
+  block-max argument of reference `block_wand_union.rs:148-216`;
+* each doc is reported at most once: a lane is "primary" iff its clause is
+  the doc's lowest *shipped* clause, and the phase-1/phase-2 shipped block
+  sets are disjoint.
+
+f32 summation is in clause order (t = 0..T-1), bit-matching the host
+engine's clause-order summation (`query/__init__.py` BooleanWeight).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..postings.format import TERMINATED
+from .flat_scorer import _sortable_desc
+
+NEG_INF = np.float32(-np.inf)
+
+#: max clauses per boolean query on the device path
+T_MAX = 8
+
+
+def binsearch_flat(flat, target, lo0, hi0, iters: int):
+    """Vectorized lower-bound binary search of `target` [L] in the sorted
+    slices flat[lo0[i]:hi0[i]]. Returns the insertion index [L]. Uses a
+    fori_loop so the compiled graph stays small regardless of depth."""
+    nflat = flat.shape[0]
+
+    def body(_, lh):
+        lo, hi = lh
+        mid = lo + ((hi - lo) >> 1)
+        v = flat[jnp.minimum(mid, nflat - 1)]
+        go = v < target
+        return jnp.where(go, mid + 1, lo), jnp.where(go, hi, mid)
+
+    lo, _ = jax.lax.fori_loop(0, iters, body, (lo0, hi0))
+    return lo
+
+KIND_MUST = 0
+KIND_SHOULD = 1
+KIND_MUST_NOT = 2
+KIND_ABSENT = 3
+
+
+def per_query_topk_from_rows(row_sc, row_doc, qid, k: int, num_queries: int):
+    """[W, kk] per-row top-k candidates -> per-query (scores [Q,k], docs
+    [Q,k]) via one 3-key sort ((qid asc, score desc, doc asc)) — matches
+    TopNComputer's tie-break (reference `top_score_collector.rs:503-507`)."""
+    w, kk = row_sc.shape
+    flat_scores = row_sc.reshape(-1)
+    flat_docs = row_doc.reshape(-1)
+    flat_qid = jnp.repeat(qid, kk)
+    flat_qid = jnp.where(flat_scores == NEG_INF, jnp.int32(num_queries), flat_qid)
+    skey = _sortable_desc(flat_scores)
+    sq, _, sdoc, ssc = jax.lax.sort(
+        (flat_qid, skey, flat_docs, flat_scores), num_keys=3, is_stable=False
+    )
+    firsts = jnp.searchsorted(sq, jnp.arange(num_queries, dtype=jnp.int32))
+    nexts = jnp.searchsorted(sq, jnp.arange(1, num_queries + 1, dtype=jnp.int32))
+    n = w * kk
+    idx = firsts[:, None] + jnp.arange(k, dtype=jnp.int32)[None, :]
+    ok = idx < nexts[:, None]
+    idx = jnp.minimum(idx, n - 1)
+    out_sc = jnp.where(ok, ssc[idx], NEG_INF)
+    out_doc = jnp.where(ok, sdoc[idx], jnp.uint32(0))
+    return out_sc, out_doc
+
+
+@functools.partial(
+    jax.jit, static_argnames=("k", "num_queries", "n_clauses", "n_iters")
+)
+def probe_bool_topk(
+    docs,        # [W, 128] u32 — shipped candidate blocks, TERMINATED-padded
+    tfs,         # [W, 128] u32
+    qid,         # [W] i32 (num_queries = padding row)
+    lane_clause, # [W] i32 — clause index the block belongs to
+    valid,       # [W] bool
+    store_docs,  # [NB, 128] u32 — the field's full dense block store
+    store_tfs,   # [NB, 128] u32
+    norm_ids,    # [max_doc] u8
+    alive,       # [max_doc] bool
+    cache,       # [256] f32 — the field's BM25 tf-denominator cache
+    cl_weight,   # [Qp, T] f32 (0 for MUST_NOT / absent)
+    cl_kind,     # [Qp, T] i32 (KIND_*)
+    cl_start,    # [Qp, T] i32 — flat region start = term_block_start * 128
+    cl_len,      # [Qp, T] i32 — flat region length = term_num_blocks * 128
+    cl_shipped,  # [Qp, T] bool — clause enumerates candidates for this query
+    req_must,    # [Qp] i32
+    req_should,  # [Qp] i32
+    k: int,
+    num_queries: int,
+    n_clauses: int,
+    n_iters: int,
+):
+    """Returns (scores [Q, k] f32, docs [Q, k] u32)."""
+    w, lanes = docs.shape
+    max_doc = norm_ids.shape[0]
+    flat_store_docs = store_docs.reshape(-1)
+    flat_store_tfs = store_tfs.reshape(-1)
+    nflat = flat_store_docs.shape[0]
+
+    fq = jnp.repeat(qid, lanes)                                   # [L]
+    fdoc = docs.reshape(-1)
+    ftf = tfs.reshape(-1)
+    fcl = jnp.repeat(lane_clause, lanes)
+    safe = jnp.minimum(fdoc, jnp.uint32(max(max_doc - 1, 0)))
+    lane_ok = (
+        (fdoc != jnp.uint32(TERMINATED))
+        & jnp.repeat(valid, lanes)
+        & alive[safe]
+        & (fq < jnp.int32(num_queries))
+    )
+    norm = cache[norm_ids[safe].astype(jnp.int32)]                # [L]
+
+    score = jnp.zeros_like(norm)
+    cnt_must = jnp.zeros(fq.shape, dtype=jnp.int32)
+    cnt_should = jnp.zeros(fq.shape, dtype=jnp.int32)
+    has_not = jnp.zeros(fq.shape, dtype=jnp.bool_)
+    primary = jnp.full(fq.shape, T_MAX + 1, dtype=jnp.int32)
+
+    for t in range(n_clauses):
+        s = cl_start[fq, t]
+        n = cl_len[fq, t]
+        own = fcl == t
+        # vectorized binary search for fdoc in flat_store_docs[s : s+n]
+        lo = binsearch_flat(flat_store_docs, fdoc, s, s + n, n_iters)
+        pos = jnp.minimum(lo, nflat - 1)
+        found = (lo < s + n) & (flat_store_docs[pos] == fdoc)
+        # own lane: presence and tf are already in hand (skips a fetch and
+        # keeps exactness independent of the search when n_iters is tight)
+        presence = jnp.where(own, True, found)
+        tf_t = jnp.where(own, ftf, flat_store_tfs[pos]).astype(jnp.float32)
+        kind_t = cl_kind[fq, t]
+        contrib = cl_weight[fq, t] * (tf_t / (tf_t + norm))
+        positive = presence & (
+            (kind_t == KIND_MUST) | (kind_t == KIND_SHOULD)
+        )
+        score = score + jnp.where(positive, contrib, jnp.float32(0.0))
+        cnt_must = cnt_must + (presence & (kind_t == KIND_MUST)).astype(jnp.int32)
+        cnt_should = cnt_should + (
+            presence & (kind_t == KIND_SHOULD)
+        ).astype(jnp.int32)
+        has_not = has_not | (presence & (kind_t == KIND_MUST_NOT))
+        is_prim_cand = presence & cl_shipped[fq, t] & (primary > T_MAX)
+        primary = jnp.where(is_prim_cand, jnp.int32(t), primary)
+
+    ok = (
+        lane_ok
+        & (fcl == primary)
+        & (cnt_must >= req_must[fq])
+        & (cnt_should >= req_should[fq])
+        & ~has_not
+    )
+    lane_scores = jnp.where(ok, score, NEG_INF).reshape(w, lanes)
+
+    kk = min(k, lanes)
+    row_sc, row_idx = jax.lax.top_k(lane_scores, kk)
+    row_doc = jnp.take_along_axis(docs, row_idx, axis=1)
+    return per_query_topk_from_rows(row_sc, row_doc, qid, k, num_queries)
+
+
+#: work-list ladder (bounded compile count; chunking anywhere is safe since
+#: every lane carries its doc's full score)
+_W_LADDER = (256, 1024, 4096)
+#: clause-count buckets
+_T_LADDER = (2, 4, T_MAX)
+#: binary-search depth buckets (covers region length <= 2^(n_iters-1) entries)
+_ITER_LADDER = (13, 26)
+
+
+def _w_bucket(n: int) -> int:
+    for w in _W_LADDER:
+        if n <= w:
+            return w
+    return _W_LADDER[-1]
+
+
+def t_bucket(n: int) -> int:
+    for t in _T_LADDER:
+        if n <= t:
+            return t
+    raise ValueError(f"too many clauses for device path: {n}")
+
+
+def _iter_bucket(max_region_len: int) -> int:
+    for it in _ITER_LADDER:
+        if max_region_len <= (1 << (it - 1)):
+            return it
+    raise AssertionError(f"posting region too long: {max_region_len}")
+
+
+def dispatch_probe(
+    dfp,
+    alive,
+    cache,
+    work_blocks: np.ndarray,   # [N] block ids
+    work_qid: np.ndarray,      # [N]
+    work_clause: np.ndarray,   # [N]
+    tables: dict,              # cl_* [Qp, T] + req_must/req_should [Qp]
+    k: int,
+    num_queries: int,
+) -> list:
+    """Chunk + pad the work list and launch probe kernels (async). Returns a
+    list of (scores, docs) device-array pairs."""
+    if dfp.docs is None:
+        raise RuntimeError("probe scorer requires dense-mode DeviceSegment")
+    assert dfp.num_blocks * 128 < 2**31, "flat region offsets must fit in i32"
+    T = tables["cl_weight"].shape[1]
+    n_iters = _iter_bucket(int(tables["cl_len"].max(initial=1)))
+    if alive is None:
+        alive = jnp.ones(dfp.norm_ids.shape[0], dtype=bool)
+    targs = (
+        jnp.asarray(tables["cl_weight"]),
+        jnp.asarray(tables["cl_kind"]),
+        jnp.asarray(tables["cl_start"]),
+        jnp.asarray(tables["cl_len"]),
+        jnp.asarray(tables["cl_shipped"]),
+        jnp.asarray(tables["req_must"]),
+        jnp.asarray(tables["req_should"]),
+    )
+    cache_dev = jnp.asarray(cache)
+    outs = []
+    top = _W_LADDER[-1]
+    n_items = len(work_blocks)
+    for lo in range(0, max(n_items, 1), top):
+        chunk_b = work_blocks[lo : lo + top]
+        chunk_q = work_qid[lo : lo + top]
+        chunk_c = work_clause[lo : lo + top]
+        W = _w_bucket(max(len(chunk_b), 1))
+        b_pad = np.zeros(W, dtype=np.int64)
+        q_pad = np.full(W, num_queries, dtype=np.int32)
+        c_pad = np.zeros(W, dtype=np.int32)
+        v_pad = np.zeros(W, dtype=bool)
+        b_pad[: len(chunk_b)] = chunk_b
+        q_pad[: len(chunk_q)] = chunk_q
+        c_pad[: len(chunk_c)] = chunk_c
+        v_pad[: len(chunk_b)] = True
+        docs, tfs = dfp.gather_blocks(b_pad)
+        outs.append(
+            probe_bool_topk(
+                docs, tfs, jnp.asarray(q_pad), jnp.asarray(c_pad),
+                jnp.asarray(v_pad),
+                dfp.docs, dfp.tfs, dfp.norm_ids, alive, cache_dev,
+                *targs,
+                k=k, num_queries=num_queries, n_clauses=T, n_iters=n_iters,
+            )
+        )
+    return outs

@@ -195,8 +195,8 @@ class BatchExecutor:
     # boolean batches
 
     def _bool_device_eligible(self, q) -> bool:
-        from ..ops.bool_scorer import T_MAX
-        from ..query import BooleanQuery, Occur, TermQuery
+        from ..ops.probe_scorer import T_MAX
+        from ..query import BooleanQuery, TermQuery
 
         if not isinstance(q, BooleanQuery):
             return False
@@ -209,32 +209,50 @@ class BatchExecutor:
             fields.add(sub.term.field)
         return len(fields) == 1
 
+    def _field_wand(self, seg_ord: int, field: str):
+        from .wand import FieldWand
+
+        key = (seg_ord, field)
+        cache = getattr(self, "_field_wand_cache", None)
+        if cache is None:
+            cache = self._field_wand_cache = {}
+        fw = cache.get(key)
+        if fw is None:
+            fs = self._field_stats.get(field)
+            if fs is None:
+                fs = self.searcher.field_statistics(field)
+                self._field_stats[field] = fs
+            dfp = self._device_segments[seg_ord].field_postings(field)
+            fw = FieldWand(dfp, fs.average_fieldnorm)
+            cache[key] = fw
+        return fw
+
     def search_boolean_batch(self, queries: list, k: int):
         """Batched boolean(term-clause) queries, single field each, on
-        device. Returns list[list[(score, DocAddress)]]."""
-        from ..ops.bool_scorer import (
-            KIND_MUST,
-            KIND_MUST_NOT,
-            KIND_SHOULD,
-            flat_bool_topk,
-        )
-        from ..ops.flat_scorer import _W_LADDER
-        from ..query import Occur
+        device via the probe kernel with two-phase Block-WAND pruning.
 
-        import jax.numpy as jnp
+        Phase 1 ships each query's best-UB candidate blocks to establish a
+        per-query threshold; phase 2 ships only remaining blocks whose upper
+        bound beats it (see `parallel/wand.py` for the bound). Every shipped
+        lane carries its doc's FULL score (probes), so chunking and pruning
+        never split correctness across launches and no host fallback is
+        needed. Returns list[list[(score, DocAddress)]].
+        """
+        from ..ops import probe_scorer as ps
+        from ..query import Occur
 
         Q = len(queries)
         if Q == 0:
             return []
         kind_of = {
-            Occur.MUST: KIND_MUST,
-            Occur.SHOULD: KIND_SHOULD,
-            Occur.MUST_NOT: KIND_MUST_NOT,
+            Occur.MUST: ps.KIND_MUST,
+            Occur.SHOULD: ps.KIND_SHOULD,
+            Occur.MUST_NOT: ps.KIND_MUST_NOT,
         }
         req_must = np.zeros(Q + 1, dtype=np.int32)
         req_should = np.zeros(Q + 1, dtype=np.int32)
         req_must[Q] = 1 << 30
-        clause_info = []  # per query: list[(kind, term, weight)]
+        qclauses = []  # per query: list[(kind, term, weight)]
         field_of_q: list[str] = []
         for qi, q in enumerate(queries):
             n_must = sum(1 for occ, _ in q.clauses if occ == Occur.MUST)
@@ -244,132 +262,202 @@ class BatchExecutor:
             if n_must == 0:
                 ms = max(ms, 1)
             req_should[qi] = min(ms, n_should) if n_should else 0
+            if n_should and q.minimum_number_should_match > n_should:
+                req_should[qi] = 1 << 30  # unsatisfiable
             info = []
             for occ, sub in q.clauses:
                 if occ == Occur.MUST_NOT:
                     w = np.float32(0.0)
                 else:
                     w, _ = self._term_weight(sub.term)
-                info.append((kind_of[occ], sub.term, w))
-            clause_info.append(info)
+                info.append((kind_of[occ], sub.term, np.float32(w)))
+            qclauses.append(info)
             field_of_q.append(q.clauses[0][1].term.field)
-            if n_should and q.minimum_number_should_match > n_should:
-                req_should[qi] = 1 << 30  # unsatisfiable
 
         readers = self.searcher.segment_readers()
-        top = _W_LADDER[-1]
-        per_query: list[list[tuple[np.float32, DocAddress]]] = [[] for _ in range(Q)]
-        pending = []
-        host_fallback: set[int] = set()
+        M1 = 4  # phase-1 candidate blocks per query per segment
+        margin = np.float32(1.0 - 4e-6)
+
+        # ---- per-segment planning + phase-1 dispatch --------------------
+        per_query: list[list[tuple[np.float32, DocAddress]]] = [
+            [] for _ in range(Q)
+        ]
+        pending1 = []
+        seg_groups = []  # per segment: {(field, Tb): group dict}
         for seg_ord, reader in enumerate(readers):
-            # per field work lists (clause-major per query for stable order)
-            per_field: dict[str, dict] = {}
-            for qi, info in enumerate(clause_info):
-                if qi in host_fallback:
-                    continue
+            dseg = self._device_segments[seg_ord]
+            groups: dict[tuple[str, int], dict] = {}
+            for qi, info in enumerate(qclauses):
                 field = field_of_q[qi]
-                wl = per_field.setdefault(
-                    field,
-                    {"blocks": [], "qid": [], "weight": [], "kind": [],
-                     "clause": []},
-                )
-                dfp = self._device_segments[seg_ord].field_postings(field)
-                q_blocks = []
-                for ci, (kd, term, w) in enumerate(info):
-                    o = self._term_ord(seg_ord, reader, field, term.value_bytes)
+                dfp = dseg.field_postings(field)
+                fw = self._field_wand(seg_ord, field)
+                T = len(info)
+                ords = [
+                    self._term_ord(seg_ord, reader, field, t.value_bytes)
+                    for _, t, _ in info
+                ]
+                # a missing MUST term ⇒ no hits in this segment
+                if any(
+                    kd == ps.KIND_MUST and o < 0
+                    for (kd, _, _), o in zip(info, ords)
+                ):
+                    continue
+                positive = [
+                    ci
+                    for ci, ((kd, _, _), o) in enumerate(zip(info, ords))
+                    if kd in (ps.KIND_MUST, ps.KIND_SHOULD) and o >= 0
+                ]
+                if not positive:
+                    continue
+                musts = [
+                    ci for ci in positive if info[ci][0] == ps.KIND_MUST
+                ]
+                nblk = {
+                    ci: int(dfp.term_num_blocks[ords[ci]]) for ci in positive
+                }
+                start = {
+                    ci: int(dfp.term_block_start[ords[ci]]) for ci in positive
+                }
+                if musts:
+                    leader = min(musts, key=lambda ci: nblk[ci])
+                    shipped = [leader]
+                else:
+                    shipped = positive
+
+                Tb = ps.t_bucket(T)
+                g = groups.get((field, Tb))
+                if g is None:
+                    g = groups[(field, Tb)] = {
+                        "tables": {
+                            "cl_weight": np.zeros((Q + 1, Tb), np.float32),
+                            "cl_kind": np.full((Q + 1, Tb), ps.KIND_ABSENT,
+                                               np.int32),
+                            "cl_start": np.zeros((Q + 1, Tb), np.int32),
+                            "cl_len": np.zeros((Q + 1, Tb), np.int32),
+                            "cl_shipped": np.zeros((Q + 1, Tb), bool),
+                            "req_must": req_must,
+                            "req_should": req_should,
+                        },
+                        "p1": [],    # (qi, clause, block_ids)
+                        "rest": [],  # (qi, clause, block_ids, ub)
+                    }
+                tb = g["tables"]
+                for ci, ((kd, term, w), o) in enumerate(zip(info, ords)):
                     if o < 0:
                         continue
-                    s0 = int(dfp.term_block_start[o])
-                    n = int(dfp.term_num_blocks[o])
-                    ids = np.arange(s0, s0 + n)
-                    q_blocks.append((ids, kd, w, ci))
-                total = sum(len(b) for b, _, _, _ in q_blocks)
-                if total > top:
-                    host_fallback.add(qi)
-                    continue
-                for ids, kd, w, ci in q_blocks:
-                    wl["blocks"].append(ids)
-                    wl["qid"].append(np.full(len(ids), qi, dtype=np.int32))
-                    wl["weight"].append(np.full(len(ids), w, dtype=np.float32))
-                    wl["kind"].append(np.full(len(ids), kd, dtype=np.int32))
-                    wl["clause"].append(np.full(len(ids), ci, dtype=np.int32))
+                    tb["cl_weight"][qi, ci] = 0.0 if kd == ps.KIND_MUST_NOT else w
+                    tb["cl_kind"][qi, ci] = kd
+                    tb["cl_start"][qi, ci] = int(dfp.term_block_start[o]) * 128
+                    tb["cl_len"][qi, ci] = int(dfp.term_num_blocks[o]) * 128
+                    tb["cl_shipped"][qi, ci] = ci in shipped
 
-            for field, wl in per_field.items():
-                if not wl["blocks"]:
-                    continue
-                blocks = np.concatenate(wl["blocks"])
-                qids = np.concatenate(wl["qid"])
-                ws = np.concatenate(wl["weight"])
-                kinds = np.concatenate(wl["kind"])
-                clauses = np.concatenate(wl["clause"])
-                # chunk on query boundaries
-                dseg = self._device_segments[seg_ord]
-                dfp = dseg.field_postings(field)
-                fs = self._field_stats.get(field)
-                if fs is None:
-                    fs = self.searcher.field_statistics(field)
-                    self._field_stats[field] = fs
-                from ..query.bm25 import compute_tf_cache
-
-                cache = compute_tf_cache(np.float32(fs.average_fieldnorm))
-                alive = dseg.alive
-                if alive is None:
-                    alive = jnp.ones(dfp.norm_ids.shape[0], dtype=bool)
-                lo = 0
-                n_items = len(blocks)
-                while lo < n_items:
-                    hi = min(lo + top, n_items)
-                    # never split a query across chunks
-                    if hi < n_items:
-                        while hi > lo and qids[hi] == qids[hi - 1]:
-                            hi -= 1
-                        if hi == lo:
-                            hi = min(lo + top, n_items)  # degenerate; safe: fits
-                    from ..ops.flat_scorer import _w_bucket
-
-                    W = _w_bucket(hi - lo)
-                    b_pad = np.zeros(W, dtype=np.int64)
-                    q_pad = np.full(W, Q, dtype=np.int32)
-                    w_pad = np.zeros(W, dtype=np.float32)
-                    k_pad = np.zeros(W, dtype=np.int32)
-                    c_pad = np.zeros(W, dtype=np.int32)
-                    v_pad = np.zeros(W, dtype=bool)
-                    b_pad[: hi - lo] = blocks[lo:hi]
-                    q_pad[: hi - lo] = qids[lo:hi]
-                    w_pad[: hi - lo] = ws[lo:hi]
-                    k_pad[: hi - lo] = kinds[lo:hi]
-                    c_pad[: hi - lo] = clauses[lo:hi]
-                    v_pad[: hi - lo] = True
-                    docs, tfs = dfp.gather_blocks(b_pad)
-                    out = flat_bool_topk(
-                        docs, tfs, jnp.asarray(q_pad), jnp.asarray(w_pad),
-                        jnp.asarray(k_pad), jnp.asarray(c_pad),
-                        jnp.asarray(v_pad),
-                        dfp.norm_ids, alive, jnp.asarray(cache),
-                        jnp.asarray(req_must), jnp.asarray(req_should),
-                        k, Q,
+                # candidate blocks + upper bounds per shipped clause
+                cand = []  # (clause, ids, ub)
+                for ci in shipped:
+                    others = [
+                        (info[c2][0] == ps.KIND_MUST, info[c2][2],
+                         start[c2], nblk[c2])
+                        for c2 in positive
+                        if c2 != ci
+                    ]
+                    ids, ub = fw.clause_blocks_ub(
+                        start[ci], nblk[ci], info[ci][2], others,
+                        ps.KIND_MUST,
                     )
-                    pending.append((seg_ord, out))
-                    lo = hi
+                    if len(ids):
+                        cand.append((ci, ids, ub))
+                if not cand:
+                    continue
+                # phase-1 = the query's top-M1 blocks by UB across clauses
+                all_ub = np.concatenate([ub for _, _, ub in cand])
+                if len(all_ub) <= M1:
+                    cut = NEG_INF
+                else:
+                    cut = np.partition(all_ub, len(all_ub) - M1)[len(all_ub) - M1]
+                taken = 0
+                for ci, ids, ub in cand:
+                    pick = ub >= cut
+                    # cap exact ties so phase 1 stays small
+                    extra = int(pick.sum()) - (M1 - taken)
+                    if extra > 0:
+                        sel = np.nonzero(pick)[0]
+                        pick[sel[len(sel) - extra:]] = False
+                    taken += int(pick.sum())
+                    if pick.any():
+                        g["p1"].append((qi, ci, ids[pick]))
+                    if (~pick).any():
+                        g["rest"].append((qi, ci, ids[~pick], ub[~pick]))
 
-        self._collect_flat(pending, per_query, k)
+            for (field, Tb), g in groups.items():
+                if not g["p1"]:
+                    continue
+                blocks = np.concatenate([ids for _, _, ids in g["p1"]])
+                qids = np.concatenate(
+                    [np.full(len(ids), qi, np.int32) for qi, _, ids in g["p1"]]
+                )
+                cls = np.concatenate(
+                    [np.full(len(ids), ci, np.int32) for _, ci, ids in g["p1"]]
+                )
+                dfp = dseg.field_postings(field)
+                fw = self._field_wand(seg_ord, field)
+                for out in ps.dispatch_probe(
+                    dfp, dseg.alive, fw.cache, blocks, qids, cls,
+                    g["tables"], k, Q,
+                ):
+                    pending1.append((seg_ord, out))
+            seg_groups.append(groups)
+
+        # ---- thresholds from phase 1 -------------------------------------
+        self._collect_flat(pending1, per_query, k)
+        thresholds = np.full(Q, NEG_INF, dtype=np.float32)
+        for qi in range(Q):
+            hits = per_query[qi]
+            hits.sort(key=lambda x: (-float(x[0]), x[1]))
+            del hits[k:]
+            if len(hits) == k:
+                thresholds[qi] = hits[-1][0]
+
+        # ---- phase 2: surviving blocks only ------------------------------
+        pending2 = []
+        for seg_ord, groups in enumerate(seg_groups):
+            dseg = self._device_segments[seg_ord]
+            for (field, Tb), g in groups.items():
+                if not g["rest"]:
+                    continue
+                blks, qids, cls = [], [], []
+                for qi, ci, ids, ub in g["rest"]:
+                    th = thresholds[qi]
+                    if th == NEG_INF:
+                        keep = np.ones(len(ids), dtype=bool)
+                    else:
+                        keep = ub >= th * margin
+                    if not keep.any():
+                        continue
+                    blks.append(ids[keep])
+                    qids.append(np.full(int(keep.sum()), qi, np.int32))
+                    cls.append(np.full(int(keep.sum()), ci, np.int32))
+                if not blks:
+                    continue
+                dfp = dseg.field_postings(field)
+                fw = self._field_wand(seg_ord, field)
+                for out in ps.dispatch_probe(
+                    dfp, dseg.alive, fw.cache,
+                    np.concatenate(blks), np.concatenate(qids),
+                    np.concatenate(cls), g["tables"], k, Q,
+                ):
+                    pending2.append((seg_ord, out))
+        self._collect_flat(pending2, per_query, k)
+
         out = []
         for qi in range(Q):
-            if qi in host_fallback:
-                from ..collector import TopDocs
-
-                out.append(
-                    self.searcher.search(queries[qi], TopDocs(k))
-                )
-                continue
             hits = per_query[qi]
             hits.sort(key=lambda x: (-float(x[0]), x[1]))
             out.append(hits[:k])
         return out
 
     def search_batch(self, queries: list, k: int):
-        """Generic batched search: routes term and boolean(term) queries to
-        the device kernels, everything else to the host engine."""
+        """Generic batched search: routes term, boolean(term) and phrase
+        queries to the device kernels, everything else to the host engine."""
         from ..collector import TopDocs
         from ..query import TermQuery
 
@@ -380,7 +468,17 @@ class BatchExecutor:
             for i, q in enumerate(queries)
             if self._bool_device_eligible(q)
         ]
-        other = set(range(len(queries))) - set(term_ids) - set(bool_ids)
+        phrase_ids = [
+            i
+            for i, q in enumerate(queries)
+            if self._phrase_device_eligible(q)
+        ]
+        other = (
+            set(range(len(queries)))
+            - set(term_ids)
+            - set(bool_ids)
+            - set(phrase_ids)
+        )
         if term_ids:
             sub = self.search_term_batch([queries[i].term for i in term_ids], k)
             for i, r in zip(term_ids, sub):
@@ -389,9 +487,220 @@ class BatchExecutor:
             sub = self.search_boolean_batch([queries[i] for i in bool_ids], k)
             for i, r in zip(bool_ids, sub):
                 results[i] = r
+        if phrase_ids:
+            sub = self.search_phrase_batch([queries[i] for i in phrase_ids], k)
+            for i, r in zip(phrase_ids, sub):
+                results[i] = r
         for i in sorted(other):
             results[i] = self.searcher.search(queries[i], TopDocs(k))
         return results
+
+    # ------------------------------------------------------------------
+    # phrase batches
+
+    def _phrase_device_eligible(self, q) -> bool:
+        from ..ops.phrase_scorer import T_MAX
+        from ..query.phrase_query import PhraseQuery
+        from ..schema import IndexRecordOption
+
+        if type(q) is not PhraseQuery:
+            return False
+        if q.slop != 0 or not (2 <= len(q.term_bytes) <= T_MAX):
+            return False
+        entry = self.searcher.schema.get_field(q.field)
+        return (
+            entry.index_record_option()
+            == IndexRecordOption.WITH_FREQS_AND_POSITIONS
+        )
+
+    def _host_segment_topk(self, query, seg_ord: int, reader, k: int):
+        """Exact host evaluation of one query over one segment, as
+        (score, DocAddress) top-k — the per-segment fallback for device-path
+        corner cases (e.g. pathological in-doc tf)."""
+        weight = query.weight(self.searcher, True)
+        res = weight.execute(reader)
+        alive = reader.alive_bitset()
+        docs, scores = res.docs, res.scores
+        if alive is not None and len(docs):
+            keep = alive[docs]
+            docs, scores = docs[keep], scores[keep]
+        if len(docs) > k:
+            # (score desc, doc asc) tie-break
+            order = np.lexsort((docs, -scores))[:k]
+        else:
+            order = np.lexsort((docs, -scores))
+        return [
+            (np.float32(scores[i]), DocAddress(seg_ord, int(docs[i])))
+            for i in order
+        ]
+
+    def search_phrase_batch(self, queries: list, k: int):
+        """Batched phrase(slop=0) queries on device with the same two-phase
+        Block-WAND pruning as booleans: candidates come from the rarest
+        term's blocks; UB = phrase_weight * leader bfac (phrase tf <= leader
+        tf). Per-(query, segment) host fallback covers pathological in-doc
+        tf (> MAX_P on the leader / >= 2^(POS_ITERS-1) elsewhere)."""
+        from ..ops import phrase_scorer as ph
+        from ..query.bm25 import Bm25Weight
+        from ..schema.term import Term
+
+        Q = len(queries)
+        if Q == 0:
+            return []
+        qweight = np.zeros(Q + 1, dtype=np.float32)
+        for qi, q in enumerate(queries):
+            fs = self._field_stats.get(q.field)
+            if fs is None:
+                fs = self.searcher.field_statistics(q.field)
+                self._field_stats[q.field] = fs
+            dfs = [
+                self.searcher.doc_freq(Term(q.field, tb)) for tb in q.term_bytes
+            ]
+            qweight[qi] = Bm25Weight.for_terms(
+                dfs, fs.total_num_docs, fs.average_fieldnorm
+            ).weight
+
+        readers = self.searcher.segment_readers()
+        M1 = 4
+        margin = np.float32(1.0 - 4e-6)
+        max_other_tf = 1 << (ph.POS_ITERS - 1)
+        per_query: list[list[tuple[np.float32, DocAddress]]] = [
+            [] for _ in range(Q)
+        ]
+        pending1 = []
+        seg_groups = []
+        for seg_ord, reader in enumerate(readers):
+            dseg = self._device_segments[seg_ord]
+            groups: dict[tuple[str, int], dict] = {}
+            for qi, q in enumerate(queries):
+                field = q.field
+                dfp = dseg.field_postings(field)
+                fw = self._field_wand(seg_ord, field)
+                T = len(q.term_bytes)
+                ords = [
+                    self._term_ord(seg_ord, reader, field, tb)
+                    for tb in q.term_bytes
+                ]
+                if any(o < 0 for o in ords):
+                    continue  # phrase can't match in this segment
+                starts = [int(dfp.term_block_start[o]) for o in ords]
+                nblks = [int(dfp.term_num_blocks[o]) for o in ords]
+                maxtf = [
+                    int(dfp.blk_max_tf[s : s + n].max(initial=0))
+                    for s, n in zip(starts, nblks)
+                ]
+                leader = min(range(T), key=lambda t: nblks[t])
+                if maxtf[leader] > ph.MAX_P or any(
+                    m >= max_other_tf for m in maxtf
+                ):
+                    per_query[qi].extend(
+                        self._host_segment_topk(q, seg_ord, reader, k)
+                    )
+                    continue
+                others = [
+                    (True, np.float32(0.0), starts[t], nblks[t])
+                    for t in range(T)
+                    if t != leader
+                ]
+                ids, ub = fw.clause_blocks_ub(
+                    starts[leader], nblks[leader], qweight[qi], others, 0
+                )
+                if not len(ids):
+                    continue
+                Tb = ph.t_bucket(T)
+                g = groups.get((field, Tb))
+                if g is None:
+                    g = groups[(field, Tb)] = {
+                        "tables": {
+                            "q_weight": qweight,
+                            "cl_start": np.zeros((Q + 1, Tb), np.int32),
+                            "cl_len": np.zeros((Q + 1, Tb), np.int32),
+                            "cl_pos_start": np.zeros((Q + 1, Tb), np.int32),
+                            "cl_shift": np.zeros((Q + 1, Tb), np.int32),
+                        },
+                        "p1": [],
+                        "rest": [],
+                    }
+                tb = g["tables"]
+                mx_off = max(q.offsets)
+                for t, o in enumerate(ords):
+                    tb["cl_start"][qi, t] = starts[t] * 128
+                    tb["cl_len"][qi, t] = nblks[t] * 128
+                    tb["cl_pos_start"][qi, t] = int(dfp.term_pos_start[o])
+                    tb["cl_shift"][qi, t] = mx_off - q.offsets[t]
+                if len(ids) <= M1:
+                    g["p1"].append((qi, leader, ids))
+                else:
+                    top = np.argpartition(-ub, M1 - 1)[:M1]
+                    pick = np.zeros(len(ids), dtype=bool)
+                    pick[top] = True
+                    g["p1"].append((qi, leader, ids[pick]))
+                    g["rest"].append((qi, leader, ids[~pick], ub[~pick]))
+
+            for (field, Tb), g in groups.items():
+                if not g["p1"]:
+                    continue
+                blocks = np.concatenate([ids for _, _, ids in g["p1"]])
+                qids = np.concatenate(
+                    [np.full(len(ids), qi, np.int32) for qi, _, ids in g["p1"]]
+                )
+                tms = np.concatenate(
+                    [np.full(len(ids), t, np.int32) for _, t, ids in g["p1"]]
+                )
+                dfp = dseg.field_postings(field)
+                fw = self._field_wand(seg_ord, field)
+                for out in ph.dispatch_phrase(
+                    dfp, dseg.alive, fw.cache, blocks, qids, tms,
+                    g["tables"], k, Q,
+                ):
+                    pending1.append((seg_ord, out))
+            seg_groups.append(groups)
+
+        self._collect_flat(pending1, per_query, k)
+        thresholds = np.full(Q, NEG_INF, dtype=np.float32)
+        for qi in range(Q):
+            hits = per_query[qi]
+            hits.sort(key=lambda x: (-float(x[0]), x[1]))
+            del hits[k:]
+            if len(hits) == k:
+                thresholds[qi] = hits[-1][0]
+
+        pending2 = []
+        for seg_ord, groups in enumerate(seg_groups):
+            dseg = self._device_segments[seg_ord]
+            for (field, Tb), g in groups.items():
+                if not g["rest"]:
+                    continue
+                blks, qids, tms = [], [], []
+                for qi, t, ids, ub in g["rest"]:
+                    th = thresholds[qi]
+                    if th == NEG_INF:
+                        keep = np.ones(len(ids), dtype=bool)
+                    else:
+                        keep = ub >= th * margin
+                    if not keep.any():
+                        continue
+                    blks.append(ids[keep])
+                    qids.append(np.full(int(keep.sum()), qi, np.int32))
+                    tms.append(np.full(int(keep.sum()), t, np.int32))
+                if not blks:
+                    continue
+                dfp = dseg.field_postings(field)
+                fw = self._field_wand(seg_ord, field)
+                for out in ph.dispatch_phrase(
+                    dfp, dseg.alive, fw.cache,
+                    np.concatenate(blks), np.concatenate(qids),
+                    np.concatenate(tms), g["tables"], k, Q,
+                ):
+                    pending2.append((seg_ord, out))
+        self._collect_flat(pending2, per_query, k)
+
+        out = []
+        for qi in range(Q):
+            hits = per_query[qi]
+            hits.sort(key=lambda x: (-float(x[0]), x[1]))
+            out.append(hits[:k])
+        return out
 
     def _collect_flat(self, pending, per_query, k):
         for seg_ord, (vals_dev, docs_dev) in pending:

@@ -1,0 +1,105 @@
+"""Host-side Block-WAND planning utilities.
+
+Block-max pruning decisions are tiny dense-array computations over per-block
+skip metadata — classic host planning work. The score upper bound used for a
+candidate block B of clause c is
+
+    UB(B, c) = w_c * bfac[B] + sum_{c' != c, positive} w_c' * ovmax(c', range(B))
+
+where `bfac[b] = tf_b / (tf_b + cache[fnid_b])` is the query-independent
+block-max BM25 tf-factor (the stored `(fieldnorm_id, tf)` skip pair of
+reference `skip.rs:175-184`) and `ovmax(c', [lo, hi])` is the max bfac over
+c's blocks whose doc range intersects [lo, hi] — the same bound reference
+`block_wand_union.rs:148-216` computes incrementally per pivot, evaluated
+here for all blocks at once.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+class RangeMax:
+    """Sparse table for vectorized range-max queries over an f32 array.
+
+    O(n log n) build, O(1) per query; `query` is fully vectorized.
+    """
+
+    def __init__(self, vals: np.ndarray):
+        vals = np.ascontiguousarray(vals, dtype=np.float32)
+        self.n = len(vals)
+        tables = [vals]
+        j = 1
+        while (1 << j) <= self.n:
+            prev = tables[-1]
+            half = 1 << (j - 1)
+            m = self.n - (1 << j) + 1
+            tables.append(np.maximum(prev[:m], prev[half : half + m]))
+            j += 1
+        self.tables = tables
+
+    def query(self, i0: np.ndarray, i1: np.ndarray) -> np.ndarray:
+        """max(vals[i0[r]:i1[r]]) per row; empty ranges yield 0.0."""
+        i0 = np.asarray(i0, dtype=np.int64)
+        i1 = np.minimum(np.asarray(i1, dtype=np.int64), self.n)
+        length = i1 - i0
+        out = np.zeros(len(i0), dtype=np.float32)
+        nonempty = length > 0
+        if not nonempty.any():
+            return out
+        lev = np.zeros(len(i0), dtype=np.int64)
+        # exact for integer lengths (f64 mantissa >> any real block count)
+        lev[nonempty] = np.floor(np.log2(length[nonempty])).astype(np.int64)
+        for j in np.unique(lev[nonempty]):
+            sel = nonempty & (lev == j)
+            t = self.tables[j]
+            out[sel] = np.maximum(t[i0[sel]], t[i1[sel] - (1 << j)])
+        return out
+
+
+class FieldWand:
+    """Per-(segment, field) cached block-max planning state."""
+
+    def __init__(self, dfp, avg_fieldnorm: np.float32):
+        from ..query.bm25 import compute_tf_cache
+
+        self.dfp = dfp
+        self.cache = compute_tf_cache(np.float32(avg_fieldnorm))
+        tf = dfp.blk_max_tf.astype(np.float32)
+        self.bfac = (tf / (tf + self.cache[dfp.blk_max_fnid])).astype(np.float32)
+        self.rmax = RangeMax(self.bfac)
+
+    def clause_blocks_ub(
+        self,
+        start: int,
+        n: int,
+        weight: np.float32,
+        others: list,
+        kind_must: int,
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """For the clause region [start, start+n) of the block table, compute
+        (block_ids, UB) with other-clause overlap bounds; blocks impossible
+        under a MUST clause with no overlapping blocks are dropped.
+
+        `others` = [(is_must, weight, start, n_blocks)] for the query's other
+        positive clauses present in this segment.
+        """
+        dfp = self.dfp
+        ids = np.arange(start, start + n, dtype=np.int64)
+        ub = weight * self.bfac[ids]
+        lo = dfp.blk_base[ids].astype(np.uint64)
+        hi = dfp.blk_last_doc[ids].astype(np.uint64)
+        drop = np.zeros(n, dtype=bool)
+        for is_must, w2, s2, n2 in others:
+            blast = dfp.blk_last_doc[s2 : s2 + n2]
+            bbase = dfp.blk_base[s2 : s2 + n2]
+            i0 = s2 + np.searchsorted(blast, lo, side="left")
+            i1 = s2 + np.searchsorted(bbase, hi, side="right")
+            ov = self.rmax.query(i0, i1)
+            if is_must:
+                drop |= i1 <= i0
+            ub = ub + w2 * ov
+        if drop.any():
+            keep = ~drop
+            return ids[keep], ub[keep].astype(np.float32)
+        return ids, ub.astype(np.float32)

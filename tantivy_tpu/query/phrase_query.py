@@ -16,39 +16,139 @@ from . import Query, SegmentResult, Weight, member_lookup
 from .bm25 import Bm25Weight
 
 
+def _intersection_count_with_slop(
+    left: list[int], right: list[int], slop: int, update_left: bool
+) -> tuple[int, list[int]]:
+    """Two-term sloppy intersection: |left - right| <= slop counts a match,
+    with best-match advancement. Semantics of reference
+    `phrase_scorer.rs:145-190` (intersection_count_with_slop)."""
+    li = ri = count = 0
+    ll, rl = len(left), len(right)
+    out: list[int] = []
+    while li < ll and ri < rl:
+        lv, rv = left[li], right[ri]
+        if abs(lv - rv) <= slop:
+            # a later left value may be a better (closer) match
+            while li + 1 < ll and left[li + 1] <= rv:
+                li += 1
+            if update_left:
+                out.append(rv)
+            count += 1
+            li += 1
+            ri += 1
+        elif lv < rv:
+            li += 1
+        else:
+            ri += 1
+    return count, out
+
+
+def _intersection_count_with_carrying_slop(
+    left: list[int], slops: list[int], right: list[int], max_slop: int,
+    update_left: bool,
+) -> tuple[int, list[int], list[int]]:
+    """Multi-term sloppy intersection carrying the slop budget spent so far.
+    Semantics of reference `phrase_scorer.rs:232-345`
+    (intersection_count_with_carrying_slop), including its documented
+    approximation for ambiguous expansions."""
+    if not left or not right:
+        return 0, [], []
+    new_pos: list[int] = []
+    new_slops: list[int] = []
+
+    def add_val(s: int, v: int) -> None:
+        if update_left:
+            if new_pos and new_pos[-1] == v:
+                new_slops[-1] = min(new_slops[-1], s)
+            else:
+                new_pos.append(v)
+                new_slops.append(s)
+
+    li = ri = count = 0
+    while True:
+        lv = left[li]
+        ssf = slops[li] if li < len(slops) else 0
+        rv = right[ri]
+        if ssf + abs(lv - rv) <= max_slop:
+            if lv < rv:
+                smaller, larger, sidx, spos = lv, rv, li, left
+            else:
+                smaller, larger, sidx, spos = rv, lv, ri, right
+            new_slop = ssf + abs(lv - rv)
+            add_val(new_slop, smaller)
+            while sidx + 1 < len(spos):
+                nv = spos[sidx + 1]
+                if nv > larger:
+                    break
+                sidx += 1
+                new_slop = ssf + abs(nv - larger)
+                add_val(new_slop, nv)
+            add_val(new_slop, larger)
+            count += 1
+            li += 1
+            ri += 1
+        elif lv < rv:
+            li += 1
+        else:
+            ri += 1
+        if li >= len(left) or ri >= len(right):
+            if li >= len(left):
+                lv = left[-1]
+                ssf = slops[-1] if slops else 0
+                for rv2 in right[ri:]:
+                    ns = abs(lv - rv2) + ssf
+                    if ns <= max_slop:
+                        add_val(ns, rv2)
+            else:
+                rv = right[-1]
+                for li2 in range(li, len(left)):
+                    lv2 = left[li2]
+                    ssf2 = slops[li2] if li2 < len(slops) else 0
+                    ns = abs(lv2 - rv) + ssf2
+                    if ns <= max_slop:
+                        add_val(ns, lv2)
+            break
+    return count, new_pos, new_slops
+
+
 def _phrase_count_for_doc(pos_lists: list[np.ndarray], offsets: list[int],
                           slop: int) -> int:
     """Count phrase matches given per-term in-doc position arrays.
 
-    slop == 0: exact adjacency — p + (offset_i - offset_0) in pos_i for all i.
-    slop > 0: each subsequent term may be displaced by at most `slop` from its
-    expected position (and terms must stay in order), matching the reference's
-    sloppy intersection (`phrase_scorer.rs` intersection_count_with_slop).
+    Positions are aligned by shifting term i by `max_offset - offset_i`
+    (reference `phrase_scorer.rs:382` PostingsWithOffset), then:
+    slop == 0: size of the n-way intersection;
+    slop > 0, 2 terms: intersection_count_with_slop;
+    slop > 0, >2 terms: carrying-slop fold (reference semantics, including
+    its documented approximation).
     """
-    base = pos_lists[0]
+    mx = max(offsets)
+    shifted = [
+        pl.astype(np.int64) + (mx - off) for pl, off in zip(pos_lists, offsets)
+    ]
     if slop == 0:
-        match = np.ones(len(base), dtype=bool)
-        for i in range(1, len(pos_lists)):
-            expected = base + np.uint32(offsets[i] - offsets[0])
-            found, _ = member_lookup(pos_lists[i], expected)
-            match &= found
-        return int(np.count_nonzero(match))
-    # sloppy: greedy left-to-right alignment per start position
-    count = 0
-    for p0 in base:
-        prev = int(p0)
-        ok = True
-        for i in range(1, len(pos_lists)):
-            expected = int(p0) + offsets[i] - offsets[0]
-            lo, hi = expected - slop, expected + slop
-            cand = pos_lists[i]
-            sel = cand[(cand >= max(lo, prev + 1)) & (cand <= hi)]
-            if len(sel) == 0:
-                ok = False
-                break
-            prev = int(sel[0])
-        if ok:
-            count += 1
+        left = shifted[0]
+        for r in shifted[1:]:
+            left = np.intersect1d(left, r, assume_unique=True)
+            if len(left) == 0:
+                return 0
+        return len(left)
+    if len(shifted) == 2:
+        count, _ = _intersection_count_with_slop(
+            list(shifted[0]), list(shifted[1]), slop, False
+        )
+        return count
+    left = list(shifted[0])
+    slops: list[int] = []
+    for r in shifted[1:-1]:
+        _, left, slops = _intersection_count_with_carrying_slop(
+            left, slops, list(r), slop, True
+        )
+        if not left:
+            return 0
+    count, _, _ = _intersection_count_with_carrying_slop(
+        left, slops, list(shifted[-1]), slop, False
+    )
     return count
 
 
