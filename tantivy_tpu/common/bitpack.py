@@ -74,6 +74,29 @@ def pack(values: np.ndarray, bits: int) -> np.ndarray:
     return words
 
 
+def bits_required_rows(row_max: np.ndarray) -> np.ndarray:
+    """Vectorized `bits_required` over per-row max values (u32)."""
+    bl = np.zeros(len(row_max), dtype=np.int64)
+    nz = row_max > 0
+    # f64 log2 is exact at power-of-two boundaries for u32 inputs
+    bl[nz] = np.floor(np.log2(row_max[nz].astype(np.float64))).astype(np.int64) + 1
+    return _BITS_LOOKUP[bl]
+
+
+def pack_rows(values: np.ndarray, bits: int) -> np.ndarray:
+    """Pack [n, 128] uint32 rows at width `bits` -> [n, words] uint32."""
+    n, count = values.shape
+    if bits == 0:
+        return np.zeros((n, 0), dtype=np.uint32)
+    if bits == 32:
+        return np.ascontiguousarray(values, dtype=np.uint32)
+    per = 32 // bits
+    n_words = count // per
+    lanes = np.ascontiguousarray(values, dtype=np.uint32).reshape(n, n_words, per)
+    shifts = (np.arange(per, dtype=np.uint32) * bits).astype(np.uint32)
+    return np.bitwise_or.reduce(lanes << shifts, axis=2, dtype=np.uint32)
+
+
 def unpack(words: np.ndarray, bits: int, count: int) -> np.ndarray:
     """Unpack `count` uint32 values of width `bits` from `words`."""
     if bits == 0:

@@ -44,11 +44,26 @@ def id_to_fieldnorm(fieldnorm_id) -> np.ndarray | int:
     return FIELD_NORMS_TABLE[fieldnorm_id]
 
 
+#: direct lookup for small fieldnorms (covers virtually all docs; the
+#: searchsorted fallback handles the long tail)
+_SMALL_LUT_LIMIT = 1 << 16
+_SMALL_LUT = (
+    np.searchsorted(
+        FIELD_NORMS_TABLE, np.arange(_SMALL_LUT_LIMIT, dtype=np.int64),
+        side="right",
+    )
+    - 1
+).astype(np.uint8)
+
+
 def fieldnorm_to_id(fieldnorm) -> np.ndarray | int:
     """Encode fieldnorm value(s) to the floor id. Vectorized."""
-    idx = np.searchsorted(FIELD_NORMS_TABLE, fieldnorm, side="right") - 1
     if np.isscalar(fieldnorm) or np.ndim(fieldnorm) == 0:
-        return int(idx)
+        v = int(fieldnorm)
+        if 0 <= v < _SMALL_LUT_LIMIT:
+            return int(_SMALL_LUT[v])
+        return int(np.searchsorted(FIELD_NORMS_TABLE, v, side="right") - 1)
+    idx = np.searchsorted(FIELD_NORMS_TABLE, fieldnorm, side="right") - 1
     return idx.astype(np.uint8)
 
 

@@ -156,10 +156,12 @@ class Index:
         return IndexWriter(self, memory_budget=memory_budget, **kwargs)
 
     def writer_for_tests(self):
+        """Single worker thread, minimum budget, no merges (reference
+        `index.rs:637`)."""
         from ..indexer import IndexWriter
         from ..indexer.merge_policy import NoMergePolicy
 
-        return IndexWriter(self, merge_policy=NoMergePolicy())
+        return IndexWriter(self, merge_policy=NoMergePolicy(), num_threads=1)
 
     def reader(self, reload_policy: ReloadPolicy = ReloadPolicy.ON_COMMIT) -> "IndexReader":
         return IndexReader(self, reload_policy)

@@ -1,15 +1,23 @@
 """Write path — IndexWriter / deletes / commit / merge orchestration.
 
 Counterpart of reference `src/indexer/` (index_writer.rs:71,
-segment_updater.rs:274, delete_queue.rs). Threading model differs by design:
-the reference pipelines docs through crossbeam channels to N indexing threads;
-here ingestion is host-side Python (a C++ tokenize+hash core is the planned
-accelerator) and commits/merges run inline. The durable-commit semantics are
-identical: a commit atomically swaps meta.json; segments are immutable; deletes
-are opstamp-ordered tombstones.
+segment_updater.rs:274, delete_queue.rs). Ingestion mirrors the reference's
+threading model: documents are stamped on the caller thread and pushed down a
+bounded queue (the crossbeam channel, cap 10k — `index_writer.rs:39-40,304`)
+to N worker threads, each building private SegmentWriters and flushing when
+its budget share fills (`index_writer.rs:182-211,412-461`). The C++ indexing
+core releases the GIL during tokenize+hash (ctypes), so workers overlap on
+the hot loop. Commits join the workers, collect their segments, and respawn
+them. Merges run inline at commit (the reference uses merge threads).
+Durable-commit semantics are identical: a commit atomically swaps meta.json;
+segments are immutable; deletes are opstamp-ordered tombstones.
 """
 
 from __future__ import annotations
+
+import os
+import queue as queue_mod
+import threading
 
 import numpy as np
 
@@ -55,9 +63,14 @@ class PreparedCommit:
         self._writer.rollback()
 
 
+#: queue capacity, reference `index_writer.rs:39-40`
+PIPELINE_MAX_SIZE_IN_DOCS = 10_000
+
+
 class IndexWriter:
     def __init__(self, index, memory_budget: int = MEMORY_BUDGET_NUM_BYTES_MIN,
-                 merge_policy: MergePolicy | None = None):
+                 merge_policy: MergePolicy | None = None,
+                 num_threads: int | None = None):
         if memory_budget < MEMORY_BUDGET_NUM_BYTES_MIN:
             raise ValueError(
                 f"memory budget below minimum ({MEMORY_BUDGET_NUM_BYTES_MIN})"
@@ -70,8 +83,86 @@ class IndexWriter:
         self._segment_writer: SegmentWriter | None = None
         self._doc_opstamps: list[int] = []
         self._pending_segments: list[tuple[SegmentMeta, list[int]]] = []
+        self._pending_lock = threading.Lock()
         self._deletes: list[_DeleteOp] = []
         self._committed_opstamp = self._opstamp
+        if num_threads is None:
+            num_threads = min(8, os.cpu_count() or 1)
+        self.num_threads = max(1, int(num_threads))
+        self._queue: queue_mod.Queue | None = None
+        self._workers: list[threading.Thread] = []
+        self._worker_error: BaseException | None = None
+        if self.num_threads > 1:
+            self._start_workers()
+
+    # -- worker pool -----------------------------------------------------------
+
+    def _start_workers(self) -> None:
+        self._queue = queue_mod.Queue(maxsize=PIPELINE_MAX_SIZE_IN_DOCS)
+        self._workers = []
+        per_budget = max(
+            self.memory_budget // self.num_threads, 3_000_000
+        )
+        for i in range(self.num_threads):
+            t = threading.Thread(
+                target=self._worker_loop,
+                args=(per_budget,),
+                name=f"thrd-tantivy-index{i}",
+                daemon=True,
+            )
+            t.start()
+            self._workers.append(t)
+
+    def _new_segment_writer(self) -> SegmentWriter:
+        return SegmentWriter(
+            self.index.schema,
+            self.index.tokenizers,
+            sort_by_field=self.index.settings.sort_by_field,
+        )
+
+    def _worker_loop(self, budget: int) -> None:
+        sw: SegmentWriter | None = None
+        ops: list[int] = []
+        q = self._queue
+        while True:
+            item = q.get()
+            try:
+                if item is None:
+                    if sw is not None and self._worker_error is None:
+                        self._write_segment(sw, ops)
+                    return
+                opstamp, doc = item
+                if self._worker_error is not None:
+                    continue  # poisoned: drain without indexing
+                if sw is None:
+                    sw = self._new_segment_writer()
+                    ops = []
+                sw.add_document(doc)
+                ops.append(opstamp)
+                if sw.mem_usage() >= budget - MARGIN_IN_BYTES // self.num_threads:
+                    self._write_segment(sw, ops)
+                    sw, ops = None, []
+            except BaseException as e:  # worker death poisons the writer
+                self._worker_error = e
+                sw, ops = None, []
+            finally:
+                q.task_done()
+
+    def _join_workers(self) -> None:
+        """Stop all workers (each flushes its partial segment) and respawn
+        them — the reference's prepare_commit worker cycle
+        (`index_writer.rs:617-648`)."""
+        if not self._workers:
+            return
+        for _ in self._workers:
+            self._queue.put(None)
+        for t in self._workers:
+            t.join()
+        if self._worker_error is not None:
+            err, self._worker_error = self._worker_error, None
+            self._start_workers()
+            raise RuntimeError("an indexing worker died; writer rolled back") from err
+        self._start_workers()
 
     # -- ops -----------------------------------------------------------------
 
@@ -81,12 +172,14 @@ class IndexWriter:
 
     def add_document(self, doc: Document) -> int:
         opstamp = self._stamp()
+        if self._worker_error is not None:
+            raise RuntimeError("indexing worker died; rollback and retry") \
+                from self._worker_error
+        if self.num_threads > 1:
+            self._queue.put((opstamp, doc))
+            return opstamp
         if self._segment_writer is None:
-            self._segment_writer = SegmentWriter(
-                self.index.schema,
-                self.index.tokenizers,
-                sort_by_field=self.index.settings.sort_by_field,
-            )
+            self._segment_writer = self._new_segment_writer()
             self._doc_opstamps = []
         self._segment_writer.add_document(doc)
         self._doc_opstamps.append(opstamp)
@@ -113,25 +206,37 @@ class IndexWriter:
 
     # -- segment flushing ----------------------------------------------------
 
+    def _write_segment(self, sw: SegmentWriter, doc_opstamps: list[int]) -> None:
+        """Serialize one segment and register it (thread-safe; called from
+        worker threads and the single-threaded path alike)."""
+        if sw.max_doc == 0:
+            return
+        components = sw.serialize()
+        sid = new_segment_id()
+        meta = SegmentMeta(segment_id=sid, max_doc=sw.max_doc)
+        payload = [
+            (f"{sid}.{comp}", arrayio.save_arrays(arrays))
+            for comp, arrays in components.items()
+        ]
+        with self._pending_lock:
+            for name, data in payload:
+                self.index.directory.write(name, data)
+            self._pending_segments.append((meta, doc_opstamps))
+
     def _flush_segment(self) -> None:
         sw = self._segment_writer
         if sw is None or sw.max_doc == 0:
             self._segment_writer = None
             return
-        components = sw.serialize()
-        sid = new_segment_id()
-        meta = SegmentMeta(segment_id=sid, max_doc=sw.max_doc)
-        for comp, arrays in components.items():
-            self.index.directory.write(
-                f"{sid}.{comp}", arrayio.save_arrays(arrays)
-            )
-        self._pending_segments.append((meta, self._doc_opstamps))
+        self._write_segment(sw, self._doc_opstamps)
         self._segment_writer = None
         self._doc_opstamps = []
 
     # -- commit --------------------------------------------------------------
 
     def prepare_commit(self) -> PreparedCommit:
+        if self.num_threads > 1:
+            self._join_workers()
         self._flush_segment()
         return PreparedCommit(self, self._stamp())
 
@@ -223,10 +328,20 @@ class IndexWriter:
 
     def rollback(self) -> int:
         """Drop everything since the last commit (reference
-        `index_writer.rs:563-596`)."""
+        `index_writer.rs:563-596`). In threaded mode, drains the document
+        queue and discards worker segments (their files are reclaimed by the
+        next GC pass)."""
+        if self.num_threads > 1 and self._workers:
+            for _ in self._workers:
+                self._queue.put(None)
+            for t in self._workers:
+                t.join()
+            self._worker_error = None
+            self._start_workers()
         self._segment_writer = None
         self._doc_opstamps = []
-        self._pending_segments = []
+        with self._pending_lock:
+            self._pending_segments = []
         self._deletes = []
         self._opstamp = self._committed_opstamp
         return self._opstamp
@@ -303,6 +418,12 @@ class IndexWriter:
         return self._committed_opstamp
 
     def close(self) -> None:
+        if self.num_threads > 1 and self._workers:
+            for _ in self._workers:
+                self._queue.put(None)
+            for t in self._workers:
+                t.join()
+            self._workers = []
         self._lock.release()
 
     def __del__(self):

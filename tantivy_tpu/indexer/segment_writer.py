@@ -154,6 +154,7 @@ class SegmentWriter:
         self._token_counts: dict[int, int] = defaultdict(int)
         self._columnar = ColumnarWriter()
         self._store = StoreWriter(compressor)
+        self._has_stored = any(e.is_stored() for e in schema.fields())
         self.max_doc = 0
         self._mem_hint = 0
 
@@ -186,8 +187,10 @@ class SegmentWriter:
         # every doc gets a (possibly empty) store row so doc ids stay aligned
         if self._stored_buffer is not None:
             self._stored_buffer.append(self._stored_subdoc(doc))
-        else:
+        elif self._has_stored:
             self._store.store(self._stored_subdoc(doc))
+        else:
+            self._store.store_empty()
         self._mem_hint += 200 + sum(len(str(v)) for _, v in doc.field_values())
         return doc_id
 

@@ -48,18 +48,27 @@ class _WidthBucket:
 
     bits: int
     rows: list = field(default_factory=list)
+    n_rows: int = 0
 
     def add(self, values: np.ndarray) -> int:
         """Pack one padded 128-group; returns its row index in this bucket."""
         row = bitpack.pack(values, self.bits)
-        self.rows.append(row)
-        return len(self.rows) - 1
+        self.rows.append(row.reshape(1, -1))
+        self.n_rows += 1
+        return self.n_rows - 1
+
+    def add_rows(self, values: np.ndarray) -> int:
+        """Pack [m, 128] groups at once; returns the first row index."""
+        start = self.n_rows
+        self.rows.append(bitpack.pack_rows(values, self.bits))
+        self.n_rows += len(values)
+        return start
 
     def stack(self) -> np.ndarray:
         n_words = bitpack.words_for(COMPRESSION_BLOCK_SIZE, self.bits)
         if not self.rows:
             return np.zeros((0, n_words), dtype=np.uint32)
-        return np.stack(self.rows).astype(np.uint32)
+        return np.concatenate(self.rows, axis=0).astype(np.uint32)
 
 
 class PostingsSerializer:
@@ -145,47 +154,65 @@ class PostingsSerializer:
         tf_f = tfs.astype(np.float32)
         factors = tf_f / (tf_f + self._tf_cache[norm_ids])
 
-        tf_cum = 0
-        base = 0
-        for b in range(n_blocks):
-            lo = b * COMPRESSION_BLOCK_SIZE
-            hi = min(lo + COMPRESSION_BLOCK_SIZE, df)
-            blk_docs = docs[lo:hi]
-            blk_tfs = tfs[lo:hi]
-            blk_len = hi - lo
+        # all per-block work vectorized over the term's blocks at once:
+        # strict-delta is the same formula at block starts and inside blocks
+        # (base = previous block's last doc + 1), so one diff covers all.
+        bs = COMPRESSION_BLOCK_SIZE
+        total = n_blocks * bs
+        deltas = np.empty(df, dtype=np.uint32)
+        deltas[0] = docs[0]
+        if df > 1:
+            deltas[1:] = docs[1:] - docs[:-1] - 1
+        dpad = np.zeros(total, dtype=np.uint32)
+        dpad[:df] = deltas
+        drows = dpad.reshape(n_blocks, bs)
+        doc_bits = bitpack.bits_required_rows(drows.max(axis=1))
+        doc_rows = np.empty(n_blocks, dtype=np.int64)
+        for w in np.unique(doc_bits):
+            sel = doc_bits == w
+            start = self._doc_buckets[_WIDTH_INDEX[int(w)]].add_rows(drows[sel])
+            doc_rows[sel] = start + np.arange(int(sel.sum()))
 
-            deltas = np.empty(blk_len, dtype=np.uint32)
-            deltas[0] = blk_docs[0] - base
-            if blk_len > 1:
-                deltas[1:] = blk_docs[1:] - blk_docs[:-1] - 1
-            padded_d = np.zeros(COMPRESSION_BLOCK_SIZE, dtype=np.uint32)
-            padded_d[:blk_len] = deltas
-            doc_bits = bitpack.bits_required(int(deltas.max()))
-            doc_row = self._doc_buckets[_WIDTH_INDEX[doc_bits]].add(padded_d)
+        if self.has_freqs:
+            tpad = np.zeros(total, dtype=np.uint32)
+            tpad[:df] = tfs - 1
+            trows = tpad.reshape(n_blocks, bs)
+            tf_bits = bitpack.bits_required_rows(trows.max(axis=1))
+            tf_rows = np.empty(n_blocks, dtype=np.int64)
+            for w in np.unique(tf_bits):
+                sel = tf_bits == w
+                start = self._tf_buckets[_WIDTH_INDEX[int(w)]].add_rows(trows[sel])
+                tf_rows[sel] = start + np.arange(int(sel.sum()))
+        else:
+            tf_bits = np.zeros(n_blocks, dtype=np.int64)
+            tf_rows = np.zeros(n_blocks, dtype=np.int64)
 
-            if self.has_freqs:
-                padded_t = np.zeros(COMPRESSION_BLOCK_SIZE, dtype=np.uint32)
-                padded_t[:blk_len] = blk_tfs - 1
-                tf_bits = bitpack.bits_required(int((blk_tfs - 1).max()))
-                tf_row = self._tf_buckets[_WIDTH_INDEX[tf_bits]].add(padded_t)
-            else:
-                tf_bits, tf_row = 0, 0
+        fpad = np.full(total, -1.0, dtype=np.float32)
+        fpad[:df] = factors
+        arg = fpad.reshape(n_blocks, bs).argmax(axis=1)
+        gidx = np.arange(n_blocks) * bs + arg
+        self._blk_max_fnid.extend(norm_ids[gidx].tolist())
+        self._blk_max_tf.extend(tfs[gidx].tolist())
 
-            blk_factors = factors[lo:hi]
-            arg = int(np.argmax(blk_factors))
-            self._blk_max_fnid.append(int(norm_ids[lo + arg]))
-            self._blk_max_tf.append(int(blk_tfs[arg]))
+        tfpad = np.zeros(total, dtype=np.int64)
+        tfpad[:df] = tfs
+        blk_sums = tfpad.reshape(n_blocks, bs).sum(axis=1)
+        tf_cum = np.concatenate([[0], np.cumsum(blk_sums)[:-1]])
+        self._blk_tf_cum.extend(tf_cum.tolist())
 
-            self._blk_tf_cum.append(tf_cum)
-            tf_cum += int(blk_tfs.sum())
-            self._blk_last_doc.append(int(blk_docs[-1]))
-            self._blk_base.append(base)
-            self._blk_len.append(blk_len)
-            self._blk_doc_bits.append(doc_bits)
-            self._blk_doc_row.append(doc_row)
-            self._blk_tf_bits.append(tf_bits)
-            self._blk_tf_row.append(tf_row)
-            base = int(blk_docs[-1]) + 1
+        ends = np.minimum(np.arange(1, n_blocks + 1) * bs, df) - 1
+        last = docs[ends].astype(np.int64)
+        bases = np.concatenate([[0], last[:-1] + 1])
+        starts = np.arange(n_blocks) * bs
+        self._blk_last_doc.extend(last.tolist())
+        self._blk_base.extend(bases.tolist())
+        self._blk_len.extend((ends - starts + 1).tolist())
+        self._blk_doc_bits.extend(doc_bits.tolist())
+        self._blk_doc_row.extend(doc_rows.tolist())
+        self._blk_tf_bits.extend(
+            tf_bits.tolist() if self.has_freqs else [0] * n_blocks
+        )
+        self._blk_tf_row.extend(tf_rows.tolist())
         return term_ord
 
     def finish(self) -> dict[str, np.ndarray]:

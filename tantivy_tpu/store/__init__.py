@@ -64,6 +64,17 @@ class StoreWriter:
         if self._current_size >= self.block_size:
             self._flush_block()
 
+    _EMPTY_ROW = struct.pack("<I", 2) + b"{}"
+
+    def store_empty(self) -> None:
+        """Fast path for schemas with no stored fields: keeps doc ids aligned
+        without serializing a Document."""
+        self._current.append(self._EMPTY_ROW)
+        self._current_size += len(self._EMPTY_ROW)
+        self._num_docs += 1
+        if self._current_size >= self.block_size:
+            self._flush_block()
+
     def store_raw_block(self, compressed: bytes, first_doc: int, num_docs: int) -> None:
         """Merge fast path: stack an existing compressed block without
         recompressing (reference `writer.rs:126`)."""
