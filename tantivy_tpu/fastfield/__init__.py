@@ -201,13 +201,14 @@ class FastFieldReaders:
             return None
         card, type_code, max_doc = (int(x) for x in self._arrays[meta_key])
         dictionary = None
-        if prefix + "dict_term_data" in self._arrays:
-            dictionary = TermDictionary.from_arrays(
-                {
-                    "term_data": self._arrays[prefix + "dict_term_data"],
-                    "term_offsets": self._arrays[prefix + "dict_term_offsets"],
-                }
-            )
+        dict_prefix = prefix + "dict_"
+        dict_arrays = {
+            k[len(dict_prefix):]: v
+            for k, v in self._arrays.items()
+            if k.startswith(dict_prefix)
+        }
+        if dict_arrays:
+            dictionary = TermDictionary.from_arrays(dict_arrays)
         col = Column(
             field=field,
             type_name=_TYPE_NAMES[type_code],

@@ -70,14 +70,9 @@ class FuzzyTermQuery(Query):
         is_prefix = self.prefix
 
         def ords(inv):
-            out = []
-            for i, tb in inv.termdict.stream():
-                text = tb.decode("utf-8", errors="replace")
-                if is_prefix and len(text) > len(target):
-                    text = text[: len(target)]
-                if levenshtein_within(target, text, dist, transposition):
-                    out.append(i)
-            return out
+            return inv.termdict.search_levenshtein(
+                target, dist, transposition, is_prefix
+            )
 
         return _MultiTermWeight(self.term.field, ords)
 
@@ -98,10 +93,6 @@ class RegexQuery(Query):
         pat = self.pattern
 
         def ords(inv):
-            out = []
-            for i, tb in inv.termdict.stream():
-                if pat.fullmatch(tb.decode("utf-8", errors="replace")):
-                    out.append(i)
-            return out
+            return inv.termdict.search_regex(pat)
 
         return _MultiTermWeight(self.field, ords)

@@ -290,12 +290,7 @@ class RegexPhraseWeight(Weight):
         # per slot: union of matching terms' (docs, tfs, positions)
         slot_data = []
         for pat in self.q.patterns:
-            ords = []
-            for i, tb in inv.termdict.stream():
-                if pat.fullmatch(tb.decode("utf-8", errors="replace")):
-                    ords.append(i)
-                    if len(ords) >= self.q.max_expansions:
-                        break
+            ords = inv.termdict.search_regex(pat)[: self.q.max_expansions]
             if not ords:
                 return SegmentResult.empty()
             per_doc: dict[int, list] = {}
