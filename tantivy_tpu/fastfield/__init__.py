@@ -31,12 +31,95 @@ CARD_FULL = 0
 CARD_OPTIONAL = 1
 CARD_MULTI = 2
 
+#: value codecs (reference `columnar/src/column_values/u64_based/mod.rs`
+#: auto-selects Bitpacked / Linear / BlockwiseLinear; we implement the first
+#: two — blockwise-linear's win case, huge mostly-linear columns, is covered
+#: well enough by Linear at our segment sizes)
+CODEC_RAW = 0
+CODEC_BITPACKED = 1
+CODEC_LINEAR = 2
+
+
+def _codec_encode(vals: np.ndarray) -> dict[str, np.ndarray]:
+    """Pick the cheapest codec for a u64 column. Returns the arrays to
+    store, always including 'vmeta' = [codec, bits, p0, p1]."""
+    from ..common import bitpack
+
+    n = len(vals)
+    raw = {
+        "vmeta": np.asarray([CODEC_RAW, 64, 0, 0], dtype=np.uint64),
+        "values": vals,
+    }
+    if n == 0:
+        return raw
+    vmin = np.uint64(vals.min())
+    span = int(vals.max() - vmin)
+    bp_bits = bitpack.bits_required(span) if span < (1 << 32) else 64
+    # linear: residuals from an integer line through (0, v0) .. (n-1, vlast)
+    # (int64 residual math needs headroom: skip when the top bit is in play)
+    lin_bits = 64
+    if n > 2 and int(vals.max()) < (1 << 62):
+        idx = np.arange(n, dtype=np.float64)
+        slope = (float(vals[-1]) - float(vals[0])) / (n - 1)
+        pred = (float(vals[0]) + slope * idx).astype(np.int64)
+        resid = vals.astype(np.int64) - pred
+        rmin = int(resid.min())
+        rspan = int(resid.max()) - rmin
+        if 0 <= rspan < (1 << 32):
+            lin_bits = bitpack.bits_required(rspan)
+    best = min(bp_bits, lin_bits, 64)
+    if best >= 64:
+        return raw
+    if bp_bits <= lin_bits:
+        packed = bitpack.pack((vals - vmin).astype(np.uint32), bp_bits)
+        return {
+            "vmeta": np.asarray(
+                [CODEC_BITPACKED, bp_bits, int(vmin), n], dtype=np.uint64
+            ),
+            "values": packed,
+        }
+    packed = bitpack.pack((resid - rmin).astype(np.uint32), lin_bits)
+    return {
+        "vmeta": np.asarray(
+            [CODEC_LINEAR, lin_bits, np.uint64(rmin + (1 << 63)), n],
+            dtype=np.uint64,
+        ),
+        "values": packed,
+        "vline": np.asarray(
+            [np.uint64(vals[0]), np.float64(slope).view(np.uint64)],
+            dtype=np.uint64,
+        ),
+    }
+
+
+def _codec_decode(arrays: dict, prefix: str) -> np.ndarray:
+    """Inverse of `_codec_encode`; returns the dense u64 values array."""
+    from ..common import bitpack
+
+    vmeta = arrays.get(prefix + "vmeta")
+    vals = arrays[prefix + "values"]
+    if vmeta is None or int(vmeta[0]) == CODEC_RAW:
+        return np.ascontiguousarray(vals, dtype=np.uint64)
+    codec, bits, p0, n = (int(x) for x in vmeta)
+    if codec == CODEC_BITPACKED:
+        return bitpack.unpack(vals, bits, n).astype(np.uint64) + np.uint64(p0)
+    # CODEC_LINEAR
+    v0, slope_bits = (int(x) for x in arrays[prefix + "vline"])
+    slope = np.uint64(slope_bits).view(np.float64)
+    rmin = p0 - (1 << 63)
+    pred = (float(v0) + slope * np.arange(n, dtype=np.float64)).astype(np.int64)
+    resid = bitpack.unpack(vals, bits, n).astype(np.int64) + rmin
+    return (pred + resid).astype(np.uint64)
+
 _TYPE_CODES = {"u64": 0, "i64": 1, "f64": 2, "bool": 3, "date": 4, "str": 5, "bytes": 6, "ip": 7}
 _TYPE_NAMES = {v: k for k, v in _TYPE_CODES.items()}
 
 
 def to_u64(value, type_name: str) -> int:
-    if type_name in ("u64", "ip"):
+    # NOTE: IPs are NOT u64-coercible (IPv6 > 2^64); they are stored as
+    # dictionary-encoded 16-byte keys (see SegmentWriter._index_ip), whose
+    # sorted dictionary is the order-preserving compact space.
+    if type_name == "u64":
         return int(value)
     if type_name in ("i64", "date"):
         return i64_to_u64(int(value))
@@ -48,7 +131,7 @@ def to_u64(value, type_name: str) -> int:
 
 
 def from_u64(value: int, type_name: str):
-    if type_name in ("u64", "ip"):
+    if type_name == "u64":
         return int(value)
     if type_name in ("i64", "date"):
         return u64_to_i64(int(value))
@@ -113,16 +196,18 @@ class ColumnarWriter:
             if card == CARD_FULL:
                 dense = np.zeros(max_doc, dtype=np.uint64)
                 dense[docs_sorted] = vals_sorted
-                out[prefix + "values"] = dense
+                store_vals = dense
             elif card == CARD_OPTIONAL:
-                out[prefix + "values"] = vals_sorted
+                store_vals = vals_sorted
                 out[prefix + "present_docs"] = docs_sorted
             else:
                 offsets = np.zeros(max_doc + 1, dtype=np.int64)
                 np.add.at(offsets[1:], docs_sorted, 1)
                 offsets = np.cumsum(offsets)
-                out[prefix + "values"] = vals_sorted
+                store_vals = vals_sorted
                 out[prefix + "offsets"] = offsets.astype(np.int64)
+            for k, v in _codec_encode(store_vals).items():
+                out[prefix + k] = v
             out[prefix + "meta"] = np.asarray(
                 [card, _TYPE_CODES[type_name], max_doc], dtype=np.int64
             )
@@ -214,7 +299,7 @@ class FastFieldReaders:
             type_name=_TYPE_NAMES[type_code],
             cardinality=card,
             max_doc=max_doc,
-            values=self._arrays[prefix + "values"],
+            values=_codec_decode(self._arrays, prefix),
             present_docs=self._arrays.get(prefix + "present_docs"),
             offsets=self._arrays.get(prefix + "offsets"),
             dictionary=dictionary,

@@ -308,11 +308,9 @@ class SegmentWriter:
             self._fieldnorms[entry.field_id][doc_id] = pos
 
     def _index_ip(self, entry, doc_id: int, value) -> None:
-        import ipaddress
+        from ..schema.term import ip_to_bytes
 
-        ip = ipaddress.ip_address(value)
-        as_int = int(ipaddress.IPv6Address(f"::ffff:{ip}") if ip.version == 4 else ip)
-        raw = as_int.to_bytes(16, "big")
+        raw = ip_to_bytes(value)
         if entry.is_indexed():
             self._subscribe(entry.field_id, raw, doc_id, None)
         if entry.is_fast():

@@ -37,7 +37,11 @@ class RangeQuery(Query):
 
     def weight(self, searcher, scoring: bool = True) -> Weight:
         entry = searcher.schema.get_field(self.field)
-        if entry.is_fast() and entry.field_type not in (FieldType.TEXT, FieldType.BYTES):
+        if entry.is_fast() and entry.field_type == FieldType.IP_ADDR:
+            return DictRangeWeight(self, entry)
+        if entry.is_fast() and entry.field_type not in (
+            FieldType.TEXT, FieldType.BYTES,
+        ):
             return FastFieldRangeWeight(self, entry)
         return TermRangeWeight(self, entry)
 
@@ -58,6 +62,10 @@ def _term_bytes(entry, value) -> bytes:
         return Term.from_field_date(entry.name, int(value)).value_bytes
     if ftype == FieldType.BYTES:
         return bytes(value)
+    if ftype == FieldType.IP_ADDR:
+        from ..schema.term import ip_to_bytes
+
+        return ip_to_bytes(value)
     raise TypeError(f"range over unsupported field type {ftype}")
 
 
@@ -84,6 +92,53 @@ class TermRangeWeight(Weight):
         if not parts:
             return SegmentResult.empty()
         docs = np.unique(np.concatenate(parts))
+        return SegmentResult(docs, np.ones(len(docs), dtype=np.float32))
+
+
+class DictRangeWeight(Weight):
+    """Range over a dictionary-encoded fast column (str/bytes/ip): the
+    sorted per-segment dictionary is an order-preserving compact space
+    (the u128 compact-space idea of reference
+    `columnar/src/column_values/u128_based/compact_space/`), so byte-range
+    bounds become one ordinal interval and the column scan is a pure u64
+    vector comparison."""
+
+    def __init__(self, query: RangeQuery, entry):
+        self.q = query
+        self.entry = entry
+
+    def execute(self, segment_reader) -> SegmentResult:
+        col = segment_reader.fast_fields().column(self.entry.name)
+        if col is None or col.dictionary is None:
+            return SegmentResult.empty()
+        lower = (
+            _term_bytes(self.entry, self.q.lower)
+            if self.q.lower is not None
+            else None
+        )
+        upper = (
+            _term_bytes(self.entry, self.q.upper)
+            if self.q.upper is not None
+            else None
+        )
+        rng = col.dictionary.range_ords(
+            lower, upper, self.q.include_lower, self.q.include_upper
+        )
+        if len(rng) == 0:
+            return SegmentResult.empty()
+        lo_u, hi_u = np.uint64(rng.start), np.uint64(rng.stop - 1)
+        mask = (col.values >= lo_u) & (col.values <= hi_u)
+        if col.cardinality == CARD_FULL:
+            docs = np.nonzero(mask)[0].astype(np.uint32)
+        elif col.cardinality == CARD_OPTIONAL:
+            docs = col.present_docs[mask].astype(np.uint32)
+        else:
+            hit_rows = np.nonzero(mask)[0]
+            docs = np.unique(
+                (np.searchsorted(col.offsets, hit_rows, side="right") - 1).astype(
+                    np.uint32
+                )
+            )
         return SegmentResult(docs, np.ones(len(docs), dtype=np.float32))
 
 

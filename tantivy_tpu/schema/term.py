@@ -41,6 +41,25 @@ def u64_to_f64(v: int) -> float:
     return struct.unpack(">d", struct.pack(">Q", bits))[0]
 
 
+def ip_to_bytes(value) -> bytes:
+    """IP (str / ipaddress / int) -> order-preserving 16-byte big-endian key;
+    IPv4 maps into the IPv6 space (::ffff:a.b.c.d), as the reference does."""
+    import ipaddress
+
+    ip = ipaddress.ip_address(value)
+    if ip.version == 4:
+        ip = ipaddress.IPv6Address(f"::ffff:{ip}")
+    return int(ip).to_bytes(16, "big")
+
+
+def bytes_to_ip(raw: bytes):
+    """Inverse of `ip_to_bytes` (returns IPv4Address for mapped addresses)."""
+    import ipaddress
+
+    ip = ipaddress.IPv6Address(int.from_bytes(raw, "big"))
+    return ip.ipv4_mapped or ip
+
+
 @dataclass(frozen=True)
 class Term:
     field: str
@@ -75,6 +94,13 @@ class Term:
     @classmethod
     def from_field_bytes(cls, field: str, value: bytes) -> "Term":
         return cls(field, bytes(value))
+
+    @classmethod
+    def from_field_ip(cls, field: str, value) -> "Term":
+        """IP terms are 16-byte big-endian keys (IPv4 mapped into IPv6),
+        full u128 precision like the reference's compact-space encoding
+        (`columnar/src/column_values/u128_based/`)."""
+        return cls(field, ip_to_bytes(value))
 
     @classmethod
     def from_facet(cls, field: str, facet_path: str) -> "Term":
