@@ -28,7 +28,9 @@ import numpy as np
 
 from ..collector import Collector, _alive_filter
 
-BUCKET_TYPES = ("terms", "histogram", "date_histogram", "range", "filter")
+BUCKET_TYPES = (
+    "terms", "histogram", "date_histogram", "range", "filter", "composite",
+)
 METRIC_TYPES = (
     "avg", "min", "max", "sum", "value_count", "stats", "extended_stats",
     "percentiles", "cardinality", "top_hits",
@@ -484,6 +486,35 @@ class InterBuckets(Intermediate):
             (entry,) = items or [(None, [0, {}])]
             cnt, subs = entry[1][0], entry[1][1]
             return {"doc_count": cnt, **{n: i.finalize() for n, i in subs.items()}}
+        if kind == "composite":
+            from functools import cmp_to_key
+
+            names, dirs = _composite_dirs(body)
+            items.sort(
+                key=cmp_to_key(lambda a, b: _composite_cmp(a[0], b[0], dirs))
+            )
+            after = body.get("after")
+            if after is not None:
+                after_t = tuple(after.get(n) for n in names)
+                items = [
+                    kv for kv in items
+                    if _composite_cmp(kv[0], after_t, dirs) > 0
+                ]
+            size = int(body.get("size", 10))
+            shown = items[:size]
+            out = {
+                "buckets": [
+                    {
+                        "key": dict(zip(names, key)),
+                        "doc_count": cnt,
+                        **{n: i.finalize() for n, i in subs.items()},
+                    }
+                    for key, (cnt, subs) in shown
+                ]
+            }
+            if shown:
+                out["after_key"] = dict(zip(names, shown[-1][0]))
+            return out
         raise AggregationError(kind)
 
     def to_json(self):
@@ -687,6 +718,8 @@ def _collect_node(node, reader, seg_ord, docs, scores, limits) -> Intermediate:
                 },
             ]
         return b
+    if kind == "composite":
+        return _collect_composite(body, sub, reader, seg_ord, docs, limits)
     if kind == "filter":
         from ..query.parser import QueryParser
 
@@ -702,6 +735,164 @@ def _collect_node(node, reader, seg_ord, docs, scores, limits) -> Intermediate:
         ]
         return b
     raise AggregationError(kind)
+
+
+def _composite_source_codes(reader, docs, skind, sbody):
+    """One composite source over `docs`: returns (codes i64[] aligned with
+    `idx`, idx doc-positions i64[], lut object[] with lut[code] = bucket key
+    value). Terms sources key by term string (or number for numeric
+    columns); histogram sources key by bucket lower bound."""
+    field = sbody["field"]
+    if skind == "terms":
+        col = reader.fast_fields().column(field)
+        if col is not None and col.dictionary is not None:
+            ords, idx, dic = _column_ords(reader, field, docs)
+            uniq, inv = np.unique(ords, return_inverse=True) if len(ords) else (
+                np.zeros(0, np.int64), np.zeros(0, np.int64)
+            )
+            lut = np.array(
+                [dic.term(int(o)).decode("utf-8", "replace") for o in uniq],
+                dtype=object,
+            )
+            return inv.astype(np.int64), idx, lut
+        vals, idx = _column_values(reader, field, docs)
+    else:
+        vals, idx = _column_values(reader, field, docs)
+        if skind == "date_histogram":
+            interval = _parse_fixed_interval(sbody.get("fixed_interval", "1d"))
+        else:
+            interval = float(sbody["interval"])
+        offset = float(sbody.get("offset", 0.0))
+        if len(vals):
+            vals = np.floor((vals - offset) / interval) * interval + offset
+    uniq, inv = np.unique(vals, return_inverse=True) if len(vals) else (
+        np.zeros(0, np.float64), np.zeros(0, np.int64)
+    )
+    lut = np.array([_norm_val(float(v)) for v in uniq], dtype=object)
+    return inv.astype(np.int64), idx, lut
+
+
+def _collect_composite(body, sub, reader, seg_ord, docs, limits):
+    """Composite aggregation (reference `src/aggregation/bucket/composite/`):
+    paginated buckets over the cross product of the sources' per-doc values.
+    Fully vectorized: each source factorizes to integer codes (0 = missing),
+    the cross product expands with repeat/cumsum arithmetic, and buckets
+    come from one unique pass over combined codes."""
+    b = InterBuckets("composite", body)
+    sources = body.get("sources", [])
+    if not sources or len(docs) == 0:
+        return b
+
+    cur_rows = np.arange(len(docs), dtype=np.int64)  # doc positions
+    code_cols: list[np.ndarray] = []                 # per-row codes (0=missing)
+    luts: list[np.ndarray] = []                      # per-source key values
+    for src in sources:
+        ((sname, sdef),) = src.items()
+        ((skind, sbody),) = (
+            (k, v)
+            for k, v in sdef.items()
+            if k in ("terms", "histogram", "date_histogram")
+        )
+        missing_ok = bool(sbody.get("missing_bucket", False))
+        codes, idx, lut = _composite_source_codes(reader, docs, skind, sbody)
+        luts.append(lut)
+        cnt = (
+            np.bincount(idx, minlength=len(docs))
+            if len(idx)
+            else np.zeros(len(docs), dtype=np.int64)
+        )
+        starts = np.zeros(len(docs) + 1, dtype=np.int64)
+        np.cumsum(cnt, out=starts[1:])
+        reps = np.maximum(cnt, 1)[cur_rows] if missing_ok else cnt[cur_rows]
+        total = int(reps.sum())
+        if total == 0:
+            return b
+        new_rows = np.repeat(cur_rows, reps)
+        code_cols = [np.repeat(cc, reps) for cc in code_cols]
+        run_start = np.zeros(len(cur_rows), dtype=np.int64)
+        np.cumsum(reps[:-1], out=run_start[1:])
+        within = np.arange(total, dtype=np.int64) - np.repeat(run_start, reps)
+        has_val = cnt[new_rows] > 0
+        val_idx = np.minimum(starts[new_rows] + within, max(len(codes) - 1, 0))
+        newcodes = np.where(
+            has_val,
+            (codes[val_idx] + 1) if len(codes) else 0,
+            0,
+        ).astype(np.int64)
+        code_cols.append(newcodes)
+        cur_rows = new_rows
+
+    # combine source codes (successive pair factorization keeps them compact)
+    combined = code_cols[0]
+    for nxt in code_cols[1:]:
+        pair = combined * (int(nxt.max()) + 1) + nxt
+        _, combined = np.unique(pair, return_inverse=True)
+    # dedupe (bucket, doc): a doc counts once per composite key
+    pair2 = combined * np.int64(len(docs)) + cur_rows
+    _, first_rows = np.unique(pair2, return_index=True)
+    dcodes = combined[first_rows]
+    ddocs = cur_rows[first_rows]
+    uniq_codes, inv, counts = np.unique(
+        dcodes, return_inverse=True, return_counts=True
+    )
+    limits.check_buckets(len(uniq_codes))
+    # representative row per bucket -> composite key tuple
+    rep = first_rows[np.unique(inv, return_index=True)[1]]
+    for bi in range(len(uniq_codes)):
+        key = tuple(
+            None if int(code_cols[s][rep[bi]]) == 0
+            else luts[s][int(code_cols[s][rep[bi]]) - 1]
+            for s in range(len(sources))
+        )
+        sel = inv == bi
+        sub_docs = docs[ddocs[sel]]
+        b.buckets[key] = [
+            int(counts[bi]),
+            {
+                n: _collect_node(nd, reader, seg_ord, sub_docs, None, limits)
+                for n, nd in sub.items()
+            },
+        ]
+    return b
+
+
+def _composite_dirs(body) -> tuple[list[str], list[bool]]:
+    """(source names, per-source desc flags) of a composite body."""
+    names, dirs = [], []
+    for src in body.get("sources", []):
+        ((sname, sdef),) = src.items()
+        ((_, sbody),) = (
+            (k, v)
+            for k, v in sdef.items()
+            if k in ("terms", "histogram", "date_histogram")
+        )
+        names.append(sname)
+        dirs.append(sbody.get("order", "asc") == "desc")
+    return names, dirs
+
+
+def _composite_cmp(a_key, b_key, dirs) -> int:
+    """Composite key ordering: per-source asc/desc, missing first on asc
+    (ES semantics)."""
+    for av, bv, desc in zip(a_key, b_key, dirs):
+        if av is None and bv is None:
+            continue
+        if av is None:
+            less = True
+        elif bv is None:
+            less = False
+        else:
+            if not isinstance(av, str):
+                av, bv = float(av), float(bv)
+            if av == bv:
+                continue
+            less = av < bv
+        if av is not None and bv is not None and av == bv:
+            continue
+        if desc:
+            less = not less
+        return -1 if less else 1
+    return 0
 
 
 def _column_ords_raw(col, docs):

@@ -103,6 +103,13 @@ class DeviceFieldPostings:
                     tfs = tfs.at[jnp.asarray(tsel)].set(tdec)
         return docs, tfs
 
+    def ensure_blk_last(self):
+        """Device mirror of the per-block last-doc skip column (probe
+        kernels binary-search it to locate a doc's candidate block)."""
+        if getattr(self, "_blk_last_dev", None) is None:
+            self._blk_last_dev = jnp.asarray(self.blk_last_doc, dtype=jnp.uint32)
+        return self._blk_last_dev
+
     def ensure_positions(self):
         """Upload the flat positions array and build the exclusive cumsum of
         real tfs over the flattened block store (pad lanes contribute 0) —

@@ -56,14 +56,15 @@ def probe_phrase_topk(
     valid,        # [W] bool
     store_docs,   # [NB, 128] u32
     store_tfs,    # [NB, 128] u32
+    blk_last,     # [NB] u32
     pos_cum,      # [NB*128] u32 — exclusive cumsum of real tfs
     positions,    # [P] u32 — flat in-doc token positions
     norm_ids,     # [max_doc] u8
     alive,        # [max_doc] bool
     cache,        # [256] f32
     q_weight,     # [Qp] f32 — phrase BM25 weight (idf-sum)
-    cl_start,     # [Qp, T] i32 — flat region start (term_block_start*128)
-    cl_len,       # [Qp, T] i32 — region length (term_num_blocks*128)
+    cl_start,     # [Qp, T] i32 — term_block_start (block units)
+    cl_len,       # [Qp, T] i32 — term_num_blocks
     cl_pos_start, # [Qp, T] i32 — positions array offset of the term
     cl_shift,     # [Qp, T] i32 — alignment shift (max_offset - offset_t)
     k: int,
@@ -74,9 +75,6 @@ def probe_phrase_topk(
     """Returns (scores [Q, k] f32, docs [Q, k] u32)."""
     w, lanes = docs.shape
     max_doc = norm_ids.shape[0]
-    flat_docs = store_docs.reshape(-1)
-    flat_tfs = store_tfs.reshape(-1)
-    nflat = flat_docs.shape[0]
     npos = positions.shape[0]
 
     fq = jnp.repeat(qid, lanes)
@@ -92,22 +90,24 @@ def probe_phrase_topk(
     norm = cache[norm_ids[safe].astype(jnp.int32)]
 
     # probe every term: presence, tf, position-slice base
-    from .probe_scorer import binsearch_flat
+    from .probe_scorer import binsearch_flat, probe_term
 
     all_found = lane_ok
     tf_t = []
     pbase_t = []
     for t in range(n_terms):
         s = cl_start[fq, t]
-        n = cl_len[fq, t]
-        lo = binsearch_flat(flat_docs, fdoc, s, s + n, n_iters)
-        pos = jnp.minimum(lo, nflat - 1)
-        found = (lo < s + n) & (flat_docs[pos] == fdoc) & (n > 0)
-        all_found = all_found & found
-        tf_t.append(flat_tfs[pos].astype(jnp.int32))
+        found, tf, flatpos = probe_term(
+            store_docs, store_tfs, blk_last, fdoc, s, cl_len[fq, t], n_iters,
+        )
+        all_found = all_found & found & (cl_len[fq, t] > 0)
+        tf_t.append(tf.astype(jnp.int32))
         pbase_t.append(
             cl_pos_start[fq, t]
-            + (pos_cum[pos] - pos_cum[jnp.minimum(s, nflat - 1)]).astype(jnp.int32)
+            + (
+                pos_cum[flatpos]
+                - pos_cum[jnp.minimum(s * 128, pos_cum.shape[0] - 1)]
+            ).astype(jnp.int32)
         )
 
     # anchor on the lane's own (leader) term
@@ -159,9 +159,9 @@ def probe_phrase_topk(
     return per_query_topk_from_rows(row_sc, row_doc, qid, k, num_queries)
 
 
-_W_LADDER = (256, 1024, 4096)
+_W_LADDER = (256, 4096)
 _T_LADDER = (2, 3, 4, T_MAX)
-_ITER_LADDER = (13, 26)
+_ITER_LADDER = (9, 15, 21)
 
 
 def _w_bucket(n: int) -> int:
@@ -204,6 +204,7 @@ def dispatch_phrase(
         raise RuntimeError("phrase scorer requires dense-mode DeviceSegment")
     assert dfp.num_blocks * 128 < 2**31
     positions, pos_cum = dfp.ensure_positions()
+    blk_last = dfp.ensure_blk_last()
     T = tables["cl_start"].shape[1]
     n_iters = _iter_bucket(int(tables["cl_len"].max(initial=1)))
     if alive is None:
@@ -236,7 +237,7 @@ def dispatch_phrase(
             probe_phrase_topk(
                 docs, jnp.asarray(q_pad), jnp.asarray(t_pad),
                 jnp.asarray(v_pad),
-                dfp.docs, dfp.tfs, pos_cum, positions,
+                dfp.docs, dfp.tfs, blk_last, pos_cum, positions,
                 dfp.norm_ids, alive, cache_dev,
                 *targs,
                 k=k, num_queries=num_queries, n_terms=T, n_iters=n_iters,

@@ -66,6 +66,34 @@ def binsearch_flat(flat, target, lo0, hi0, iters: int):
     lo, _ = jax.lax.fori_loop(0, iters, body, (lo0, hi0))
     return lo
 
+
+def probe_term(store_docs, store_tfs, blk_last, fdoc, blk_start, n_blk,
+               blk_iters: int):
+    """Vectorized (presence, tf, flat position) of doc `fdoc` [L] in the
+    term region [blk_start, blk_start + n_blk) of the block store.
+
+    Two-level: a binary search over the *small* per-block `blk_last` skip
+    column finds the one candidate block (cache-friendly dependent loads),
+    then one contiguous 128-lane row gather + a vectorized rank finishes —
+    the tensorized form of the reference's skip-then-block-search
+    (`block_segment_postings.rs:305`, `block_search.rs:38`).
+    """
+    nb = blk_last.shape[0]
+    blk = binsearch_flat(blk_last, fdoc, blk_start, blk_start + n_blk,
+                         blk_iters)
+    in_region = blk < blk_start + n_blk
+    blk_safe = jnp.minimum(blk, nb - 1)
+    drow = store_docs[blk_safe]                       # [L, 128]
+    trow = store_tfs[blk_safe]
+    p = jnp.sum(drow < fdoc[:, None], axis=1).astype(jnp.int32)
+    p_safe = jnp.minimum(p, 127)[:, None]
+    found = in_region & (
+        jnp.take_along_axis(drow, p_safe, axis=1)[:, 0] == fdoc
+    )
+    tf = jnp.take_along_axis(trow, p_safe, axis=1)[:, 0]
+    flatpos = blk_safe * 128 + jnp.minimum(p, 127)
+    return found, tf, flatpos
+
 KIND_MUST = 0
 KIND_SHOULD = 1
 KIND_MUST_NOT = 2
@@ -107,13 +135,14 @@ def probe_bool_topk(
     valid,       # [W] bool
     store_docs,  # [NB, 128] u32 — the field's full dense block store
     store_tfs,   # [NB, 128] u32
+    blk_last,    # [NB] u32 — per-block last doc (the skip column)
     norm_ids,    # [max_doc] u8
     alive,       # [max_doc] bool
     cache,       # [256] f32 — the field's BM25 tf-denominator cache
     cl_weight,   # [Qp, T] f32 (0 for MUST_NOT / absent)
     cl_kind,     # [Qp, T] i32 (KIND_*)
-    cl_start,    # [Qp, T] i32 — flat region start = term_block_start * 128
-    cl_len,      # [Qp, T] i32 — flat region length = term_num_blocks * 128
+    cl_start,    # [Qp, T] i32 — term_block_start (block units)
+    cl_len,      # [Qp, T] i32 — term_num_blocks
     cl_shipped,  # [Qp, T] bool — clause enumerates candidates for this query
     req_must,    # [Qp] i32
     req_should,  # [Qp] i32
@@ -125,9 +154,6 @@ def probe_bool_topk(
     """Returns (scores [Q, k] f32, docs [Q, k] u32)."""
     w, lanes = docs.shape
     max_doc = norm_ids.shape[0]
-    flat_store_docs = store_docs.reshape(-1)
-    flat_store_tfs = store_tfs.reshape(-1)
-    nflat = flat_store_docs.shape[0]
 
     fq = jnp.repeat(qid, lanes)                                   # [L]
     fdoc = docs.reshape(-1)
@@ -149,17 +175,15 @@ def probe_bool_topk(
     primary = jnp.full(fq.shape, T_MAX + 1, dtype=jnp.int32)
 
     for t in range(n_clauses):
-        s = cl_start[fq, t]
-        n = cl_len[fq, t]
         own = fcl == t
-        # vectorized binary search for fdoc in flat_store_docs[s : s+n]
-        lo = binsearch_flat(flat_store_docs, fdoc, s, s + n, n_iters)
-        pos = jnp.minimum(lo, nflat - 1)
-        found = (lo < s + n) & (flat_store_docs[pos] == fdoc)
+        found, tf_probe, _ = probe_term(
+            store_docs, store_tfs, blk_last, fdoc,
+            cl_start[fq, t], cl_len[fq, t], n_iters,
+        )
         # own lane: presence and tf are already in hand (skips a fetch and
         # keeps exactness independent of the search when n_iters is tight)
         presence = jnp.where(own, True, found)
-        tf_t = jnp.where(own, ftf, flat_store_tfs[pos]).astype(jnp.float32)
+        tf_t = jnp.where(own, ftf, tf_probe).astype(jnp.float32)
         kind_t = cl_kind[fq, t]
         contrib = cl_weight[fq, t] * (tf_t / (tf_t + norm))
         positive = presence & (
@@ -190,12 +214,13 @@ def probe_bool_topk(
 
 
 #: work-list ladder (bounded compile count; chunking anywhere is safe since
-#: every lane carries its doc's full score)
-_W_LADDER = (256, 1024, 4096)
+#: every lane carries its doc's full score). Two sizes only: small corpora
+#: stay cheap, large work lists amortize into few launches.
+_W_LADDER = (256, 4096)
 #: clause-count buckets
 _T_LADDER = (2, 4, T_MAX)
-#: binary-search depth buckets (covers region length <= 2^(n_iters-1) entries)
-_ITER_LADDER = (13, 26)
+#: block-index search depth buckets (covers <= 2^(n_iters-1) blocks/term)
+_ITER_LADDER = (9, 15, 21)
 
 
 def _w_bucket(n: int) -> int:
@@ -237,6 +262,7 @@ def dispatch_probe(
     assert dfp.num_blocks * 128 < 2**31, "flat region offsets must fit in i32"
     T = tables["cl_weight"].shape[1]
     n_iters = _iter_bucket(int(tables["cl_len"].max(initial=1)))
+    blk_last = dfp.ensure_blk_last()
     if alive is None:
         alive = jnp.ones(dfp.norm_ids.shape[0], dtype=bool)
     targs = (
@@ -270,7 +296,7 @@ def dispatch_probe(
             probe_bool_topk(
                 docs, tfs, jnp.asarray(q_pad), jnp.asarray(c_pad),
                 jnp.asarray(v_pad),
-                dfp.docs, dfp.tfs, dfp.norm_ids, alive, cache_dev,
+                dfp.docs, dfp.tfs, blk_last, dfp.norm_ids, alive, cache_dev,
                 *targs,
                 k=k, num_queries=num_queries, n_clauses=T, n_iters=n_iters,
             )

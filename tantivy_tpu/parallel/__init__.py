@@ -347,8 +347,8 @@ class BatchExecutor:
                         continue
                     tb["cl_weight"][qi, ci] = 0.0 if kd == ps.KIND_MUST_NOT else w
                     tb["cl_kind"][qi, ci] = kd
-                    tb["cl_start"][qi, ci] = int(dfp.term_block_start[o]) * 128
-                    tb["cl_len"][qi, ci] = int(dfp.term_num_blocks[o]) * 128
+                    tb["cl_start"][qi, ci] = int(dfp.term_block_start[o])
+                    tb["cl_len"][qi, ci] = int(dfp.term_num_blocks[o])
                     tb["cl_shipped"][qi, ci] = ci in shipped
 
                 # candidate blocks + upper bounds per shipped clause
@@ -624,8 +624,8 @@ class BatchExecutor:
                 tb = g["tables"]
                 mx_off = max(q.offsets)
                 for t, o in enumerate(ords):
-                    tb["cl_start"][qi, t] = starts[t] * 128
-                    tb["cl_len"][qi, t] = nblks[t] * 128
+                    tb["cl_start"][qi, t] = starts[t]
+                    tb["cl_len"][qi, t] = nblks[t]
                     tb["cl_pos_start"][qi, t] = int(dfp.term_pos_start[o])
                     tb["cl_shift"][qi, t] = mx_off - q.offsets[t]
                 if len(ids) <= M1:
@@ -706,13 +706,13 @@ class BatchExecutor:
         for seg_ord, (vals_dev, docs_dev) in pending:
             vals = np.asarray(vals_dev)
             docs = np.asarray(docs_dev)
-            for qi in range(vals.shape[0]):
-                row = vals[qi]
-                n = int(np.count_nonzero(row > NEG_INF))
-                for j in range(n):
-                    per_query[qi].append(
-                        (np.float32(row[j]), DocAddress(seg_ord, int(docs[qi, j])))
-                    )
+            qs, js = np.nonzero(vals > NEG_INF)
+            vsel = vals[qs, js]
+            dsel = docs[qs, js]
+            for i, qi in enumerate(qs.tolist()):
+                per_query[qi].append(
+                    (np.float32(vsel[i]), DocAddress(seg_ord, int(dsel[i])))
+                )
 
     def search_term_batch_bucketed(self, terms: list, k: int):
         """Legacy bucketed path (no WAND); kept for cross-checking."""

@@ -54,7 +54,17 @@ class TextOptions:
     fast: bool = False
     fast_tokenizer: str | None = None
 
-    def __or__(self, other: "TextOptions") -> "TextOptions":
+    def __or__(self, other) -> "TextOptions":
+        # NumericOptions flags (STORED / FAST / INDEXED) compose with text
+        # options like the reference's flag types do
+        if isinstance(other, NumericOptions):
+            other = TextOptions(
+                indexed=self.indexed,  # keep text indexing config
+                tokenizer=self.tokenizer,
+                record=self.record,
+                stored=other.stored,
+                fast=other.fast,
+            )
         return TextOptions(
             indexed=self.indexed or other.indexed,
             tokenizer=other.tokenizer if other.indexed else self.tokenizer,
@@ -64,6 +74,8 @@ class TextOptions:
             fast=self.fast or other.fast,
             fast_tokenizer=other.fast_tokenizer or self.fast_tokenizer,
         )
+
+    __ror__ = __or__
 
     def set_stored(self) -> "TextOptions":
         return replace(self, stored=True)
@@ -82,7 +94,9 @@ class NumericOptions:
     fast: bool = False
     fieldnorms: bool = False
 
-    def __or__(self, other: "NumericOptions") -> "NumericOptions":
+    def __or__(self, other: "NumericOptions"):
+        if isinstance(other, TextOptions):
+            return NotImplemented  # TextOptions.__ror__ handles the mix
         return NumericOptions(
             indexed=self.indexed or other.indexed,
             stored=self.stored or other.stored,
