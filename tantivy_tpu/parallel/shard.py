@@ -100,6 +100,139 @@ def make_sharded_term_topk(mesh: Mesh, k: int):
     return jax.jit(step)
 
 
+def _fruit_merge(vals, gdocs, k):
+    """all_gather candidates over ICI + replicated global top-k with the
+    (score desc, global doc asc) tie-break — `merge_fruits` on the mesh."""
+    all_vals = jax.lax.all_gather(vals, "seg", axis=0)  # [D, Q, k]
+    all_docs = jax.lax.all_gather(gdocs, "seg", axis=0)
+    d, q, kk = all_vals.shape
+    flat_vals = jnp.transpose(all_vals, (1, 0, 2)).reshape(q, d * kk)
+    flat_docs = jnp.transpose(all_docs, (1, 0, 2)).reshape(q, d * kk)
+    order = jnp.argsort(flat_docs, axis=1)
+    sv = jnp.take_along_axis(flat_vals, order, axis=1)
+    sd = jnp.take_along_axis(flat_docs, order, axis=1)
+    mvals, midx = jax.lax.top_k(sv, k)
+    mdocs = jnp.take_along_axis(sd, midx, axis=1)
+    return mvals, mdocs
+
+
+def make_sharded_bool_topk(mesh: Mesh, k: int, num_queries: int,
+                           n_clauses: int, n_segs: int, n_iters: int):
+    """SPMD boolean(term) batch step. Each shard runs the probe kernel over
+    its own stacked block store (lanes probe only their own segment's clause
+    regions — shard-local doc ranges are disjoint across segments), then
+    fruits merge over the mesh axis. Shapes (D = mesh axis size, W = work
+    list, Qp = num_queries + 1, T/S static buckets):
+      doc_store/tf_store [D, NB, 128], blk_last [D, NB],
+      block_sel/lane_q/lane_cl/lane_seg [D, W] (+ valid [D, W]),
+      norm_ids/alive [D, MD], doc_off [D],
+      cl_weight/cl_kind [D, Qp, T], cl_start/cl_len/cl_shipped [D, Qp, T, S],
+      req_must/req_should [Qp], cache [256]."""
+    from ..ops.probe_scorer import (
+        KIND_MUST,
+        KIND_MUST_NOT,
+        KIND_SHOULD,
+        T_MAX,
+        per_query_topk_from_rows,
+        probe_term,
+    )
+
+    def step(doc_store, tf_store, blk_last, block_sel, lane_q, lane_cl,
+             lane_seg, valid, norm_ids, alive, doc_off,
+             cl_weight, cl_kind, cl_start, cl_len, cl_shipped,
+             req_must, req_should, cache):
+        def shard_fn(doc_store, tf_store, blk_last, block_sel, lane_q,
+                     lane_cl, lane_seg, valid, norm_ids, alive, doc_off,
+                     cl_weight, cl_kind, cl_start, cl_len, cl_shipped,
+                     req_must, req_should, cache):
+            ds, ts, bl = doc_store[0], tf_store[0], blk_last[0]
+            nid, alv = norm_ids[0], alive[0]
+            c_start, c_len = cl_start[0], cl_len[0]
+            c_w, c_kind, c_ship = cl_weight[0], cl_kind[0], cl_shipped[0]
+            docs = jnp.take(ds, block_sel[0], axis=0)      # [W, 128]
+            tfs = jnp.take(ts, block_sel[0], axis=0)
+            w, lanes = docs.shape
+            max_doc = nid.shape[0]
+
+            fq = jnp.repeat(lane_q[0], lanes)
+            fdoc = docs.reshape(-1)
+            ftf = tfs.reshape(-1)
+            fcl = jnp.repeat(lane_cl[0], lanes)
+            fseg = jnp.repeat(lane_seg[0], lanes)
+            safe = jnp.minimum(fdoc, jnp.uint32(max(max_doc - 1, 0)))
+            lane_ok = (
+                (fdoc != jnp.uint32(TERMINATED))
+                & jnp.repeat(valid[0], lanes)
+                & alv[safe]
+                & (fq < jnp.int32(num_queries))
+            )
+            norm = cache[nid[safe].astype(jnp.int32)]
+
+            score = jnp.zeros_like(norm)
+            cnt_must = jnp.zeros(fq.shape, dtype=jnp.int32)
+            cnt_should = jnp.zeros(fq.shape, dtype=jnp.int32)
+            has_not = jnp.zeros(fq.shape, dtype=jnp.bool_)
+            primary = jnp.full(fq.shape, T_MAX + 1, dtype=jnp.int32)
+            for t in range(n_clauses):
+                own = fcl == t
+                found, tf_probe, _ = probe_term(
+                    ds, ts, bl, fdoc,
+                    c_start[fq, t, fseg], c_len[fq, t, fseg], n_iters,
+                )
+                presence = jnp.where(own, True, found)
+                tf_t = jnp.where(own, ftf, tf_probe).astype(jnp.float32)
+                kind_t = c_kind[fq, t]
+                contrib = c_w[fq, t] * (tf_t / (tf_t + norm))
+                positive = presence & (
+                    (kind_t == KIND_MUST) | (kind_t == KIND_SHOULD)
+                )
+                score = score + jnp.where(positive, contrib, jnp.float32(0.0))
+                cnt_must = cnt_must + (
+                    presence & (kind_t == KIND_MUST)
+                ).astype(jnp.int32)
+                cnt_should = cnt_should + (
+                    presence & (kind_t == KIND_SHOULD)
+                ).astype(jnp.int32)
+                has_not = has_not | (presence & (kind_t == KIND_MUST_NOT))
+                is_prim = presence & c_ship[fq, t, fseg] & (primary > T_MAX)
+                primary = jnp.where(is_prim, jnp.int32(t), primary)
+
+            ok = (
+                lane_ok
+                & (fcl == primary)
+                & (cnt_must >= req_must[fq])
+                & (cnt_should >= req_should[fq])
+                & ~has_not
+            )
+            lane_scores = jnp.where(ok, score, NEG_INF).reshape(w, lanes)
+            kk = min(k, lanes)
+            row_sc, row_idx = jax.lax.top_k(lane_scores, kk)
+            row_doc = jnp.take_along_axis(docs, row_idx, axis=1)
+            vals, ldocs = per_query_topk_from_rows(
+                row_sc, row_doc, lane_q[0], k, num_queries
+            )
+            gdocs = ldocs + doc_off[0]
+            return _fruit_merge(vals, gdocs, k)
+
+        return jax.shard_map(
+            shard_fn,
+            mesh=mesh,
+            in_specs=(
+                P("seg"), P("seg"), P("seg"), P("seg"), P("seg"), P("seg"),
+                P("seg"), P("seg"), P("seg"), P("seg"), P("seg"),
+                P("seg"), P("seg"), P("seg"), P("seg"), P("seg"),
+                P(), P(), P(),
+            ),
+            out_specs=(P(), P()),
+            check_vma=False,
+        )(doc_store, tf_store, blk_last, block_sel, lane_q, lane_cl,
+          lane_seg, valid, norm_ids, alive, doc_off,
+          cl_weight, cl_kind, cl_start, cl_len, cl_shipped,
+          req_must, req_should, cache)
+
+    return jax.jit(step)
+
+
 class ShardedSearcher:
     """Device-mesh search over an index: shards segments across the mesh and
     runs batched term top-k with on-device fruit merging."""
@@ -146,6 +279,7 @@ class ShardedSearcher:
         shard_blobs = []
         for shard_i, readers in enumerate(self.shard_readers):
             docs_list, tfs_list, norm_list, alive_list = [], [], [], []
+            blast_list = []
             block_off = 0
             doc_off = 0  # shard-local doc offset (norms/alive indexing)
             seg_infos = []
@@ -154,6 +288,9 @@ class ShardedSearcher:
                 dfp = dseg.field_postings(field)
                 docs_list.append(np.asarray(dfp.docs))
                 tfs_list.append(np.asarray(dfp.tfs))
+                blast_list.append(
+                    dfp.blk_last_doc.astype(np.uint32) + np.uint32(doc_off)
+                )
                 norm_list.append(np.asarray(dfp.norm_ids))
                 a = r.alive_bitset()
                 alive_list.append(
@@ -190,6 +327,11 @@ class ShardedSearcher:
                 if tfs_list
                 else np.zeros((0, 128), dtype=np.uint32)
             )
+            blast = (
+                np.concatenate(blast_list)
+                if blast_list
+                else np.zeros(0, dtype=np.uint32)
+            )
             norms = (
                 np.concatenate(norm_list)
                 if norm_list
@@ -204,6 +346,7 @@ class ShardedSearcher:
                 {
                     "docs": docs,
                     "tfs": tfs,
+                    "blast": blast,
                     "norms": norms,
                     "alive": alive,
                     "segs": seg_infos,
@@ -214,17 +357,20 @@ class ShardedSearcher:
         md = max(max((len(b["norms"]) for b in shard_blobs), default=1), 1)
         doc_store = np.full((D, nb, 128), TERMINATED, dtype=np.uint32)
         tf_store = np.ones((D, nb, 128), dtype=np.uint32)
+        blk_last = np.full((D, nb), 0xFFFFFFFF, dtype=np.uint32)
         norm_ids = np.zeros((D, md), dtype=np.uint8)
         alive = np.zeros((D, md), dtype=bool)
         for s, blob in enumerate(shard_blobs):
             n = blob["docs"].shape[0]
             doc_store[s, :n] = blob["docs"]
             tf_store[s, :n] = blob["tfs"]
+            blk_last[s, :n] = blob["blast"]
             norm_ids[s, : len(blob["norms"])] = blob["norms"]
             alive[s, : len(blob["alive"])] = blob["alive"]
         data = {
             "doc_store": doc_store,
             "tf_store": tf_store,
+            "blk_last": blk_last,
             "norm_ids": norm_ids,
             "alive": alive,
             "shard_blobs": shard_blobs,
@@ -315,6 +461,187 @@ class ShardedSearcher:
                 seg = int(np.searchsorted(self.seg_bases, g, side="right")) - 1
                 hits.append(
                     (np.float32(s), DocAddress(seg, g - int(self.seg_bases[seg])))
+                )
+            out.append(hits)
+        return out
+
+
+    def search_boolean_batch(self, queries: list, k: int):
+        """Batched sharded boolean(term-clause) search: shipped candidate
+        blocks per shard (only the rarest MUST clause for intersections),
+        probe scoring on each shard, fruit merge over the mesh. Returns
+        list[list[(score, DocAddress)]]."""
+        from ..ops.probe_scorer import (
+            KIND_ABSENT,
+            KIND_MUST,
+            KIND_MUST_NOT,
+            KIND_SHOULD,
+            t_bucket,
+        )
+        from ..query import Occur
+        from ..query.bm25 import Bm25Weight, compute_tf_cache
+        from ..searcher import DocAddress
+
+        if not queries:
+            return []
+        field = queries[0].clauses[0][1].term.field
+        data = self._field_data(field)
+        D = self.n_shards
+        Q = len(queries)
+        kind_of = {
+            Occur.MUST: KIND_MUST,
+            Occur.SHOULD: KIND_SHOULD,
+            Occur.MUST_NOT: KIND_MUST_NOT,
+        }
+        fs = self.searcher.field_statistics(field)
+        cache = compute_tf_cache(np.float32(fs.average_fieldnorm))
+
+        T = t_bucket(max(len(q.clauses) for q in queries))
+        S = max(max((len(b["segs"]) for b in data["shard_blobs"]),
+                    default=1), 1)
+        req_must = np.zeros(Q + 1, dtype=np.int32)
+        req_should = np.zeros(Q + 1, dtype=np.int32)
+        req_must[Q] = 1 << 30
+        cl_weight = np.zeros((D, Q + 1, T), dtype=np.float32)
+        cl_kind = np.full((D, Q + 1, T), KIND_ABSENT, dtype=np.int32)
+        cl_start = np.zeros((D, Q + 1, T, S), dtype=np.int32)
+        cl_len = np.zeros((D, Q + 1, T, S), dtype=np.int32)
+        cl_shipped = np.zeros((D, Q + 1, T, S), dtype=bool)
+
+        qinfo = []
+        max_nblk = 1
+        for qi, q in enumerate(queries):
+            n_must = sum(1 for occ, _ in q.clauses if occ == Occur.MUST)
+            n_should = sum(1 for occ, _ in q.clauses if occ == Occur.SHOULD)
+            req_must[qi] = n_must
+            ms = q.minimum_number_should_match
+            if n_must == 0:
+                ms = max(ms, 1)
+            req_should[qi] = min(ms, n_should) if n_should else 0
+            if n_should and q.minimum_number_should_match > n_should:
+                req_should[qi] = 1 << 30
+            info = []
+            for occ, sub in q.clauses:
+                kd = kind_of[occ]
+                if kd == KIND_MUST_NOT:
+                    w = np.float32(0.0)
+                else:
+                    bw = Bm25Weight.for_one_term(
+                        max(self.searcher.doc_freq(sub.term), 1),
+                        fs.total_num_docs, fs.average_fieldnorm,
+                    )
+                    w = bw.weight
+                info.append((kd, sub.term, w))
+            qinfo.append(info)
+
+        # per-shard work lists
+        work = []  # per shard: (blocks, qids, clauses, segs)
+        for s, blob in enumerate(data["shard_blobs"]):
+            blocks, qids, cls, segs = [], [], [], []
+            for si, seg in enumerate(blob["segs"]):
+                inv = seg["reader"].inverted_index(field)
+                dfp = seg["dfp"]
+                for qi, info in enumerate(qinfo):
+                    ords = [inv.term_ord(t.value_bytes) for _, t, _ in info]
+                    ords = [-1 if o is None else o for o in ords]
+                    if any(
+                        kd == KIND_MUST and o < 0
+                        for (kd, _, _), o in zip(info, ords)
+                    ):
+                        continue
+                    positive = [
+                        ci
+                        for ci, ((kd, _, _), o) in enumerate(zip(info, ords))
+                        if kd in (KIND_MUST, KIND_SHOULD) and o >= 0
+                    ]
+                    if not positive:
+                        continue
+                    for ci, ((kd, t, w), o) in enumerate(zip(info, ords)):
+                        if o < 0:
+                            continue
+                        cl_weight[s, qi, ci] = (
+                            0.0 if kd == KIND_MUST_NOT else w
+                        )
+                        cl_kind[s, qi, ci] = kd
+                        cl_start[s, qi, ci, si] = (
+                            seg["block_off"] + int(dfp.term_block_start[o])
+                        )
+                        cl_len[s, qi, ci, si] = int(dfp.term_num_blocks[o])
+                        max_nblk = max(max_nblk, int(dfp.term_num_blocks[o]))
+                    musts = [
+                        ci for ci in positive if info[ci][0] == KIND_MUST
+                    ]
+                    if musts:
+                        shipped = [min(
+                            musts,
+                            key=lambda ci: int(
+                                dfp.term_num_blocks[ords[ci]]
+                            ),
+                        )]
+                    else:
+                        shipped = positive
+                    for ci in shipped:
+                        cl_shipped[s, qi, ci, si] = True
+                        s0 = seg["block_off"] + int(
+                            dfp.term_block_start[ords[ci]]
+                        )
+                        n = int(dfp.term_num_blocks[ords[ci]])
+                        blocks.append(np.arange(s0, s0 + n, dtype=np.int32))
+                        qids.append(np.full(n, qi, dtype=np.int32))
+                        cls.append(np.full(n, ci, dtype=np.int32))
+                        segs.append(np.full(n, si, dtype=np.int32))
+            work.append((blocks, qids, cls, segs))
+
+        W = 1
+        for blocks, _, _, _ in work:
+            W = max(W, sum(len(b) for b in blocks))
+        Wp = 1
+        while Wp < W:
+            Wp *= 2
+        block_sel = np.zeros((D, Wp), dtype=np.int32)
+        lane_q = np.full((D, Wp), Q, dtype=np.int32)
+        lane_cl = np.zeros((D, Wp), dtype=np.int32)
+        lane_seg = np.zeros((D, Wp), dtype=np.int32)
+        valid = np.zeros((D, Wp), dtype=bool)
+        for s, (blocks, qids, cls, segs) in enumerate(work):
+            if not blocks:
+                continue
+            b = np.concatenate(blocks)
+            block_sel[s, : len(b)] = b
+            lane_q[s, : len(b)] = np.concatenate(qids)
+            lane_cl[s, : len(b)] = np.concatenate(cls)
+            lane_seg[s, : len(b)] = np.concatenate(segs)
+            valid[s, : len(b)] = True
+
+        doc_off = np.zeros(D, dtype=np.uint32)
+        for s in range(D):
+            if self.shard_seg_ords[s]:
+                doc_off[s] = np.uint32(
+                    self.seg_bases[self.shard_seg_ords[s][0]]
+                )
+        n_iters = max(int(np.ceil(np.log2(max(max_nblk, 2)))) + 1, 4)
+        step = make_sharded_bool_topk(self.mesh, k, Q, T, S, n_iters)
+        vals, gdocs = step(
+            data["doc_store"], data["tf_store"], data["blk_last"],
+            block_sel, lane_q, lane_cl, lane_seg, valid,
+            data["norm_ids"], data["alive"], doc_off,
+            cl_weight, cl_kind, cl_start, cl_len, cl_shipped,
+            req_must, req_should, jnp.asarray(cache),
+        )
+        vals = np.asarray(vals)
+        gdocs = np.asarray(gdocs).astype(np.int64)
+        out = []
+        for qi in range(Q):
+            hits = []
+            for j in range(k):
+                sc = vals[qi, j]
+                if not np.isfinite(sc):
+                    continue
+                g = int(gdocs[qi, j])
+                seg = int(np.searchsorted(self.seg_bases, g, side="right")) - 1
+                hits.append(
+                    (np.float32(sc),
+                     DocAddress(seg, g - int(self.seg_bases[seg])))
                 )
             out.append(hits)
         return out

@@ -34,6 +34,34 @@ def test_sharded_matches_host(sharded_setup):
         assert_hits_match(device_hits, host_hits, context=str(term))
 
 
+def test_sharded_boolean_matches_host(sharded_setup):
+    searcher, words, mesh = sharded_setup
+    sharded = ShardedSearcher(searcher, mesh)
+
+    def t(w):
+        return tt.TermQuery(tt.Term.from_field_text("body", w))
+
+    queries = [
+        tt.BooleanQuery.union([t(words[0]), t(words[1])]),
+        tt.BooleanQuery.intersection([t(words[2]), t(words[3])]),
+        tt.BooleanQuery([
+            (tt.Occur.MUST, t(words[4])),
+            (tt.Occur.SHOULD, t(words[5])),
+            (tt.Occur.MUST_NOT, t(words[6])),
+        ]),
+        tt.BooleanQuery(
+            [(tt.Occur.SHOULD, t(words[i])) for i in (7, 8, 9)],
+            minimum_number_should_match=2,
+        ),
+        tt.BooleanQuery.union([t(words[0]), t("zzz_missing")]),
+        tt.BooleanQuery.intersection([t(words[0]), t("zzz_missing")]),
+    ]
+    results = sharded.search_boolean_batch(queries, k=10)
+    for q, device_hits in zip(queries, results):
+        host_hits = searcher.search(q, tt.TopDocs(10))
+        assert_hits_match(device_hits, host_hits, context=repr(q))
+
+
 def test_sharded_with_deletes():
     index, words = build_random_index(num_docs=300, vocab=20, num_commits=4)
     w = index.writer_for_tests()
