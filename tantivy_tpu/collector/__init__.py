@@ -112,16 +112,18 @@ class TopDocsByField(Collector):
         res = weight.execute(reader)
         docs, _ = _alive_filter(res, reader)
         col = reader.fast_fields().column(self.field)
-        if col is None:
+        if col is None or len(docs) == 0:
             return []
-        out = []
-        for d in docs:
-            v = col.first(int(d))
-            if v is not None:
-                out.append((v, DocAddress(segment_ord, int(d))))
-        out.sort(key=lambda x: x[1])  # secondary: DocAddress asc (stable)
-        out.sort(key=lambda x: x[0], reverse=self.descending)  # primary, stable
-        return out[: self.limit + self.offset]
+        # raw u64 values are order-preserving -> sort vectorized, decode
+        # only the surviving page
+        raw, present = col.first_u64s(docs)
+        docs, raw = docs[present], raw[present]
+        key = (np.iinfo(np.uint64).max - raw) if self.descending else raw
+        order = np.lexsort((docs, key))[: self.limit + self.offset]
+        return [
+            (col.decode_value(raw[i]), DocAddress(segment_ord, int(docs[i])))
+            for i in order
+        ]
 
     def merge_fruits(self, fruits):
         all_hits = [hit for fruit in fruits for hit in fruit]
@@ -211,18 +213,25 @@ class FilterCollector(Collector):
 
             def execute(self, r):
                 res = self._w.execute(r)
-                if col is None:
-                    mask = np.zeros(len(res.docs), dtype=bool)
-                else:
-                    mask = np.asarray(
-                        [
-                            any(pred(v) for v in col.values_for_doc(int(d)))
-                            for d in res.docs
-                        ],
-                        dtype=bool,
-                    )
                 from ..query import SegmentResult
 
+                if col is None or len(res.docs) == 0:
+                    return SegmentResult(
+                        res.docs[:0], res.scores[:0]
+                    )
+                # evaluate the predicate once per DISTINCT value, then
+                # scatter to docs (any-match semantics for multi-value)
+                from ..aggregation import _column_ords_raw
+
+                raw, idx = _column_ords_raw(col, res.docs)
+                mask = np.zeros(len(res.docs), dtype=bool)
+                if len(raw):
+                    uniq, inv = np.unique(raw, return_inverse=True)
+                    okv = np.fromiter(
+                        (bool(pred(col.decode_value(u))) for u in uniq),
+                        dtype=bool, count=len(uniq),
+                    )
+                    mask[idx[okv[inv]]] = True
                 return SegmentResult(res.docs[mask], res.scores[mask])
 
             def count(self, r):
@@ -268,16 +277,18 @@ class HistogramCollector(Collector):
         self.num_buckets = num_buckets
 
     def collect_segment(self, weight, segment_ord: int, reader):
+        from ..aggregation import _column_values
+
         res = weight.execute(reader)
         docs, _ = _alive_filter(res, reader)
         counts = np.zeros(self.num_buckets, dtype=np.int64)
-        col = reader.fast_fields().column(self.field)
-        if col is not None:
-            for d in docs:
-                for v in col.values_for_doc(int(d)):
-                    b = int((float(v) - self.min_value) // self.bucket_width)
-                    if 0 <= b < self.num_buckets:
-                        counts[b] += 1
+        vals, _ = _column_values(reader, self.field, docs)
+        if len(vals):
+            b = np.floor((vals - self.min_value) / self.bucket_width).astype(
+                np.int64
+            )
+            sel = (b >= 0) & (b < self.num_buckets)
+            counts += np.bincount(b[sel], minlength=self.num_buckets)
         return counts
 
     def merge_fruits(self, fruits):

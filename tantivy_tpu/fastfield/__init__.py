@@ -255,6 +255,45 @@ class Column:
             return i < len(self.present_docs) and self.present_docs[i] == doc
         return int(self.offsets[doc + 1]) > int(self.offsets[doc])
 
+    def first_u64s(self, docs: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        """Vectorized first raw u64 value per doc: (values u64[n],
+        present bool[n]). Raw values are order-preserving (monotonic u64
+        mapping / sorted dict ordinals), so callers can sort on them and
+        decode only the survivors."""
+        docs = np.asarray(docs, dtype=np.int64)
+        if self.cardinality == CARD_FULL:
+            return self.values[docs], np.ones(len(docs), dtype=bool)
+        if self.cardinality == CARD_OPTIONAL:
+            pos = np.searchsorted(self.present_docs, docs)
+            pos = np.minimum(pos, max(len(self.present_docs) - 1, 0))
+            present = (
+                self.present_docs[pos] == docs
+                if len(self.present_docs)
+                else np.zeros(len(docs), dtype=bool)
+            )
+            vals = (
+                self.values[pos]
+                if len(self.values)
+                else np.zeros(len(docs), dtype=np.uint64)
+            )
+            return vals, present
+        s = self.offsets[docs]
+        e = self.offsets[docs + 1]
+        present = e > s
+        idx = np.minimum(s, max(len(self.values) - 1, 0))
+        vals = (
+            self.values[idx]
+            if len(self.values)
+            else np.zeros(len(docs), dtype=np.uint64)
+        )
+        return vals, present
+
+    def decode_value(self, raw: int):
+        """One raw u64 -> the user-facing value."""
+        if self.dictionary is not None:
+            return self.dictionary.term(int(raw))
+        return from_u64(int(raw), self.type_name)
+
     def doc_count_with_value(self) -> int:
         if self.cardinality == CARD_FULL:
             return self.max_doc

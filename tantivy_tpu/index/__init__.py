@@ -111,15 +111,21 @@ class Index:
         return cls(directory, schema, settings=IndexSettings.from_json(meta.settings))
 
     @classmethod
-    def open_or_create(cls, path, schema: Schema) -> "Index":
+    def open_or_create(cls, path, schema: Schema,
+                       settings: "IndexSettings | None" = None) -> "Index":
         directory = ManagedDirectory(FsDirectory.create(path))
         if directory.exists(META_FILEPATH):
-            index = cls.open_in_dir(path)
+            index = cls.open_in_dir(path)  # settings come from meta.json
             if index.schema.to_json() != schema.to_json():
                 raise ValueError("schema mismatch with existing index")
             return index
-        index = cls(directory, schema)
-        index.save_metas(IndexMeta(schema_json=schema.to_json()))
+        index = cls(directory, schema, settings=settings)
+        index.save_metas(
+            IndexMeta(
+                schema_json=schema.to_json(),
+                settings=index.settings.to_json(),
+            )
+        )
         return index
 
     # -- metas ---------------------------------------------------------------

@@ -125,3 +125,26 @@ class TestRegexPhrase:
         q3 = RegexPhraseQuery("t", ["the", "quick*"])
         hits3 = s.search(q3, tt.TopDocs(10))
         assert sorted(h[1].doc_id for h in hits3) == [0, 1]
+
+
+def test_open_or_create_settings_roundtrip(tmp_path):
+    import tantivy_tpu as tt
+    from tantivy_tpu.index import IndexSettings
+
+    b = tt.Schema.builder()
+    b.add_text_field("body", tt.TEXT)
+    b.add_u64_field("rank", tt.FAST)
+    schema = b.build()
+    settings = IndexSettings(sort_by_field=("rank", "asc"))
+    index = tt.Index.open_or_create(tmp_path / "idx", schema, settings=settings)
+    assert index.settings.sort_by_field == ("rank", "asc")
+    w = index.writer_for_tests()
+    w.add_document(tt.Document(body="a", rank=5))
+    w.add_document(tt.Document(body="b", rank=1))
+    w.commit()
+    w.close()
+    # reopen: settings must survive via meta.json
+    index2 = tt.Index.open_or_create(tmp_path / "idx", schema)
+    assert index2.settings.sort_by_field == ("rank", "asc")
+    index3 = tt.Index.open_in_dir(tmp_path / "idx")
+    assert index3.settings.sort_by_field == ("rank", "asc")
