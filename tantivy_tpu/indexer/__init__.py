@@ -211,7 +211,10 @@ class IndexWriter:
         worker threads and the single-threaded path alike)."""
         if sw.max_doc == 0:
             return
-        components = sw.serialize()
+        from ..utils.trace import debug_time
+
+        with debug_time("segment.serialize", docs=sw.max_doc):
+            components = sw.serialize()
         sid = new_segment_id()
         meta = SegmentMeta(segment_id=sid, max_doc=sw.max_doc)
         payload = [
@@ -379,7 +382,10 @@ class IndexWriter:
             self.index.schema, readers,
             sort_by_field=self.index.settings.sort_by_field,
         )
-        components, max_doc = merger.write()
+        from ..utils.trace import debug_time
+
+        with debug_time("segment.merge", n_segments=len(readers)):
+            components, max_doc = merger.write()
         sid = new_segment_id()
         for comp, arrays in components.items():
             self.index.directory.write(f"{sid}.{comp}", arrayio.save_arrays(arrays))

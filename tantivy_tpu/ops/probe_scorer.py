@@ -124,6 +124,130 @@ def per_query_topk_from_rows(row_sc, row_doc, qid, k: int, num_queries: int):
     return out_sc, out_doc
 
 
+def probe_term_window(store_docs, store_tfs, blk_last, docs2d, qid,
+                      cl_start_t, cl_len_t, kw: int, n_iters: int):
+    """Windowed probe: (found [W,128], tf [W,128], flatpos [W,128]) of every
+    lane doc in the clause region given per-BLOCK window location.
+
+    One binary search per work-item *block* (not per lane) finds where the
+    clause's blocks overlap the lane block's doc range; a `kw`-block window
+    is gathered contiguously and each lane resolves by a dense vectorized
+    rank over the window — compares on the VPU instead of per-lane gather
+    chains (TPU gathers are ~100M elem/s; compares are ~free). `kw` must
+    bound the true overlap width (host planning guarantees it via
+    `FieldWand.clause_blocks_ub`).
+    """
+    nb = blk_last.shape[0]
+    w = docs2d.shape[0]
+    s = cl_start_t[qid]                           # [W]
+    n = cl_len_t[qid]
+    first_doc = docs2d[:, 0]
+    jlo = binsearch_flat(blk_last, first_doc, s, s + n, n_iters)  # [W]
+    rows = jlo[:, None] + jnp.arange(kw)[None, :]                  # [W, kw]
+    row_ok = rows < s[:, None] + n[:, None]
+    rows_safe = jnp.minimum(rows, nb - 1)
+    win_docs = jnp.where(
+        row_ok[:, :, None], store_docs[rows_safe], jnp.uint32(0xFFFFFFFF)
+    ).reshape(w, kw * 128)
+    win_tfs = store_tfs[rows_safe].reshape(w, kw * 128)
+    # dense rank: window is sorted ascending (pads/invalid sort last)
+    p = jnp.sum(
+        win_docs[:, None, :] < docs2d[:, :, None], axis=2
+    ).astype(jnp.int32)                                            # [W, 128]
+    p_safe = jnp.minimum(p, kw * 128 - 1)
+    hit = jnp.take_along_axis(win_docs, p_safe, axis=1)
+    found = hit == docs2d
+    tf = jnp.take_along_axis(win_tfs, p_safe, axis=1)
+    flatpos = (jlo[:, None] * 128 + p_safe).astype(jnp.int32)
+    return found, tf, flatpos
+
+
+@functools.partial(
+    jax.jit, static_argnames=("k", "num_queries", "n_clauses", "kw", "n_iters")
+)
+def probe_bool_topk_window(
+    docs,        # [W, 128] u32 — shipped candidate blocks, TERMINATED-padded
+    tfs,         # [W, 128] u32
+    qid,         # [W] i32 (num_queries = padding row)
+    lane_clause, # [W] i32 — clause index the block belongs to
+    valid,       # [W] bool
+    store_docs,  # [NB, 128] u32
+    store_tfs,   # [NB, 128] u32
+    blk_last,    # [NB] u32
+    norm_ids,    # [max_doc] u8
+    alive,       # [max_doc] bool
+    cache,       # [256] f32
+    cl_weight,   # [Qp, T] f32
+    cl_kind,     # [Qp, T] i32
+    cl_start,    # [Qp, T] i32 — term_block_start (block units)
+    cl_len,      # [Qp, T] i32 — term_num_blocks
+    cl_shipped,  # [Qp, T] bool
+    req_must,    # [Qp] i32
+    req_should,  # [Qp] i32
+    k: int,
+    num_queries: int,
+    n_clauses: int,
+    kw: int,
+    n_iters: int,
+):
+    """Windowed-probe boolean scorer: same contract as probe_bool_topk but
+    with per-block window probes (see probe_term_window)."""
+    w, lanes = docs.shape
+    max_doc = norm_ids.shape[0]
+    safe = jnp.minimum(docs, jnp.uint32(max(max_doc - 1, 0)))
+    lane_ok = (
+        (docs != jnp.uint32(TERMINATED))
+        & valid[:, None]
+        & alive[safe]
+        & (qid < jnp.int32(num_queries))[:, None]
+    )
+    norm = cache[norm_ids[safe].astype(jnp.int32)]                # [W, 128]
+
+    score = jnp.zeros_like(norm)
+    cnt_must = jnp.zeros(docs.shape, dtype=jnp.int32)
+    cnt_should = jnp.zeros(docs.shape, dtype=jnp.int32)
+    has_not = jnp.zeros(docs.shape, dtype=jnp.bool_)
+    primary = jnp.full(docs.shape, T_MAX + 1, dtype=jnp.int32)
+
+    for t in range(n_clauses):
+        own = (lane_clause == t)[:, None]
+        found, tf_probe, _ = probe_term_window(
+            store_docs, store_tfs, blk_last, docs, qid,
+            cl_start[:, t], cl_len[:, t], kw, n_iters,
+        )
+        presence = jnp.where(own, True, found)
+        tf_t = jnp.where(own, tfs, tf_probe).astype(jnp.float32)
+        kind_t = cl_kind[qid, t][:, None]
+        contrib = cl_weight[qid, t][:, None] * (tf_t / (tf_t + norm))
+        positive = presence & (
+            (kind_t == KIND_MUST) | (kind_t == KIND_SHOULD)
+        )
+        score = score + jnp.where(positive, contrib, jnp.float32(0.0))
+        cnt_must = cnt_must + (presence & (kind_t == KIND_MUST)).astype(
+            jnp.int32
+        )
+        cnt_should = cnt_should + (
+            presence & (kind_t == KIND_SHOULD)
+        ).astype(jnp.int32)
+        has_not = has_not | (presence & (kind_t == KIND_MUST_NOT))
+        is_prim = presence & cl_shipped[qid, t][:, None] & (primary > T_MAX)
+        primary = jnp.where(is_prim, jnp.int32(t), primary)
+
+    ok = (
+        lane_ok
+        & (lane_clause[:, None] == primary)
+        & (cnt_must >= req_must[qid][:, None])
+        & (cnt_should >= req_should[qid][:, None])
+        & ~has_not
+    )
+    lane_scores = jnp.where(ok, score, NEG_INF)
+
+    kk = min(k, lanes)
+    row_sc, row_idx = jax.lax.top_k(lane_scores, kk)
+    row_doc = jnp.take_along_axis(docs, row_idx, axis=1)
+    return per_query_topk_from_rows(row_sc, row_doc, qid, k, num_queries)
+
+
 @functools.partial(
     jax.jit, static_argnames=("k", "num_queries", "n_clauses", "n_iters")
 )
@@ -213,9 +337,12 @@ def probe_bool_topk(
     return per_query_topk_from_rows(row_sc, row_doc, qid, k, num_queries)
 
 
-#: work-list ladder (bounded compile count; chunking anywhere is safe since
-#: every lane carries its doc's full score). Two sizes only: small corpora
-#: stay cheap, large work lists amortize into few launches.
+#: (work-list size, probe window blocks) buckets for the windowed kernel:
+#: wide windows pair with smaller W so the gathered window stays ~O(100MB);
+#: two rungs keep the compile count down
+_WKW_LADDER = ((4096, 8), (512, 64))
+#: deep-probe fallback work-list ladder (per-lane binary search; used when
+#: a clause window exceeds the widest bucket)
 _W_LADDER = (256, 4096)
 #: clause-count buckets
 _T_LADDER = (2, 4, T_MAX)
@@ -228,6 +355,13 @@ def _w_bucket(n: int) -> int:
         if n <= w:
             return w
     return _W_LADDER[-1]
+
+
+def _wkw_bucket(max_window: int):
+    for w, kw in _WKW_LADDER:
+        if max_window <= kw:
+            return w, kw
+    return None  # fall back to the deep per-lane search kernel
 
 
 def t_bucket(n: int) -> int:
@@ -254,17 +388,25 @@ def dispatch_probe(
     tables: dict,              # cl_* [Qp, T] + req_must/req_should [Qp]
     k: int,
     num_queries: int,
+    work_width: np.ndarray | None = None,  # [N] per-item max probe window
 ) -> list:
-    """Chunk + pad the work list and launch probe kernels (async). Returns a
-    list of (scores, docs) device-array pairs."""
+    """Bucket work items by probe-window width, chunk + pad each bucket, and
+    launch probe kernels (async). Returns a list of (scores, docs) device
+    pairs. Narrow-window items (the dense clause's blocks — the vast
+    majority) ride the cheap windowed kernel; wide-window items (rare-clause
+    blocks over dense partners) use wider windows with smaller W; pathological
+    widths fall back to the per-lane binary-search kernel."""
     if dfp.docs is None:
         raise RuntimeError("probe scorer requires dense-mode DeviceSegment")
     assert dfp.num_blocks * 128 < 2**31, "flat region offsets must fit in i32"
+    n_items = len(work_blocks)
     T = tables["cl_weight"].shape[1]
     n_iters = _iter_bucket(int(tables["cl_len"].max(initial=1)))
     blk_last = dfp.ensure_blk_last()
     if alive is None:
         alive = jnp.ones(dfp.norm_ids.shape[0], dtype=bool)
+    if work_width is None:
+        work_width = np.full(n_items, 1 << 30, dtype=np.int64)
     targs = (
         jnp.asarray(tables["cl_weight"]),
         jnp.asarray(tables["cl_kind"]),
@@ -276,29 +418,58 @@ def dispatch_probe(
     )
     cache_dev = jnp.asarray(cache)
     outs = []
-    top = _W_LADDER[-1]
-    n_items = len(work_blocks)
-    for lo in range(0, max(n_items, 1), top):
-        chunk_b = work_blocks[lo : lo + top]
-        chunk_q = work_qid[lo : lo + top]
-        chunk_c = work_clause[lo : lo + top]
-        W = _w_bucket(max(len(chunk_b), 1))
-        b_pad = np.zeros(W, dtype=np.int64)
-        q_pad = np.full(W, num_queries, dtype=np.int32)
-        c_pad = np.zeros(W, dtype=np.int32)
-        v_pad = np.zeros(W, dtype=bool)
-        b_pad[: len(chunk_b)] = chunk_b
-        q_pad[: len(chunk_q)] = chunk_q
-        c_pad[: len(chunk_c)] = chunk_c
-        v_pad[: len(chunk_b)] = True
-        docs, tfs = dfp.gather_blocks(b_pad)
-        outs.append(
-            probe_bool_topk(
-                docs, tfs, jnp.asarray(q_pad), jnp.asarray(c_pad),
-                jnp.asarray(v_pad),
-                dfp.docs, dfp.tfs, blk_last, dfp.norm_ids, alive, cache_dev,
-                *targs,
-                k=k, num_queries=num_queries, n_clauses=T, n_iters=n_iters,
-            )
-        )
+
+    def launch(bsel, qsel, csel, wkw):
+        top = wkw[0] if wkw is not None else _W_LADDER[-1]
+        for lo in range(0, max(len(bsel), 1), top):
+            chunk_b = bsel[lo : lo + top]
+            chunk_q = qsel[lo : lo + top]
+            chunk_c = csel[lo : lo + top]
+            # small chunks pad to the small rung (tiny corpora / tails)
+            W = min(top, _w_bucket(max(len(chunk_b), 1)))
+            b_pad = np.zeros(W, dtype=np.int64)
+            q_pad = np.full(W, num_queries, dtype=np.int32)
+            c_pad = np.zeros(W, dtype=np.int32)
+            v_pad = np.zeros(W, dtype=bool)
+            b_pad[: len(chunk_b)] = chunk_b
+            q_pad[: len(chunk_q)] = chunk_q
+            c_pad[: len(chunk_c)] = chunk_c
+            v_pad[: len(chunk_b)] = True
+            docs, tfs = dfp.gather_blocks(b_pad)
+            if wkw is not None:
+                outs.append(
+                    probe_bool_topk_window(
+                        docs, tfs, jnp.asarray(q_pad), jnp.asarray(c_pad),
+                        jnp.asarray(v_pad),
+                        dfp.docs, dfp.tfs, blk_last, dfp.norm_ids, alive,
+                        cache_dev, *targs,
+                        k=k, num_queries=num_queries, n_clauses=T,
+                        kw=wkw[1], n_iters=n_iters,
+                    )
+                )
+            else:
+                outs.append(
+                    probe_bool_topk(
+                        docs, tfs, jnp.asarray(q_pad), jnp.asarray(c_pad),
+                        jnp.asarray(v_pad),
+                        dfp.docs, dfp.tfs, blk_last, dfp.norm_ids, alive,
+                        cache_dev, *targs,
+                        k=k, num_queries=num_queries, n_clauses=T,
+                        n_iters=n_iters,
+                    )
+                )
+
+    if n_items == 0:
+        launch(work_blocks, work_qid, work_clause, _WKW_LADDER[0])
+        return outs
+    prev_kw = -1  # width 0 (no partner clauses) lands in the first bucket
+    for wb, kwb in _WKW_LADDER:
+        sel = (work_width > prev_kw) & (work_width <= kwb)
+        if sel.any():
+            launch(work_blocks[sel], work_qid[sel], work_clause[sel],
+                   (wb, kwb))
+        prev_kw = kwb
+    sel = work_width > _WKW_LADDER[-1][1]
+    if sel.any():
+        launch(work_blocks[sel], work_qid[sel], work_clause[sel], None)
     return outs

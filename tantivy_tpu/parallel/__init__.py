@@ -351,31 +351,36 @@ class BatchExecutor:
                     tb["cl_len"][qi, ci] = int(dfp.term_num_blocks[o])
                     tb["cl_shipped"][qi, ci] = ci in shipped
 
-                # candidate blocks + upper bounds per shipped clause
-                cand = []  # (clause, ids, ub)
+                # candidate blocks + upper bounds per shipped clause;
+                # MUST_NOT clauses join `others` with weight 0 so their
+                # probe windows get sized too
+                cand = []  # (clause, ids, ub, widths)
                 for ci in shipped:
                     others = [
-                        (info[c2][0] == ps.KIND_MUST, info[c2][2],
-                         start[c2], nblk[c2])
-                        for c2 in positive
-                        if c2 != ci
+                        (info[c2][0] == ps.KIND_MUST,
+                         info[c2][2] if c2 in positive else np.float32(0.0),
+                         int(dfp.term_block_start[ords[c2]]),
+                         int(dfp.term_num_blocks[ords[c2]]))
+                        for c2 in range(T)
+                        if c2 != ci and ords[c2] >= 0
+                        and (c2 in positive or info[c2][0] == ps.KIND_MUST_NOT)
                     ]
-                    ids, ub = fw.clause_blocks_ub(
+                    ids, ub, widths = fw.clause_blocks_ub(
                         start[ci], nblk[ci], info[ci][2], others,
                         ps.KIND_MUST,
                     )
                     if len(ids):
-                        cand.append((ci, ids, ub))
+                        cand.append((ci, ids, ub, widths))
                 if not cand:
                     continue
                 # phase-1 = the query's top-M1 blocks by UB across clauses
-                all_ub = np.concatenate([ub for _, _, ub in cand])
+                all_ub = np.concatenate([ub for _, _, ub, _ in cand])
                 if len(all_ub) <= M1:
                     cut = NEG_INF
                 else:
                     cut = np.partition(all_ub, len(all_ub) - M1)[len(all_ub) - M1]
                 taken = 0
-                for ci, ids, ub in cand:
+                for ci, ids, ub, widths in cand:
                     pick = ub >= cut
                     # cap exact ties so phase 1 stays small
                     extra = int(pick.sum()) - (M1 - taken)
@@ -384,25 +389,30 @@ class BatchExecutor:
                         pick[sel[len(sel) - extra:]] = False
                     taken += int(pick.sum())
                     if pick.any():
-                        g["p1"].append((qi, ci, ids[pick]))
+                        g["p1"].append((qi, ci, ids[pick], widths[pick]))
                     if (~pick).any():
-                        g["rest"].append((qi, ci, ids[~pick], ub[~pick]))
+                        g["rest"].append(
+                            (qi, ci, ids[~pick], ub[~pick], widths[~pick])
+                        )
 
             for (field, Tb), g in groups.items():
                 if not g["p1"]:
                     continue
-                blocks = np.concatenate([ids for _, _, ids in g["p1"]])
+                blocks = np.concatenate([ids for _, _, ids, _ in g["p1"]])
                 qids = np.concatenate(
-                    [np.full(len(ids), qi, np.int32) for qi, _, ids in g["p1"]]
+                    [np.full(len(ids), qi, np.int32)
+                     for qi, _, ids, _ in g["p1"]]
                 )
                 cls = np.concatenate(
-                    [np.full(len(ids), ci, np.int32) for _, ci, ids in g["p1"]]
+                    [np.full(len(ids), ci, np.int32)
+                     for _, ci, ids, _ in g["p1"]]
                 )
+                wds = np.concatenate([wd for _, _, _, wd in g["p1"]])
                 dfp = dseg.field_postings(field)
                 fw = self._field_wand(seg_ord, field)
                 for out in ps.dispatch_probe(
                     dfp, dseg.alive, fw.cache, blocks, qids, cls,
-                    g["tables"], k, Q,
+                    g["tables"], k, Q, work_width=wds,
                 ):
                     pending1.append((seg_ord, out))
             seg_groups.append(groups)
@@ -424,8 +434,8 @@ class BatchExecutor:
             for (field, Tb), g in groups.items():
                 if not g["rest"]:
                     continue
-                blks, qids, cls = [], [], []
-                for qi, ci, ids, ub in g["rest"]:
+                blks, qids, cls, wds = [], [], [], []
+                for qi, ci, ids, ub, widths in g["rest"]:
                     th = thresholds[qi]
                     if th == NEG_INF:
                         keep = np.ones(len(ids), dtype=bool)
@@ -436,6 +446,7 @@ class BatchExecutor:
                     blks.append(ids[keep])
                     qids.append(np.full(int(keep.sum()), qi, np.int32))
                     cls.append(np.full(int(keep.sum()), ci, np.int32))
+                    wds.append(widths[keep])
                 if not blks:
                     continue
                 dfp = dseg.field_postings(field)
@@ -444,6 +455,7 @@ class BatchExecutor:
                     dfp, dseg.alive, fw.cache,
                     np.concatenate(blks), np.concatenate(qids),
                     np.concatenate(cls), g["tables"], k, Q,
+                    work_width=np.concatenate(wds),
                 ):
                     pending2.append((seg_ord, out))
         self._collect_flat(pending2, per_query, k)
@@ -602,7 +614,7 @@ class BatchExecutor:
                     for t in range(T)
                     if t != leader
                 ]
-                ids, ub = fw.clause_blocks_ub(
+                ids, ub, _mw = fw.clause_blocks_ub(
                     starts[leader], nblks[leader], qweight[qi], others, 0
                 )
                 if not len(ids):

@@ -82,7 +82,15 @@ class FieldWand:
         under a MUST clause with no overlapping blocks are dropped.
 
         `others` = [(is_must, weight, start, n_blocks)] for the query's other
-        positive clauses present in this segment.
+        clauses present in this segment (weight 0.0 for MUST_NOT — they
+        don't bound scores but their probe windows must still be sized).
+
+        Returns (block_ids, UB, widths): widths[i] is the widest other-clause
+        block window overlapping block i — the probe kernel's per-work-item
+        static window-size bucket is chosen from it (a block of a rare
+        clause sees wide windows over a dense partner; a dense clause's
+        blocks see ~1-3-block windows — bucketing per item keeps the common
+        case cheap).
         """
         dfp = self.dfp
         ids = np.arange(start, start + n, dtype=np.int64)
@@ -90,6 +98,7 @@ class FieldWand:
         lo = dfp.blk_base[ids].astype(np.uint64)
         hi = dfp.blk_last_doc[ids].astype(np.uint64)
         drop = np.zeros(n, dtype=bool)
+        widths = np.zeros(n, dtype=np.int64)
         for is_must, w2, s2, n2 in others:
             blast = dfp.blk_last_doc[s2 : s2 + n2]
             bbase = dfp.blk_base[s2 : s2 + n2]
@@ -99,7 +108,8 @@ class FieldWand:
             if is_must:
                 drop |= i1 <= i0
             ub = ub + w2 * ov
+            widths = np.maximum(widths, i1 - i0)
         if drop.any():
             keep = ~drop
-            return ids[keep], ub[keep].astype(np.float32)
-        return ids, ub.astype(np.float32)
+            ids, ub, widths = ids[keep], ub[keep], widths[keep]
+        return ids, ub.astype(np.float32), widths
