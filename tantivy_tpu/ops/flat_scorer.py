@@ -87,12 +87,17 @@ def flat_topk_kernel(
     idx = jnp.minimum(idx, n - 1)
     out_sc = jnp.where(ok, ssc[idx], NEG_INF)
     out_doc = jnp.where(ok, sdoc[idx], jnp.uint32(0))
-    return out_sc, out_doc
+    # one packed output -> one result fetch per launch (the remoted backend
+    # charges a fixed ~28ms per fetch)
+    return jnp.stack(
+        [jax.lax.bitcast_convert_type(out_sc, jnp.uint32), out_doc]
+    )
 
 
 #: fixed work-list sizes: bounded shape set -> bounded compile count; larger
-#: work lists are chunked at the top size
-_W_LADDER = (512, 2048, 8192)
+#: work lists are chunked at the top size (big: the backend charges ~26ms
+#: per launch regardless of size, so fewer launches win)
+_W_LADDER = (512, 8192, 32768)
 
 
 def _w_bucket(n: int) -> int:

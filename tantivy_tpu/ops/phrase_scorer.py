@@ -3,20 +3,23 @@
 A phrase query is an intersection (every term MUST appear) whose tf is the
 number of aligned position matches (reference `phrase_scorer.rs:46-120`).
 The device plan mirrors the boolean probe kernel (`ops/probe_scorer.py`):
-ship only the rarest term's blocks as candidate lanes, probe every term's
-flat posting region for (presence, tf, posting index), then count aligned
-positions straight out of the flat positions array in HBM:
+ship only the rarest term's blocks as candidate lanes, windowed-probe every
+term's region for (presence, tf, posting index), then count aligned
+positions with dense window compares:
 
 * the probe's hit index inside a term's region IS the posting index (real
   postings are contiguous; padding only trails the last block), so the
   doc's position slice is `term_pos_start + pos_cum[hit] - pos_cum[region]`
   — the device analogue of the reference's tf-sum skip offsets
   (`positions/mod.rs:22-28`);
-* counting anchors on the leader's positions (an n-way sorted intersection
-  has the same size whichever list enumerates it) — the leader's in-doc tf
-  is bounded by MAX_P, enforced host-side via the block-max tf skip entry;
-* each inner membership test is a static-depth binary search over the
-  other term's position slice.
+* each term's in-doc positions are gathered once as a PW-wide window
+  [W, 128, PW]; counting anchors on the leader's positions (an n-way
+  sorted intersection has the same size whichever list enumerates it) and
+  every membership test is a vectorized compare over the window — no
+  per-lane gather chains (TPU gathers are slow; VPU compares are ~free);
+* PW bounds every term's in-doc tf and MAX_P bounds the leader's, both
+  enforced host-side from block-max tf skip entries; out-of-bounds cases
+  resolve exactly on the host per (query, segment).
 
 Block-max pruning: phrase score <= w_phrase * bfac[leader block] (phrase tf
 <= leader tf), so the term-path two-phase threshold scheme applies verbatim.
@@ -31,7 +34,11 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..postings.format import TERMINATED
-from .probe_scorer import per_query_topk_from_rows
+from .probe_scorer import (
+    pack_results,
+    per_query_topk_from_rows,
+    probe_term_window,
+)
 
 NEG_INF = np.float32(-np.inf)
 
@@ -41,13 +48,21 @@ T_MAX = 8
 #: on host (freak case: the *rarest* phrase term repeating >MAX_P times in
 #: one doc)
 MAX_P = 16
-#: static binary-search depth over another term's in-doc position slice —
-#: covers tf < 2^(POS_ITERS-1); enforced host-side via per-term max block tf
-POS_ITERS = 15
+#: position-window rungs (any term's in-doc tf cap), paired with a W cap so
+#: the gathered window stays bounded
+_PW_LADDER = ((16, 16384), (64, 4096), (256, 1024))
+#: beyond the widest rung the (query, segment) resolves on host
+MAX_OTHER_TF = _PW_LADDER[-1][0]
+#: doc-probe window rungs (W cap, kw) — see probe_scorer._WKW_LADDER
+_WKW_LADDER = ((32768, 8), (4096, 64))
+_W_LADDER = (256, 4096)
+_T_LADDER = (2, 3, 4, T_MAX)
+_ITER_LADDER = (9, 15, 21)
 
 
 @functools.partial(
-    jax.jit, static_argnames=("k", "num_queries", "n_terms", "n_iters")
+    jax.jit,
+    static_argnames=("k", "num_queries", "n_terms", "kw", "n_iters", "pw"),
 )
 def probe_phrase_topk(
     docs,         # [W, 128] u32 — leader candidate blocks
@@ -70,98 +85,86 @@ def probe_phrase_topk(
     k: int,
     num_queries: int,
     n_terms: int,
+    kw: int,
     n_iters: int,
+    pw: int,
 ):
     """Returns (scores [Q, k] f32, docs [Q, k] u32)."""
     w, lanes = docs.shape
     max_doc = norm_ids.shape[0]
     npos = positions.shape[0]
-
-    fq = jnp.repeat(qid, lanes)
-    fdoc = docs.reshape(-1)
-    fterm = jnp.repeat(lane_term, lanes)
-    safe = jnp.minimum(fdoc, jnp.uint32(max(max_doc - 1, 0)))
-    lane_ok = (
-        (fdoc != jnp.uint32(TERMINATED))
-        & jnp.repeat(valid, lanes)
-        & alive[safe]
-        & (fq < jnp.int32(num_queries))
-    )
-    norm = cache[norm_ids[safe].astype(jnp.int32)]
-
-    # probe every term: presence, tf, position-slice base
-    from .probe_scorer import binsearch_flat, probe_term
-
-    all_found = lane_ok
-    tf_t = []
-    pbase_t = []
-    for t in range(n_terms):
-        s = cl_start[fq, t]
-        found, tf, flatpos = probe_term(
-            store_docs, store_tfs, blk_last, fdoc, s, cl_len[fq, t], n_iters,
-        )
-        all_found = all_found & found & (cl_len[fq, t] > 0)
-        tf_t.append(tf.astype(jnp.int32))
-        pbase_t.append(
-            cl_pos_start[fq, t]
-            + (
-                pos_cum[flatpos]
-                - pos_cum[jnp.minimum(s * 128, pos_cum.shape[0] - 1)]
-            ).astype(jnp.int32)
-        )
-
-    # anchor on the lane's own (leader) term
-    anchor_tf = jnp.zeros_like(tf_t[0])
-    anchor_pbase = jnp.zeros_like(pbase_t[0])
-    anchor_shift = jnp.zeros_like(pbase_t[0])
-    for t in range(n_terms):
-        own = fterm == t
-        anchor_tf = jnp.where(own, tf_t[t], anchor_tf)
-        anchor_pbase = jnp.where(own, pbase_t[t], anchor_pbase)
-        anchor_shift = jnp.where(own, cl_shift[fq, t], anchor_shift)
-
     pos_safe = positions if npos else jnp.zeros((1,), dtype=jnp.uint32)
     npos_safe = max(npos, 1)
 
-    def count_body(j, count):
+    safe = jnp.minimum(docs, jnp.uint32(max(max_doc - 1, 0)))
+    lane_ok = (
+        (docs != jnp.uint32(TERMINATED))
+        & valid[:, None]
+        & alive[safe]
+        & (qid < jnp.int32(num_queries))[:, None]
+    )
+    norm = cache[norm_ids[safe].astype(jnp.int32)]
+
+    all_found = lane_ok
+    tf_t = []
+    pwin_t = []  # [W, 128, pw] i32 position windows per term
+    shift_t = []
+    for t in range(n_terms):
+        s = cl_start[:, t][qid]
+        found, tf, flatpos = probe_term_window(
+            store_docs, store_tfs, blk_last, docs, qid,
+            cl_start[:, t], cl_len[:, t], kw, n_iters,
+        )
+        all_found = all_found & found & (cl_len[qid, t] > 0)[:, None]
+        tfi = tf.astype(jnp.int32)
+        tf_t.append(tfi)
+        pbase = (
+            cl_pos_start[qid, t][:, None]
+            + (
+                pos_cum[flatpos]
+                - pos_cum[jnp.minimum(s * 128, pos_cum.shape[0] - 1)][:, None]
+            ).astype(jnp.int32)
+        )                                                   # [W, 128]
+        pidx = jnp.clip(
+            pbase[:, :, None] + jnp.arange(pw, dtype=jnp.int32), 0,
+            npos_safe - 1,
+        )
+        win = pos_safe[pidx].astype(jnp.int32)              # [W, 128, pw]
+        in_tf = jnp.arange(pw, dtype=jnp.int32) < tfi[:, :, None]
+        pwin_t.append(jnp.where(in_tf, win, jnp.int32(-(1 << 30))))
+        shift_t.append(cl_shift[qid, t][:, None])
+
+    # anchor on the lane's own (leader) term
+    anchor_tf = jnp.zeros_like(tf_t[0])
+    anchor_win = jnp.zeros_like(pwin_t[0])
+    anchor_shift = jnp.zeros_like(shift_t[0])
+    for t in range(n_terms):
+        own = (lane_term == t)[:, None]
+        anchor_tf = jnp.where(own, tf_t[t], anchor_tf)
+        anchor_win = jnp.where(own[:, :, None], pwin_t[t], anchor_win)
+        anchor_shift = jnp.where(own, shift_t[t], anchor_shift)
+
+    count = jnp.zeros(docs.shape, dtype=jnp.int32)
+    for j in range(MAX_P):
         in_range = (j < anchor_tf) & all_found
-        pidx = jnp.clip(anchor_pbase + j, 0, npos_safe - 1)
-        p = pos_safe[pidx].astype(jnp.int32) + anchor_shift
+        p = anchor_win[:, :, j] + anchor_shift              # aligned target
         match = in_range
         for t in range(n_terms):
-            target = p - cl_shift[fq, t]
-            neg = target < 0
-            target_u = jnp.where(neg, 0, target).astype(jnp.uint32)
-            lo = binsearch_flat(
-                pos_safe, target_u, pbase_t[t], pbase_t[t] + tf_t[t], POS_ITERS
-            )
-            ppos = jnp.clip(lo, 0, npos_safe - 1)
-            found_p = (
-                (lo < pbase_t[t] + tf_t[t])
-                & (pos_safe[ppos] == target_u)
-                & ~neg
-            )
-            match = match & found_p
-        return count + match.astype(jnp.int32)
-
-    count = jax.lax.fori_loop(
-        0, MAX_P, count_body, jnp.zeros(fq.shape, dtype=jnp.int32)
-    )
+            target = (p - shift_t[t])[:, :, None]
+            match = match & jnp.any(pwin_t[t] == target, axis=2)
+        count = count + match.astype(jnp.int32)
 
     tf = count.astype(jnp.float32)
-    score = q_weight[fq] * (tf / (tf + norm))
+    score = q_weight[qid][:, None] * (tf / (tf + norm))
     ok = all_found & (count > 0)
-    lane_scores = jnp.where(ok, score, NEG_INF).reshape(w, lanes)
+    lane_scores = jnp.where(ok, score, NEG_INF)
 
     kk = min(k, lanes)
     row_sc, row_idx = jax.lax.top_k(lane_scores, kk)
     row_doc = jnp.take_along_axis(docs, row_idx, axis=1)
-    return per_query_topk_from_rows(row_sc, row_doc, qid, k, num_queries)
-
-
-_W_LADDER = (256, 4096)
-_T_LADDER = (2, 3, 4, T_MAX)
-_ITER_LADDER = (9, 15, 21)
+    return pack_results(
+        *per_query_topk_from_rows(row_sc, row_doc, qid, k, num_queries)
+    )
 
 
 def _w_bucket(n: int) -> int:
@@ -185,6 +188,13 @@ def _iter_bucket(max_region_len: int) -> int:
     raise AssertionError(f"posting region too long: {max_region_len}")
 
 
+def _pw_bucket(max_tf: int):
+    for pw, wcap in _PW_LADDER:
+        if max_tf <= pw:
+            return pw, wcap
+    raise AssertionError(f"in-doc tf beyond device cap: {max_tf}")
+
+
 def dispatch_phrase(
     dfp,
     alive,
@@ -195,9 +205,12 @@ def dispatch_phrase(
     tables: dict,
     k: int,
     num_queries: int,
+    work_width: np.ndarray | None = None,
 ) -> list:
-    """Chunk + pad the leader-block work list and launch phrase kernels
-    (async). Returns a list of (scores, docs) device-array pairs."""
+    """Bucket leader-block work items by probe-window width, chunk + pad,
+    and launch phrase kernels (async). Returns (scores, docs) device pairs.
+    The position-window rung comes from the group's max in-doc tf
+    (tables["max_tf"], host-derived from block-max tf skip entries)."""
     import jax.numpy as jnp
 
     if dfp.docs is None:
@@ -207,6 +220,10 @@ def dispatch_phrase(
     blk_last = dfp.ensure_blk_last()
     T = tables["cl_start"].shape[1]
     n_iters = _iter_bucket(int(tables["cl_len"].max(initial=1)))
+    pw, pw_wcap = _pw_bucket(int(tables.get("max_tf", MAX_OTHER_TF)))
+    n_items = len(work_blocks)
+    if work_width is None:
+        work_width = np.full(n_items, 1 << 30, dtype=np.int64)
     if alive is None:
         alive = jnp.ones(dfp.norm_ids.shape[0], dtype=bool)
     targs = (
@@ -218,29 +235,51 @@ def dispatch_phrase(
     )
     cache_dev = jnp.asarray(cache)
     outs = []
-    top = _W_LADDER[-1]
-    for lo in range(0, max(len(work_blocks), 1), top):
-        chunk_b = work_blocks[lo : lo + top]
-        chunk_q = work_qid[lo : lo + top]
-        chunk_t = work_term[lo : lo + top]
-        W = _w_bucket(max(len(chunk_b), 1))
-        b_pad = np.zeros(W, dtype=np.int64)
-        q_pad = np.full(W, num_queries, dtype=np.int32)
-        t_pad = np.zeros(W, dtype=np.int32)
-        v_pad = np.zeros(W, dtype=bool)
-        b_pad[: len(chunk_b)] = chunk_b
-        q_pad[: len(chunk_q)] = chunk_q
-        t_pad[: len(chunk_t)] = chunk_t
-        v_pad[: len(chunk_b)] = True
-        docs, _ = dfp.gather_blocks(b_pad)
-        outs.append(
-            probe_phrase_topk(
-                docs, jnp.asarray(q_pad), jnp.asarray(t_pad),
-                jnp.asarray(v_pad),
-                dfp.docs, dfp.tfs, blk_last, pos_cum, positions,
-                dfp.norm_ids, alive, cache_dev,
-                *targs,
-                k=k, num_queries=num_queries, n_terms=T, n_iters=n_iters,
+
+    def launch(bsel, qsel, tsel, kw, wcap):
+        top = min(wcap, pw_wcap)
+        for lo in range(0, max(len(bsel), 1), top):
+            chunk_b = bsel[lo : lo + top]
+            chunk_q = qsel[lo : lo + top]
+            chunk_t = tsel[lo : lo + top]
+            n_chunk = max(len(chunk_b), 1)
+            W = _w_bucket(n_chunk) if n_chunk <= _W_LADDER[-1] else top
+            b_pad = np.zeros(W, dtype=np.int64)
+            q_pad = np.full(W, num_queries, dtype=np.int32)
+            t_pad = np.zeros(W, dtype=np.int32)
+            v_pad = np.zeros(W, dtype=bool)
+            b_pad[: len(chunk_b)] = chunk_b
+            q_pad[: len(chunk_q)] = chunk_q
+            t_pad[: len(chunk_t)] = chunk_t
+            v_pad[: len(chunk_b)] = True
+            docs, _ = dfp.gather_blocks(b_pad)
+            outs.append(
+                probe_phrase_topk(
+                    docs, jnp.asarray(q_pad), jnp.asarray(t_pad),
+                    jnp.asarray(v_pad),
+                    dfp.docs, dfp.tfs, blk_last, pos_cum, positions,
+                    dfp.norm_ids, alive, cache_dev,
+                    *targs,
+                    k=k, num_queries=num_queries, n_terms=T, kw=kw,
+                    n_iters=n_iters, pw=pw,
+                )
             )
-        )
+
+    if n_items == 0:
+        launch(work_blocks, work_qid, work_term, _WKW_LADDER[0][1],
+               _WKW_LADDER[0][0])
+        return outs
+    prev_kw = -1
+    for wcap, kwb in _WKW_LADDER:
+        sel = (work_width > prev_kw) & (work_width <= kwb)
+        if sel.any():
+            launch(work_blocks[sel], work_qid[sel], work_term[sel], kwb,
+                   wcap)
+        prev_kw = kwb
+    sel = work_width > _WKW_LADDER[-1][1]
+    if sel.any():
+        # very wide doc windows: widen kw to the per-item max (<= region)
+        kw_needed = 1 << int(np.ceil(np.log2(max(int(work_width[sel].max()), 2))))
+        launch(work_blocks[sel], work_qid[sel], work_term[sel],
+               min(kw_needed, 1024), 64)
     return outs

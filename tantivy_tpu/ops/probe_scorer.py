@@ -100,6 +100,20 @@ KIND_MUST_NOT = 2
 KIND_ABSENT = 3
 
 
+def pack_results(scores, docs):
+    """(scores f32 [Q,k], docs u32 [Q,k]) -> one u32 [2,Q,k] array so each
+    launch costs ONE result fetch (the remoted backend charges ~28ms per
+    fetch regardless of size)."""
+    return jnp.stack(
+        [jax.lax.bitcast_convert_type(scores, jnp.uint32), docs]
+    )
+
+
+def unpack_results(packed_np):
+    """Inverse of pack_results on the fetched numpy array."""
+    return packed_np[0].view(np.float32), packed_np[1]
+
+
 def per_query_topk_from_rows(row_sc, row_doc, qid, k: int, num_queries: int):
     """[W, kk] per-row top-k candidates -> per-query (scores [Q,k], docs
     [Q,k]) via one 3-key sort ((qid asc, score desc, doc asc)) — matches
@@ -150,7 +164,10 @@ def probe_term_window(store_docs, store_tfs, blk_last, docs2d, qid,
         row_ok[:, :, None], store_docs[rows_safe], jnp.uint32(0xFFFFFFFF)
     ).reshape(w, kw * 128)
     win_tfs = store_tfs[rows_safe].reshape(w, kw * 128)
-    # dense rank: window is sorted ascending (pads/invalid sort last)
+    # dense rank: the window is sorted ascending (pads and invalid rows sort
+    # last); the compare fuses into the sum reduce on the VPU. The hit/tf
+    # lookups are take_along gathers — free inside an already-launched
+    # kernel (the backend's cost is per LAUNCH, not per gather op).
     p = jnp.sum(
         win_docs[:, None, :] < docs2d[:, :, None], axis=2
     ).astype(jnp.int32)                                            # [W, 128]
@@ -245,7 +262,9 @@ def probe_bool_topk_window(
     kk = min(k, lanes)
     row_sc, row_idx = jax.lax.top_k(lane_scores, kk)
     row_doc = jnp.take_along_axis(docs, row_idx, axis=1)
-    return per_query_topk_from_rows(row_sc, row_doc, qid, k, num_queries)
+    return pack_results(
+        *per_query_topk_from_rows(row_sc, row_doc, qid, k, num_queries)
+    )
 
 
 @functools.partial(
@@ -334,13 +353,17 @@ def probe_bool_topk(
     kk = min(k, lanes)
     row_sc, row_idx = jax.lax.top_k(lane_scores, kk)
     row_doc = jnp.take_along_axis(docs, row_idx, axis=1)
-    return per_query_topk_from_rows(row_sc, row_doc, qid, k, num_queries)
+    return pack_results(
+        *per_query_topk_from_rows(row_sc, row_doc, qid, k, num_queries)
+    )
 
 
-#: (work-list size, probe window blocks) buckets for the windowed kernel:
-#: wide windows pair with smaller W so the gathered window stays ~O(100MB);
-#: two rungs keep the compile count down
-_WKW_LADDER = ((4096, 8), (512, 64))
+#: (work-list size, probe window blocks) buckets for the windowed kernel.
+#: The backend charges a fixed ~26ms per kernel invocation containing
+#: gathers and ~28ms per result fetch regardless of size (remoted TPU), so
+#: big W rungs that minimize launch count dominate every other concern;
+#: wide windows pair with smaller W to bound the compare volume.
+_WKW_LADDER = ((32768, 2), (32768, 8), (4096, 64))
 #: deep-probe fallback work-list ladder (per-lane binary search; used when
 #: a clause window exceeds the widest bucket)
 _W_LADDER = (256, 4096)
@@ -426,7 +449,8 @@ def dispatch_probe(
             chunk_q = qsel[lo : lo + top]
             chunk_c = csel[lo : lo + top]
             # small chunks pad to the small rung (tiny corpora / tails)
-            W = min(top, _w_bucket(max(len(chunk_b), 1)))
+            n_chunk = max(len(chunk_b), 1)
+            W = _w_bucket(n_chunk) if n_chunk <= _W_LADDER[-1] else top
             b_pad = np.zeros(W, dtype=np.int64)
             q_pad = np.full(W, num_queries, dtype=np.int32)
             c_pad = np.zeros(W, dtype=np.int32)

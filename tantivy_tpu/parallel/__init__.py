@@ -17,8 +17,51 @@ import numpy as np
 
 from ..query.bm25 import Bm25Weight
 from ..searcher import DocAddress, Searcher
+from ..utils.trace import debug_time
 
 NEG_INF = np.float32(-np.inf)
+
+
+#: phase-2 pruning margins around the threshold (f32 ulp guard band)
+_MARGIN_LO = np.float32(1.0 - 4e-6)
+_MARGIN_HI = np.float32(1.0 + 4e-6)
+
+
+def _topk_thresholds(per_query, k):
+    """(score, seg, doc) thresholds per query from the phase-1 results:
+    the kth hit's score AND DocAddress. Blocks whose upper bound ties the
+    score can only contribute if they may hold a smaller DocAddress —
+    tie-plateaus (ubiquitous under Zipf tf distributions) prune to nearly
+    nothing instead of surviving wholesale."""
+    Q = len(per_query)
+    th = np.full(Q, NEG_INF, dtype=np.float32)
+    th_seg = np.full(Q, -1, dtype=np.int64)
+    th_doc = np.zeros(Q, dtype=np.int64)
+    for qi in range(Q):
+        hits = per_query[qi]
+        hits.sort(key=lambda x: (-float(x[0]), x[1]))
+        del hits[k:]
+        if len(hits) == k:
+            th[qi] = hits[-1][0]
+            addr = hits[-1][1]
+            th_seg[qi] = addr.segment_ord
+            th_doc[qi] = addr.doc_id
+    return th, th_seg, th_doc
+
+
+def _phase2_keep(ub, blk_base, seg_ord, th, th_seg, th_doc):
+    """Phase-2 survivor mask for one query's blocks in one segment."""
+    if th == NEG_INF:
+        return np.ones(len(ub), dtype=bool)
+    keep = ub >= th * _MARGIN_LO
+    band = ub <= th * _MARGIN_HI
+    if seg_ord > th_seg:
+        later = np.ones(len(ub), dtype=bool)
+    elif seg_ord == th_seg:
+        later = blk_base.astype(np.int64) > th_doc
+    else:
+        later = np.zeros(len(ub), dtype=bool)
+    return keep & ~(band & later)
 
 
 class BatchExecutor:
@@ -148,28 +191,21 @@ class BatchExecutor:
                 ):
                     pending1.append((seg_ord, out))
 
-        # materialize phase 1, establish thresholds
+        # materialize phase 1, establish (score, DocAddress) thresholds
         per_query: list[list[tuple[np.float32, DocAddress]]] = [[] for _ in range(Q)]
         self._collect_flat(pending1, per_query, k)
-        thresholds = np.full(Q, NEG_INF, dtype=np.float32)
-        for qi in range(Q):
-            hits = per_query[qi]
-            hits.sort(key=lambda x: (-float(x[0]), x[1]))
-            del hits[k:]
-            if len(hits) == k:
-                thresholds[qi] = hits[-1][0]
+        th, th_seg, th_doc = _topk_thresholds(per_query, k)
 
-        # phase 2: surviving blocks only (conservative ulp margin)
+        # phase 2: surviving blocks only (tie-aware, conservative ulp margin)
         pending2 = []
-        margin = np.float32(1.0 - 4e-6)
         for seg_ord, rest in per_seg_rest.items():
             per_field_work = {}
             for qi, field, ids, bmax in rest:
-                th = thresholds[qi]
-                if th == NEG_INF:
-                    keep = np.ones(len(ids), dtype=bool)
-                else:
-                    keep = bmax >= th * margin
+                dfp = self._device_segments[seg_ord].field_postings(field)
+                keep = _phase2_keep(
+                    bmax, dfp.blk_base[ids], seg_ord,
+                    th[qi], th_seg[qi], th_doc[qi],
+                )
                 if not keep.any():
                     continue
                 w_ = per_field_work.setdefault(field, ([], []))
@@ -276,7 +312,6 @@ class BatchExecutor:
 
         readers = self.searcher.segment_readers()
         M1 = 4  # phase-1 candidate blocks per query per segment
-        margin = np.float32(1.0 - 4e-6)
 
         # ---- per-segment planning + phase-1 dispatch --------------------
         per_query: list[list[tuple[np.float32, DocAddress]]] = [
@@ -284,6 +319,8 @@ class BatchExecutor:
         ]
         pending1 = []
         seg_groups = []  # per segment: {(field, Tb): group dict}
+        _dt1 = debug_time("bool.plan_dispatch1")
+        _dt1.__enter__()
         for seg_ord, reader in enumerate(readers):
             dseg = self._device_segments[seg_ord]
             groups: dict[tuple[str, int], dict] = {}
@@ -417,30 +454,28 @@ class BatchExecutor:
                     pending1.append((seg_ord, out))
             seg_groups.append(groups)
 
-        # ---- thresholds from phase 1 -------------------------------------
-        self._collect_flat(pending1, per_query, k)
-        thresholds = np.full(Q, NEG_INF, dtype=np.float32)
-        for qi in range(Q):
-            hits = per_query[qi]
-            hits.sort(key=lambda x: (-float(x[0]), x[1]))
-            del hits[k:]
-            if len(hits) == k:
-                thresholds[qi] = hits[-1][0]
+        _dt1.__exit__(None, None, None)
+        # ---- (score, DocAddress) thresholds from phase 1 -----------------
+        with debug_time("bool.collect1", n=len(pending1)):
+            self._collect_flat(pending1, per_query, k)
+        th, th_seg, th_doc = _topk_thresholds(per_query, k)
 
-        # ---- phase 2: surviving blocks only ------------------------------
+        # ---- phase 2: surviving blocks only (tie-aware) -------------------
+        _dt2 = debug_time("bool.plan_dispatch2")
+        _dt2.__enter__()
         pending2 = []
         for seg_ord, groups in enumerate(seg_groups):
             dseg = self._device_segments[seg_ord]
             for (field, Tb), g in groups.items():
                 if not g["rest"]:
                     continue
+                dfp = dseg.field_postings(field)
                 blks, qids, cls, wds = [], [], [], []
                 for qi, ci, ids, ub, widths in g["rest"]:
-                    th = thresholds[qi]
-                    if th == NEG_INF:
-                        keep = np.ones(len(ids), dtype=bool)
-                    else:
-                        keep = ub >= th * margin
+                    keep = _phase2_keep(
+                        ub, dfp.blk_base[ids], seg_ord,
+                        th[qi], th_seg[qi], th_doc[qi],
+                    )
                     if not keep.any():
                         continue
                     blks.append(ids[keep])
@@ -449,7 +484,6 @@ class BatchExecutor:
                     wds.append(widths[keep])
                 if not blks:
                     continue
-                dfp = dseg.field_postings(field)
                 fw = self._field_wand(seg_ord, field)
                 for out in ps.dispatch_probe(
                     dfp, dseg.alive, fw.cache,
@@ -458,7 +492,9 @@ class BatchExecutor:
                     work_width=np.concatenate(wds),
                 ):
                     pending2.append((seg_ord, out))
-        self._collect_flat(pending2, per_query, k)
+        _dt2.__exit__(None, None, None)
+        with debug_time("bool.collect2", n=len(pending2)):
+            self._collect_flat(pending2, per_query, k)
 
         out = []
         for qi in range(Q):
@@ -574,8 +610,7 @@ class BatchExecutor:
 
         readers = self.searcher.segment_readers()
         M1 = 4
-        margin = np.float32(1.0 - 4e-6)
-        max_other_tf = 1 << (ph.POS_ITERS - 1)
+        max_other_tf = ph.MAX_OTHER_TF
         per_query: list[list[tuple[np.float32, DocAddress]]] = [
             [] for _ in range(Q)
         ]
@@ -603,7 +638,7 @@ class BatchExecutor:
                 ]
                 leader = min(range(T), key=lambda t: nblks[t])
                 if maxtf[leader] > ph.MAX_P or any(
-                    m >= max_other_tf for m in maxtf
+                    m > max_other_tf for m in maxtf
                 ):
                     per_query[qi].extend(
                         self._host_segment_topk(q, seg_ord, reader, k)
@@ -614,7 +649,7 @@ class BatchExecutor:
                     for t in range(T)
                     if t != leader
                 ]
-                ids, ub, _mw = fw.clause_blocks_ub(
+                ids, ub, widths = fw.clause_blocks_ub(
                     starts[leader], nblks[leader], qweight[qi], others, 0
                 )
                 if not len(ids):
@@ -640,42 +675,42 @@ class BatchExecutor:
                     tb["cl_len"][qi, t] = nblks[t]
                     tb["cl_pos_start"][qi, t] = int(dfp.term_pos_start[o])
                     tb["cl_shift"][qi, t] = mx_off - q.offsets[t]
+                tb["max_tf"] = max(tb.get("max_tf", 1), *maxtf)
                 if len(ids) <= M1:
-                    g["p1"].append((qi, leader, ids))
+                    g["p1"].append((qi, leader, ids, widths))
                 else:
                     top = np.argpartition(-ub, M1 - 1)[:M1]
                     pick = np.zeros(len(ids), dtype=bool)
                     pick[top] = True
-                    g["p1"].append((qi, leader, ids[pick]))
-                    g["rest"].append((qi, leader, ids[~pick], ub[~pick]))
+                    g["p1"].append((qi, leader, ids[pick], widths[pick]))
+                    g["rest"].append(
+                        (qi, leader, ids[~pick], ub[~pick], widths[~pick])
+                    )
 
             for (field, Tb), g in groups.items():
                 if not g["p1"]:
                     continue
-                blocks = np.concatenate([ids for _, _, ids in g["p1"]])
+                blocks = np.concatenate([ids for _, _, ids, _ in g["p1"]])
                 qids = np.concatenate(
-                    [np.full(len(ids), qi, np.int32) for qi, _, ids in g["p1"]]
+                    [np.full(len(ids), qi, np.int32)
+                     for qi, _, ids, _ in g["p1"]]
                 )
                 tms = np.concatenate(
-                    [np.full(len(ids), t, np.int32) for _, t, ids in g["p1"]]
+                    [np.full(len(ids), t, np.int32)
+                     for _, t, ids, _ in g["p1"]]
                 )
+                wds = np.concatenate([wd for _, _, _, wd in g["p1"]])
                 dfp = dseg.field_postings(field)
                 fw = self._field_wand(seg_ord, field)
                 for out in ph.dispatch_phrase(
                     dfp, dseg.alive, fw.cache, blocks, qids, tms,
-                    g["tables"], k, Q,
+                    g["tables"], k, Q, work_width=wds,
                 ):
                     pending1.append((seg_ord, out))
             seg_groups.append(groups)
 
         self._collect_flat(pending1, per_query, k)
-        thresholds = np.full(Q, NEG_INF, dtype=np.float32)
-        for qi in range(Q):
-            hits = per_query[qi]
-            hits.sort(key=lambda x: (-float(x[0]), x[1]))
-            del hits[k:]
-            if len(hits) == k:
-                thresholds[qi] = hits[-1][0]
+        th, th_seg, th_doc = _topk_thresholds(per_query, k)
 
         pending2 = []
         for seg_ord, groups in enumerate(seg_groups):
@@ -683,18 +718,19 @@ class BatchExecutor:
             for (field, Tb), g in groups.items():
                 if not g["rest"]:
                     continue
-                blks, qids, tms = [], [], []
-                for qi, t, ids, ub in g["rest"]:
-                    th = thresholds[qi]
-                    if th == NEG_INF:
-                        keep = np.ones(len(ids), dtype=bool)
-                    else:
-                        keep = ub >= th * margin
+                dfp = dseg.field_postings(field)
+                blks, qids, tms, wds = [], [], [], []
+                for qi, t, ids, ub, widths in g["rest"]:
+                    keep = _phase2_keep(
+                        ub, dfp.blk_base[ids], seg_ord,
+                        th[qi], th_seg[qi], th_doc[qi],
+                    )
                     if not keep.any():
                         continue
                     blks.append(ids[keep])
                     qids.append(np.full(int(keep.sum()), qi, np.int32))
                     tms.append(np.full(int(keep.sum()), t, np.int32))
+                    wds.append(widths[keep])
                 if not blks:
                     continue
                 dfp = dseg.field_postings(field)
@@ -703,6 +739,7 @@ class BatchExecutor:
                     dfp, dseg.alive, fw.cache,
                     np.concatenate(blks), np.concatenate(qids),
                     np.concatenate(tms), g["tables"], k, Q,
+                    work_width=np.concatenate(wds),
                 ):
                     pending2.append((seg_ord, out))
         self._collect_flat(pending2, per_query, k)
@@ -715,9 +752,14 @@ class BatchExecutor:
         return out
 
     def _collect_flat(self, pending, per_query, k):
-        for seg_ord, (vals_dev, docs_dev) in pending:
-            vals = np.asarray(vals_dev)
-            docs = np.asarray(docs_dev)
+        from ..ops.probe_scorer import unpack_results
+
+        for seg_ord, out in pending:
+            if isinstance(out, tuple):
+                vals = np.asarray(out[0])
+                docs = np.asarray(out[1])
+            else:  # packed [2, Q, k] single-fetch result
+                vals, docs = unpack_results(np.asarray(out))
             qs, js = np.nonzero(vals > NEG_INF)
             vsel = vals[qs, js]
             dsel = docs[qs, js]
