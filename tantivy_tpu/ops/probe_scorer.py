@@ -387,6 +387,25 @@ def _wkw_bucket(max_window: int):
     return None  # fall back to the deep per-lane search kernel
 
 
+def _pallas_mode():
+    """'tpu' = compiled pallas, 'interpret' = interpreter (CPU testing),
+    None = use the XLA kernels. Default: pallas on real TPU backends, XLA
+    elsewhere; TANTIVY_TPU_PALLAS=1 forces pallas (interpreted off-TPU),
+    =0 disables it."""
+    import os
+
+    flag = os.environ.get("TANTIVY_TPU_PALLAS", "")
+    backend = jax.default_backend()
+    on_tpu = backend not in ("cpu", "gpu")
+    if flag == "0":
+        return None
+    if on_tpu:
+        return "tpu"
+    if flag == "1":
+        return "interpret"
+    return None
+
+
 def t_bucket(n: int) -> int:
     for t in _T_LADDER:
         if n <= t:
@@ -442,6 +461,8 @@ def dispatch_probe(
     cache_dev = jnp.asarray(cache)
     outs = []
 
+    pallas = _pallas_mode()
+
     def launch(bsel, qsel, csel, wkw):
         top = wkw[0] if wkw is not None else _W_LADDER[-1]
         for lo in range(0, max(len(bsel), 1), top):
@@ -459,6 +480,35 @@ def dispatch_probe(
             q_pad[: len(chunk_q)] = chunk_q
             c_pad[: len(chunk_c)] = chunk_c
             v_pad[: len(chunk_b)] = True
+            if wkw is not None and pallas is not None:
+                from .pallas_probe import (
+                    compute_jlo,
+                    ensure_cstore,
+                    pallas_bool_topk,
+                )
+
+                kw = wkw[1]
+                jlo = compute_jlo(
+                    dfp, b_pad.astype(np.int64), q_pad,
+                    tables["cl_start"], tables["cl_len"], kw,
+                )
+                cstore = ensure_cstore(dfp, alive, cache)
+                outs.append(
+                    pallas_bool_topk(
+                        jnp.asarray(b_pad.astype(np.int32)),
+                        jnp.asarray(q_pad), jnp.asarray(c_pad),
+                        jnp.asarray(jlo),
+                        targs[0], targs[1], targs[2], targs[3],
+                        jnp.asarray(
+                            tables["cl_shipped"].astype(np.int32)
+                        ),
+                        targs[5], targs[6],
+                        cstore,
+                        k=k, num_queries=num_queries, n_clauses=T,
+                        kw=kw, interpret=(pallas == "interpret"),
+                    )
+                )
+                continue
             docs, tfs = dfp.gather_blocks(b_pad)
             if wkw is not None:
                 outs.append(
