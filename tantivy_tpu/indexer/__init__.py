@@ -92,6 +92,11 @@ class IndexWriter:
         self._queue: queue_mod.Queue | None = None
         self._workers: list[threading.Thread] = []
         self._worker_error: BaseException | None = None
+        #: serializes meta.json read-modify-write between commits and
+        #: background merge threads (the reference's single-threaded
+        #: SegmentUpdater provides the same guarantee, segment_updater.rs:274)
+        self._meta_lock = threading.Lock()
+        self._merge_threads: list[threading.Thread] = []
         if self.num_threads > 1:
             self._start_workers()
 
@@ -274,7 +279,8 @@ class IndexWriter:
             payload=payload,
             settings=self.index.settings.to_json(),
         )
-        self.index.save_metas(new_meta)
+        with self._meta_lock:
+            self.index.save_metas(new_meta)
         self._committed_opstamp = commit_opstamp
 
         self._consider_merges()
@@ -358,13 +364,30 @@ class IndexWriter:
         return self._merge_policy
 
     def _consider_merges(self) -> None:
+        """Schedule policy-selected merges on background threads (reference
+        `segment_updater.rs:490-615` merge threads). Merges of disjoint
+        candidates run concurrently; the meta.json swap is serialized."""
         meta = self.index.load_metas()
         for candidate in self._merge_policy.compute_merge_candidates(meta.segments):
             if len(candidate) >= 1:
-                try:
-                    self.merge(candidate)
-                except Exception:
-                    raise
+                t = threading.Thread(
+                    target=self._merge_guarded,
+                    args=(candidate,),
+                    name=f"thrd-tantivy-merge{len(self._merge_threads)}",
+                    daemon=True,
+                )
+                t.start()
+                self._merge_threads.append(t)
+
+    def _merge_guarded(self, segment_ids: list[str]) -> None:
+        try:
+            self.merge(segment_ids)
+        except Exception:
+            import logging
+
+            logging.getLogger("tantivy_tpu").exception(
+                "background merge failed"
+            )
 
     def merge(self, segment_ids: list[str]) -> SegmentMeta | None:
         """Merge the given segments into one (runs inline; reference spawns a
@@ -392,23 +415,37 @@ class IndexWriter:
         merged_meta = SegmentMeta(segment_id=sid, max_doc=max_doc)
 
         chosen_ids = {s.segment_id for s in chosen}
-        new_segments = [s for s in meta.segments if s.segment_id not in chosen_ids]
-        if max_doc > 0:
-            new_segments.append(merged_meta)
-        self.index.save_metas(
-            IndexMeta(
-                schema_json=self.index.schema.to_json(),
-                segments=new_segments,
-                opstamp=meta.opstamp,
-                payload=meta.payload,
-                settings=self.index.settings.to_json(),
+        with self._meta_lock:
+            # re-read: commits/merges may have landed while merging; only
+            # swap if every source segment is still live (otherwise drop
+            # the merge result — reference end_merge semantics)
+            meta = self.index.load_metas()
+            live = {s.segment_id for s in meta.segments}
+            if not chosen_ids <= live:
+                return None
+            new_segments = [
+                s for s in meta.segments if s.segment_id not in chosen_ids
+            ]
+            if max_doc > 0:
+                new_segments.append(merged_meta)
+            self.index.save_metas(
+                IndexMeta(
+                    schema_json=self.index.schema.to_json(),
+                    segments=new_segments,
+                    opstamp=meta.opstamp,
+                    payload=meta.payload,
+                    settings=self.index.settings.to_json(),
+                )
             )
-        )
         self.garbage_collect_files()
         return merged_meta if max_doc > 0 else None
 
     def wait_merging_threads(self) -> None:
-        """Merges run inline; provided for API parity."""
+        """Join all background merge threads (reference
+        `index_writer.rs` wait_merging_threads)."""
+        for t in self._merge_threads:
+            t.join()
+        self._merge_threads = []
 
     def garbage_collect_files(self) -> list[str]:
         meta = self.index.load_metas()
@@ -424,6 +461,7 @@ class IndexWriter:
         return self._committed_opstamp
 
     def close(self) -> None:
+        self.wait_merging_threads()
         if self.num_threads > 1 and self._workers:
             for _ in self._workers:
                 self._queue.put(None)

@@ -55,6 +55,9 @@ _PW_LADDER = ((16, 16384), (64, 4096), (256, 1024))
 MAX_OTHER_TF = _PW_LADDER[-1][0]
 #: doc-probe window rungs (W cap, kw) — see probe_scorer._WKW_LADDER
 _WKW_LADDER = ((32768, 8), (4096, 64))
+#: widest device probe window; wider items (a near-singleton leader block
+#: spanning a dense partner's whole region) resolve on host
+MAX_KW = 1024
 _W_LADDER = (256, 4096)
 _T_LADDER = (2, 3, 4, T_MAX)
 _ITER_LADDER = (9, 15, 21)
@@ -278,8 +281,10 @@ def dispatch_phrase(
         prev_kw = kwb
     sel = work_width > _WKW_LADDER[-1][1]
     if sel.any():
-        # very wide doc windows: widen kw to the per-item max (<= region)
+        # very wide doc windows: widen kw to the per-item max. Items beyond
+        # MAX_KW never reach here — planning resolves those (query, segment)
+        # pairs on the host.
         kw_needed = 1 << int(np.ceil(np.log2(max(int(work_width[sel].max()), 2))))
-        launch(work_blocks[sel], work_qid[sel], work_term[sel],
-               min(kw_needed, 1024), 64)
+        assert kw_needed <= MAX_KW, "planner must host-fallback wide phrases"
+        launch(work_blocks[sel], work_qid[sel], work_term[sel], kw_needed, 64)
     return outs

@@ -654,6 +654,14 @@ class BatchExecutor:
                 )
                 if not len(ids):
                     continue
+                if int(widths.max(initial=0)) > ph.MAX_KW:
+                    # a near-singleton leader block spanning a dense
+                    # partner's region: device windows can't cover it —
+                    # resolve exactly on host (cheap: sparse leader)
+                    per_query[qi].extend(
+                        self._host_segment_topk(q, seg_ord, reader, k)
+                    )
+                    continue
                 Tb = ph.t_bucket(T)
                 g = groups.get((field, Tb))
                 if g is None:

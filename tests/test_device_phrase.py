@@ -188,3 +188,31 @@ class TestSlopSemantics:
         assert len(searcher.search(
             tt.PhraseQuery("body", ["quick", "fox"], slop=2), tt.TopDocs(10)
         )) == 3
+
+
+def test_sparse_leader_dense_partner_wide_window():
+    """A near-singleton leader block spanning a dense partner's whole
+    region exceeds any device probe window — must resolve exactly (host
+    fallback). Regression: tail docs were silently dropped."""
+    b = tt.Schema.builder()
+    b.add_text_field("body", tt.TEXT)
+    index = tt.Index.create_in_ram(b.build())
+    w = index.writer_for_tests()
+    rng = np.random.default_rng(3)
+    # "common" in every doc; "rare" in a handful spread across the range
+    n = 4000
+    rare_docs = {1, 977, 1998, 2999, n - 1}
+    for i in range(n):
+        words = ["common", f"w{int(rng.integers(0, 30))}"]
+        if i in rare_docs:
+            words = ["common", "rare"]  # adjacency: "common rare"
+        w.add_document(tt.Document(body=" ".join(words)))
+    w.commit()
+    w.close()
+    searcher = index.reader().searcher()
+    executor = BatchExecutor(searcher)
+    q = tt.PhraseQuery("body", ["common", "rare"])
+    dev = executor.search_batch([q], 10)[0]
+    host = searcher.search(q, tt.TopDocs(10))
+    assert len(host) == len(rare_docs)
+    assert_hits_match(dev, host, context="wide-window phrase")
