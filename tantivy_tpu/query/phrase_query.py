@@ -215,29 +215,70 @@ class PhraseWeight(Weight):
         if len(cand) == 0:
             return SegmentResult.empty()
 
-        norm_ids = (
-            segment_reader.fieldnorms(self.q.field)[cand]
-            if self.bm25 is not None
-            else None
-        )
-        out_docs, out_scores = [], []
         idx_per_term = [member_lookup(docs, cand)[1] for docs, _, _, _ in data]
-        for j, d in enumerate(cand):
-            pos_lists = []
-            for t, (docs, tfs, pos, cum) in enumerate(data):
-                i = int(idx_per_term[t][j])
-                pos_lists.append(pos[int(cum[i]) : int(cum[i]) + int(tfs[i])])
-            count = _phrase_count_for_doc(pos_lists, self.q.offsets, self.q.slop)
-            if count > 0:
-                out_docs.append(int(d))
-                if self.bm25 is not None:
-                    out_scores.append(self.bm25.score(int(norm_ids[j]), count))
-                else:
-                    out_scores.append(np.float32(1.0))
-        return SegmentResult(
-            np.asarray(out_docs, dtype=np.uint32),
-            np.asarray(out_scores, dtype=np.float32),
-        )
+        if self.q.slop == 0:
+            counts = self._counts_exact_vectorized(data, cand, idx_per_term)
+        else:
+            counts = np.zeros(len(cand), dtype=np.int64)
+            for j in range(len(cand)):
+                pos_lists = []
+                for t, (docs, tfs, pos, cum) in enumerate(data):
+                    i = int(idx_per_term[t][j])
+                    pos_lists.append(
+                        pos[int(cum[i]) : int(cum[i]) + int(tfs[i])]
+                    )
+                counts[j] = _phrase_count_for_doc(
+                    pos_lists, self.q.offsets, self.q.slop
+                )
+        hit = counts > 0
+        out_docs = cand[hit].astype(np.uint32)
+        if self.bm25 is not None:
+            norm_ids = segment_reader.fieldnorms(self.q.field)[out_docs]
+            out_scores = np.asarray(
+                [
+                    self.bm25.score(int(n), int(c))
+                    for n, c in zip(norm_ids, counts[hit])
+                ],
+                dtype=np.float32,
+            )
+        else:
+            out_scores = np.ones(len(out_docs), dtype=np.float32)
+        return SegmentResult(out_docs, out_scores)
+
+    def _counts_exact_vectorized(self, data, cand, idx_per_term):
+        """slop=0 phrase counts for ALL candidate docs in one pass: encode
+        (doc, shifted position) as one int64 key, then every membership test
+        is a searchsorted over a term's full key array (positions stay
+        doc-local because the doc id rides the key's high bits)."""
+        mx = max(self.q.offsets)
+        SHIFT = np.int64(1) << np.int64(32)
+
+        def keys_for(t):
+            docs, tfs, pos, cum = data[t]
+            i = idx_per_term[t]
+            tf = tfs[i].astype(np.int64)
+            starts = cum[i]
+            total = int(tf.sum())
+            if total == 0:
+                return (np.zeros(0, np.int64), np.zeros(0, np.int64),
+                        np.zeros(len(cand), np.int64))
+            run = np.zeros(len(cand), dtype=np.int64)
+            np.cumsum(tf[:-1], out=run[1:])
+            within = np.arange(total, dtype=np.int64) - np.repeat(run, tf)
+            pidx = np.repeat(starts.astype(np.int64), tf) + within
+            doc_of = np.repeat(np.arange(len(cand), dtype=np.int64), tf)
+            shifted = pos[pidx].astype(np.int64) + (mx - self.q.offsets[t])
+            return doc_of * SHIFT + shifted, doc_of, tf
+
+        base_keys, base_doc, _ = keys_for(0)
+        match = np.ones(len(base_keys), dtype=bool)
+        for t in range(1, len(data)):
+            kt, _, _ = keys_for(t)
+            j = np.searchsorted(kt, base_keys)
+            j = np.minimum(j, max(len(kt) - 1, 0))
+            match &= (kt[j] == base_keys) if len(kt) else False
+        counts = np.bincount(base_doc[match], minlength=len(cand))
+        return counts
 
 
 class RegexPhraseQuery(Query):
