@@ -509,6 +509,9 @@ class BatchExecutor:
         from ..collector import TopDocs
         from ..query import TermQuery
 
+        from ..ops.probe_scorer import _pallas_mode
+        from ..query import BooleanQuery
+
         results: list = [None] * len(queries)
         term_ids = [i for i, q in enumerate(queries) if isinstance(q, TermQuery)]
         bool_ids = [
@@ -516,6 +519,14 @@ class BatchExecutor:
             for i, q in enumerate(queries)
             if self._bool_device_eligible(q)
         ]
+        if term_ids and _pallas_mode() is not None:
+            # single-SHOULD boolean == term query (identical scores and
+            # tie-breaks); the pallas probe path beats the flat term kernel
+            queries = list(queries)
+            for i in term_ids:
+                queries[i] = BooleanQuery.union([queries[i]])
+            bool_ids = sorted(set(bool_ids) | set(term_ids))
+            term_ids = []
         phrase_ids = [
             i
             for i, q in enumerate(queries)
