@@ -169,7 +169,7 @@ def run_suites(index, stream, label):
     searcher = index.reader().searcher()
     executor = BatchExecutor(searcher, mode="dense")
     rng = np.random.default_rng(123)
-    logs = make_query_log(searcher, stream, rng, BATCH * (N_BATCHES + 2))
+    logs = make_query_log(searcher, stream, rng, BATCH * (N_BATCHES + 3))
 
     suites = ("term", "and", "or", "phrase")
     result = {}
@@ -178,13 +178,13 @@ def run_suites(index, stream, label):
         qlog = logs[kind]
         # warmup: compiles (persistent jit cache makes reruns cheap)
         t0 = time.time()
-        for b in range(2):
+        for b in range(3):
             executor.search_batch(qlog[b * BATCH : (b + 1) * BATCH], K)
         warm_s += time.time() - t0
 
         times = []
         total = 0
-        for b in range(2, 2 + N_BATCHES):
+        for b in range(3, 3 + N_BATCHES):
             batch = qlog[b * BATCH : (b + 1) * BATCH]
             bt = time.time()
             res = executor.search_batch(batch, K)

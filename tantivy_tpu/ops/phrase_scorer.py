@@ -50,7 +50,7 @@ T_MAX = 8
 MAX_P = 16
 #: position-window rungs (any term's in-doc tf cap), paired with a W cap so
 #: the gathered window stays bounded
-_PW_LADDER = ((16, 16384), (64, 4096), (256, 1024))
+_PW_LADDER = ((16, 16384), (32, 8192), (64, 4096), (256, 1024))
 #: beyond the widest rung the (query, segment) resolves on host
 MAX_OTHER_TF = _PW_LADDER[-1][0]
 #: doc-probe window rungs (W cap, kw) — see probe_scorer._WKW_LADDER
@@ -223,10 +223,18 @@ def dispatch_phrase(
     blk_last = dfp.ensure_blk_last()
     T = tables["cl_start"].shape[1]
     n_iters = _iter_bucket(int(tables["cl_len"].max(initial=1)))
-    pw, pw_wcap = _pw_bucket(int(tables.get("max_tf", MAX_OTHER_TF)))
     n_items = len(work_blocks)
     if work_width is None:
         work_width = np.full(n_items, 1 << 30, dtype=np.int64)
+    # per-item position-window rung: each work item carries its QUERY's max
+    # in-doc tf (work_ptf), so a single high-tf term elsewhere in the batch
+    # doesn't force wide position windows on everyone
+    work_ptf = tables.get("q_max_tf")
+    if work_ptf is not None:
+        work_ptf = work_ptf[work_qid]
+    else:
+        work_ptf = np.full(n_items, int(tables.get("max_tf", MAX_OTHER_TF)),
+                           dtype=np.int64)
     if alive is None:
         alive = jnp.ones(dfp.norm_ids.shape[0], dtype=bool)
     targs = (
@@ -239,7 +247,7 @@ def dispatch_phrase(
     cache_dev = jnp.asarray(cache)
     outs = []
 
-    def launch(bsel, qsel, tsel, kw, wcap):
+    def launch(bsel, qsel, tsel, kw, wcap, pw, pw_wcap):
         top = min(wcap, pw_wcap)
         for lo in range(0, max(len(bsel), 1), top):
             chunk_b = bsel[lo : lo + top]
@@ -270,21 +278,30 @@ def dispatch_phrase(
 
     if n_items == 0:
         launch(work_blocks, work_qid, work_term, _WKW_LADDER[0][1],
-               _WKW_LADDER[0][0])
+               _WKW_LADDER[0][0], *_pw_bucket(1))
         return outs
-    prev_kw = -1
-    for wcap, kwb in _WKW_LADDER:
-        sel = (work_width > prev_kw) & (work_width <= kwb)
+    for pwb, pw_wcap in _PW_LADDER:
+        prev_pw = 0 if pwb == _PW_LADDER[0][0] else prev_pwb
+        psel = (work_ptf > prev_pw) & (work_ptf <= pwb)
+        prev_pwb = pwb
+        if not psel.any():
+            continue
+        prev_kw = -1
+        for wcap, kwb in _WKW_LADDER:
+            sel = psel & (work_width > prev_kw) & (work_width <= kwb)
+            if sel.any():
+                launch(work_blocks[sel], work_qid[sel], work_term[sel], kwb,
+                       wcap, pwb, pw_wcap)
+            prev_kw = kwb
+        sel = psel & (work_width > _WKW_LADDER[-1][1])
         if sel.any():
-            launch(work_blocks[sel], work_qid[sel], work_term[sel], kwb,
-                   wcap)
-        prev_kw = kwb
-    sel = work_width > _WKW_LADDER[-1][1]
-    if sel.any():
-        # very wide doc windows: widen kw to the per-item max. Items beyond
-        # MAX_KW never reach here — planning resolves those (query, segment)
-        # pairs on the host.
-        kw_needed = 1 << int(np.ceil(np.log2(max(int(work_width[sel].max()), 2))))
-        assert kw_needed <= MAX_KW, "planner must host-fallback wide phrases"
-        launch(work_blocks[sel], work_qid[sel], work_term[sel], kw_needed, 64)
+            # very wide doc windows: widen kw to the per-item max. Items
+            # beyond MAX_KW never reach here — planning resolves those
+            # (query, segment) pairs on the host.
+            kw_needed = 1 << int(
+                np.ceil(np.log2(max(int(work_width[sel].max()), 2)))
+            )
+            assert kw_needed <= MAX_KW, "planner must host-fallback wide phrases"
+            launch(work_blocks[sel], work_qid[sel], work_term[sel],
+                   kw_needed, 64, pwb, pw_wcap)
     return outs

@@ -695,6 +695,9 @@ class BatchExecutor:
                     tb["cl_pos_start"][qi, t] = int(dfp.term_pos_start[o])
                     tb["cl_shift"][qi, t] = mx_off - q.offsets[t]
                 tb["max_tf"] = max(tb.get("max_tf", 1), *maxtf)
+                if "q_max_tf" not in tb:
+                    tb["q_max_tf"] = np.ones(Q + 1, dtype=np.int64)
+                tb["q_max_tf"][qi] = max(tb["q_max_tf"][qi], *maxtf)
                 if len(ids) <= M1:
                     g["p1"].append((qi, leader, ids, widths))
                 else:
