@@ -103,6 +103,20 @@ class DeviceFieldPostings:
                     tfs = tfs.at[jnp.asarray(tsel)].set(tdec)
         return docs, tfs
 
+    def ensure_blk_top_tf(self) -> np.ndarray:
+        """True per-block MAX tf (host numpy [NB]). NOTE: `blk_max_tf` is the
+        tf of the block-max *score* pair (`skip.rs:175-184`) — an upper
+        bound on scores, NOT on tf (a high-tf doc in a long field can lose
+        the score argmax). Anything bounding in-doc tf (phrase position
+        windows, MAX_P host fallbacks) must use this instead."""
+        if getattr(self, "_blk_top_tf", None) is None:
+            assert self.mode == "dense"
+            real = jnp.where(
+                self.docs != jnp.uint32(TERMINATED), self.tfs, jnp.uint32(0)
+            )
+            self._blk_top_tf = np.asarray(jnp.max(real, axis=1))
+        return self._blk_top_tf
+
     def ensure_blk_last(self):
         """Device mirror of the per-block last-doc skip column (probe
         kernels binary-search it to locate a doc's candidate block)."""

@@ -644,7 +644,7 @@ class BatchExecutor:
                 starts = [int(dfp.term_block_start[o]) for o in ords]
                 nblks = [int(dfp.term_num_blocks[o]) for o in ords]
                 maxtf = [
-                    int(dfp.blk_max_tf[s : s + n].max(initial=0))
+                    int(dfp.ensure_blk_top_tf()[s : s + n].max(initial=0))
                     for s, n in zip(starts, nblks)
                 ]
                 leader = min(range(T), key=lambda t: nblks[t])

@@ -216,3 +216,30 @@ def test_sparse_leader_dense_partner_wide_window():
     host = searcher.search(q, tt.TopDocs(10))
     assert len(host) == len(rare_docs)
     assert_hits_match(dev, host, context="wide-window phrase")
+
+
+def test_high_tf_long_doc_loses_score_argmax():
+    """blk_max_tf is the tf of the block-max SCORE pair, not the max tf: a
+    high-tf doc in a long field loses the argmax to a low-tf short doc, so
+    tf bounds (position windows, MAX_P fallbacks) must use the true
+    per-block max tf. Regression: phrase count silently truncated."""
+    b = tt.Schema.builder()
+    b.add_text_field("body", tt.TEXT)
+    index = tt.Index.create_in_ram(b.build())
+    w = index.writer_for_tests()
+    # long doc: "union" appears 17 times (once as "labor union"), plus much
+    # filler -> large fieldnorm; short doc has tf=1 with tiny norm and wins
+    # the block-max score argmax
+    long_doc = ("labor union " + "union " * 16 + "filler " * 400).strip()
+    w.add_document(tt.Document(body=long_doc))
+    w.add_document(tt.Document(body="union dues"))
+    w.add_document(tt.Document(body="labor relations"))
+    w.commit()
+    w.close()
+    searcher = index.reader().searcher()
+    executor = BatchExecutor(searcher)
+    q = tt.PhraseQuery("body", ["labor", "union"])
+    dev = executor.search_batch([q], 10)[0]
+    host = searcher.search(q, tt.TopDocs(10))
+    assert len(host) == 1
+    assert_hits_match(dev, host, context="high-tf argmax-loser phrase")
