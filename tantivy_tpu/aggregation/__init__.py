@@ -13,6 +13,15 @@ The per-segment collection is vectorized numpy over the matching-doc array;
 the dense-column layout makes histogram/stats a pure vector op (the same
 shape the device path uses).
 
+Design note — why aggregation execution stays on host: column values are
+order-preserving u64 (and ES stats are f64), but JAX without x64 truncates
+both; and this deployment's TPU backend charges a fixed per-launch tax on
+gather/scatter programs with ~0.5 GB/s effective gather throughput, so a
+bincount/segment-sum over a 1M-doc column is milliseconds in numpy and
+slower on device. If a future backend lifts those constraints, the
+factorize+bincount structure below maps 1:1 onto segment_sum kernels (u64
+as hi/lo u32 pairs).
+
 Request shape (ES JSON):
     {"prices": {"histogram": {"field": "price", "interval": 10.0},
                 "aggs": {"avg_rating": {"avg": {"field": "rating"}}}}}
