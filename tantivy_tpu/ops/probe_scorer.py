@@ -363,7 +363,7 @@ def probe_bool_topk(
 #: gathers and ~28ms per result fetch regardless of size (remoted TPU), so
 #: big W rungs that minimize launch count dominate every other concern;
 #: wide windows pair with smaller W to bound the compare volume.
-_WKW_LADDER = ((32768, 2), (32768, 8), (4096, 64))
+_WKW_LADDER = ((65536, 2), (65536, 8), (8192, 64))
 #: deep-probe fallback work-list ladder (per-lane binary search; used when
 #: a clause window exceeds the widest bucket)
 _W_LADDER = (256, 4096)
