@@ -7,6 +7,9 @@ scoring-relevant pieces into HBM lazily (first query touching the field).
 
 from __future__ import annotations
 
+import threading
+import weakref
+
 import numpy as np
 
 from ..common import arrayio
@@ -55,6 +58,27 @@ class InvertedIndexReader:
         return docs, tfs, pos
 
 
+#: Census of live SegmentReaders — the `census::Inventory` analogue
+#: (reference `index_meta.rs:228`, `managed_directory.rs:109`). GC must not
+#: unlink files that an older Searcher generation's readers can still read
+#: (components load lazily, so a reader may touch its files long after its
+#: segment left meta.json). WeakSet: a collected reader releases its files.
+_live_readers: "weakref.WeakSet" = weakref.WeakSet()
+_live_readers_lock = threading.Lock()
+
+
+def live_reader_files(directory) -> set[str]:
+    """Union of files referenced by live SegmentReaders over `directory`."""
+    with _live_readers_lock:
+        readers = list(_live_readers)
+    inner = getattr(directory, "inner", None)
+    out: set[str] = set()
+    for r in readers:
+        if r.directory is directory or (inner is not None and r.directory is inner):
+            out.update(r.meta.list_files())
+    return out
+
+
 class SegmentReader:
     def __init__(self, meta: SegmentMeta, directory: Directory, schema: Schema):
         self.meta = meta
@@ -72,6 +96,8 @@ class SegmentReader:
         self._alive_loaded = False
         self._inverted: dict[int, InvertedIndexReader] = {}
         self._device = None
+        with _live_readers_lock:
+            _live_readers.add(self)
 
     def _load(self, component: str) -> dict[str, np.ndarray]:
         return arrayio.load_arrays(

@@ -97,6 +97,9 @@ class IndexWriter:
         #: SegmentUpdater provides the same guarantee, segment_updater.rs:274)
         self._meta_lock = threading.Lock()
         self._merge_threads: list[threading.Thread] = []
+        #: in-flight merge output files, written before their meta swap —
+        #: GC must not reclaim them (guarded by _pending_lock)
+        self._merge_outputs: set[str] = set()
         if self.num_threads > 1:
             self._start_workers()
 
@@ -252,34 +255,40 @@ class IndexWriter:
         return self.prepare_commit().commit()
 
     def _finish_commit(self, commit_opstamp: int, payload: str | None) -> int:
-        from ..index.segment_reader import SegmentReader
+        with self._pending_lock:
+            pending_segments, self._pending_segments = self._pending_segments, []
 
-        meta = self.index.load_metas()
-        segments = list(meta.segments)
-
-        # new segments join the manifest
-        new_doc_opstamps = {m.segment_id: ops for m, ops in self._pending_segments}
-        segments.extend(m for m, _ in self._pending_segments)
-        self._pending_segments = []
-
-        # apply deletes (advance_deletes, reference index_writer.rs:131)
         pending = [d for d in self._deletes if d.opstamp <= commit_opstamp]
         self._deletes = [d for d in self._deletes if d.opstamp > commit_opstamp]
-        if pending:
-            segments = [
-                self._advance_deletes(s, pending, new_doc_opstamps.get(s.segment_id))
-                for s in segments
-            ]
-        segments = [s for s in segments if s.num_docs() > 0]
 
-        new_meta = IndexMeta(
-            schema_json=self.index.schema.to_json(),
-            segments=segments,
-            opstamp=commit_opstamp,
-            payload=payload,
-            settings=self.index.settings.to_json(),
-        )
+        # the whole load→modify→save must run under _meta_lock: a concurrent
+        # background merge's swap interleaving here would let the commit
+        # resurrect merged-away segments (advisor r2 finding)
         with self._meta_lock:
+            meta = self.index.load_metas()
+            segments = list(meta.segments)
+
+            # new segments join the manifest
+            new_doc_opstamps = {m.segment_id: ops for m, ops in pending_segments}
+            segments.extend(m for m, _ in pending_segments)
+
+            # apply deletes (advance_deletes, reference index_writer.rs:131)
+            if pending:
+                segments = [
+                    self._advance_deletes(
+                        s, pending, new_doc_opstamps.get(s.segment_id)
+                    )
+                    for s in segments
+                ]
+            segments = [s for s in segments if s.num_docs() > 0]
+
+            new_meta = IndexMeta(
+                schema_json=self.index.schema.to_json(),
+                segments=segments,
+                opstamp=commit_opstamp,
+                payload=payload,
+                settings=self.index.settings.to_json(),
+            )
             self.index.save_metas(new_meta)
         self._committed_opstamp = commit_opstamp
 
@@ -398,6 +407,11 @@ class IndexWriter:
         chosen = [s for s in meta.segments if s.segment_id in set(segment_ids)]
         if len(chosen) < 1:
             return None
+        # delete generations at merge start: a delete committed mid-merge
+        # keeps the segment_id and only advances delete_opstamp, so the
+        # liveness check below must compare generations, not just ids
+        # (reference advance_deletes / end_merge, segment_updater.rs:617)
+        start_del_opstamps = {s.segment_id: s.delete_opstamp for s in chosen}
         readers = [
             SegmentReader(s, self.index.directory, self.index.schema) for s in chosen
         ]
@@ -410,35 +424,97 @@ class IndexWriter:
         with debug_time("segment.merge", n_segments=len(readers)):
             components, max_doc = merger.write()
         sid = new_segment_id()
-        for comp, arrays in components.items():
-            self.index.directory.write(f"{sid}.{comp}", arrayio.save_arrays(arrays))
-        merged_meta = SegmentMeta(segment_id=sid, max_doc=max_doc)
-
-        chosen_ids = {s.segment_id for s in chosen}
-        with self._meta_lock:
-            # re-read: commits/merges may have landed while merging; only
-            # swap if every source segment is still live (otherwise drop
-            # the merge result — reference end_merge semantics)
-            meta = self.index.load_metas()
-            live = {s.segment_id for s in meta.segments}
-            if not chosen_ids <= live:
-                return None
-            new_segments = [
-                s for s in meta.segments if s.segment_id not in chosen_ids
-            ]
-            if max_doc > 0:
-                new_segments.append(merged_meta)
-            self.index.save_metas(
-                IndexMeta(
-                    schema_json=self.index.schema.to_json(),
-                    segments=new_segments,
-                    opstamp=meta.opstamp,
-                    payload=meta.payload,
-                    settings=self.index.settings.to_json(),
+        out_files = [f"{sid}.{comp}" for comp in components]
+        with self._pending_lock:
+            self._merge_outputs.update(out_files)
+        try:
+            for comp, arrays in components.items():
+                self.index.directory.write(
+                    f"{sid}.{comp}", arrayio.save_arrays(arrays)
                 )
-            )
+            merged_meta = SegmentMeta(segment_id=sid, max_doc=max_doc)
+
+            chosen_ids = {s.segment_id for s in chosen}
+            with self._meta_lock:
+                # re-read: commits/merges may have landed while merging; only
+                # swap if every source segment is still live (otherwise drop
+                # the merge result — reference end_merge semantics)
+                meta = self.index.load_metas()
+                live = {s.segment_id: s for s in meta.segments}
+                if not chosen_ids <= live.keys():
+                    return None
+                if max_doc > 0:
+                    merged_meta = self._reapply_merge_deletes(
+                        merged_meta, chosen, live, merger.mappings,
+                        start_del_opstamps,
+                    )
+                new_segments = [
+                    s for s in meta.segments if s.segment_id not in chosen_ids
+                ]
+                if merged_meta.num_docs() > 0:
+                    new_segments.append(merged_meta)
+                self.index.save_metas(
+                    IndexMeta(
+                        schema_json=self.index.schema.to_json(),
+                        segments=new_segments,
+                        opstamp=meta.opstamp,
+                        payload=meta.payload,
+                        settings=self.index.settings.to_json(),
+                    )
+                )
+        finally:
+            with self._pending_lock:
+                self._merge_outputs.difference_update(out_files)
         self.garbage_collect_files()
-        return merged_meta if max_doc > 0 else None
+        return merged_meta if merged_meta.num_docs() > 0 else None
+
+    def _reapply_merge_deletes(
+        self,
+        merged_meta: SegmentMeta,
+        chosen: list[SegmentMeta],
+        live_by_id: dict[str, SegmentMeta],
+        mappings,
+        start_del_opstamps: dict[str, int | None],
+    ) -> SegmentMeta:
+        """If a source segment's delete generation advanced while the merge
+        ran, project the newer alive bitsets through the merge doc mapping
+        onto the merged segment (reference end_merge re-applies deletes
+        committed during the merge)."""
+        from ..index.segment_reader import SegmentReader
+
+        alive = None
+        del_opstamp = 0
+        for seg, m in zip(chosen, mappings):
+            cur = live_by_id[seg.segment_id]
+            if cur.delete_opstamp is not None:
+                del_opstamp = max(del_opstamp, cur.delete_opstamp)
+            if cur.delete_opstamp == start_del_opstamps[seg.segment_id]:
+                continue
+            new_alive = SegmentReader(
+                cur, self.index.directory, self.index.schema
+            ).alive_bitset()
+            if new_alive is None:
+                continue
+            merged_ids = m[np.nonzero(~new_alive)[0]]
+            merged_ids = merged_ids[merged_ids >= 0]
+            if len(merged_ids):
+                if alive is None:
+                    alive = np.ones(merged_meta.max_doc, dtype=bool)
+                alive[merged_ids] = False
+        if alive is None:
+            return merged_meta
+        num_deleted = int(merged_meta.max_doc - np.count_nonzero(alive))
+        new_meta = SegmentMeta(
+            segment_id=merged_meta.segment_id,
+            max_doc=merged_meta.max_doc,
+            delete_opstamp=del_opstamp,
+            num_deleted_docs=num_deleted,
+        )
+        self.index.directory.write(
+            new_meta.relative_path("del"),
+            arrayio.save_arrays({"alive": alive.astype(np.uint8)}),
+        )
+        return new_meta
 
     def wait_merging_threads(self) -> None:
         """Join all background merge threads (reference
@@ -448,14 +524,27 @@ class IndexWriter:
         self._merge_threads = []
 
     def garbage_collect_files(self) -> list[str]:
-        meta = self.index.load_metas()
-        living: set[str] = set()
-        for s in meta.segments:
-            living.update(s.list_files())
         gc = getattr(self.index.directory, "garbage_collect", None)
         if gc is None:
             return []
-        return gc(living)
+        from ..index.segment_reader import live_reader_files
+
+        # serialized under _meta_lock so no commit/merge swap interleaves
+        # between reading meta and unlinking files
+        with self._meta_lock:
+            meta = self.index.load_metas()
+            living: set[str] = set()
+            for s in meta.segments:
+                living.update(s.list_files())
+            with self._pending_lock:
+                # uncommitted worker segments + in-flight merge outputs
+                for m, _ in self._pending_segments:
+                    living.update(m.list_files())
+                living.update(self._merge_outputs)
+            # census: files still readable by live SegmentReaders from older
+            # Searcher generations (reference Inventory, index_meta.rs:228)
+            living.update(live_reader_files(self.index.directory))
+            return gc(living)
 
     def commit_opstamp(self) -> int:
         return self._committed_opstamp

@@ -80,6 +80,10 @@ class IndexMerger:
 
     def write(self) -> dict[str, dict[str, np.ndarray]]:
         mappings, max_doc = self._doc_mappings()
+        # kept so the caller can re-apply deletes that advance on a source
+        # segment while a background merge runs (reference end_merge /
+        # advance_deletes semantics, segment_updater.rs:617)
+        self.mappings = mappings
 
         # fieldnorms ----------------------------------------------------------
         fieldnorm_arrays: dict[str, np.ndarray] = {}

@@ -254,7 +254,11 @@ def dispatch_phrase(
             chunk_q = qsel[lo : lo + top]
             chunk_t = tsel[lo : lo + top]
             n_chunk = max(len(chunk_b), 1)
+            # clamp the bucket to the rung cap: padding may go up to `top`
+            # but never beyond, else the [W, 128, pw] position windows blow
+            # past the memory budget the _PW_LADDER pairing enforces
             W = _w_bucket(n_chunk) if n_chunk <= _W_LADDER[-1] else top
+            W = min(W, top)
             b_pad = np.zeros(W, dtype=np.int64)
             q_pad = np.full(W, num_queries, dtype=np.int32)
             t_pad = np.zeros(W, dtype=np.int32)

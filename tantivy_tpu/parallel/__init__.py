@@ -22,9 +22,6 @@ from ..utils.trace import debug_time
 NEG_INF = np.float32(-np.inf)
 
 
-#: phase-2 pruning margins around the threshold (f32 ulp guard band)
-_MARGIN_LO = np.float32(1.0 - 4e-6)
-_MARGIN_HI = np.float32(1.0 + 4e-6)
 
 
 def _topk_thresholds(per_query, k):
@@ -50,18 +47,26 @@ def _topk_thresholds(per_query, k):
 
 
 def _phase2_keep(ub, blk_base, seg_ord, th, th_seg, th_doc):
-    """Phase-2 survivor mask for one query's blocks in one segment."""
+    """Phase-2 survivor mask for one query's blocks in one segment.
+
+    Exact compares, no margin: `FieldWand.clause_blocks_ub` guarantees
+    `ub >= score` bit-exactly in f32 (UB accumulated in the kernel's clause
+    order — see its docstring). So:
+      * ub <  th: every doc scores < th — prune.
+      * ub == th: a doc can at best TIE the kth hit; it wins only with a
+        smaller DocAddress, impossible when the whole block starts after the
+        kth hit's address — prune iff later.
+      * ub >  th: may hold a strictly better doc — keep.
+    """
     if th == NEG_INF:
         return np.ones(len(ub), dtype=bool)
-    keep = ub >= th * _MARGIN_LO
-    band = ub <= th * _MARGIN_HI
     if seg_ord > th_seg:
         later = np.ones(len(ub), dtype=bool)
     elif seg_ord == th_seg:
         later = blk_base.astype(np.int64) > th_doc
     else:
         later = np.zeros(len(ub), dtype=bool)
-    return keep & ~(band & later)
+    return (ub > th) | ((ub == th) & ~later)
 
 
 class BatchExecutor:
@@ -397,14 +402,15 @@ class BatchExecutor:
                         (info[c2][0] == ps.KIND_MUST,
                          info[c2][2] if c2 in positive else np.float32(0.0),
                          int(dfp.term_block_start[ords[c2]]),
-                         int(dfp.term_num_blocks[ords[c2]]))
+                         int(dfp.term_num_blocks[ords[c2]]),
+                         c2)
                         for c2 in range(T)
                         if c2 != ci and ords[c2] >= 0
                         and (c2 in positive or info[c2][0] == ps.KIND_MUST_NOT)
                     ]
                     ids, ub, widths = fw.clause_blocks_ub(
                         start[ci], nblk[ci], info[ci][2], others,
-                        ps.KIND_MUST,
+                        self_pos=ci,
                     )
                     if len(ids):
                         cand.append((ci, ids, ub, widths))
@@ -656,12 +662,13 @@ class BatchExecutor:
                     )
                     continue
                 others = [
-                    (True, np.float32(0.0), starts[t], nblks[t])
+                    (True, np.float32(0.0), starts[t], nblks[t], t)
                     for t in range(T)
                     if t != leader
                 ]
                 ids, ub, widths = fw.clause_blocks_ub(
-                    starts[leader], nblks[leader], qweight[qi], others, 0
+                    starts[leader], nblks[leader], qweight[qi], others,
+                    self_pos=leader,
                 )
                 if not len(ids):
                     continue

@@ -75,15 +75,30 @@ class FieldWand:
         n: int,
         weight: np.float32,
         others: list,
-        kind_must: int,
+        self_pos: int = 0,
     ) -> tuple[np.ndarray, np.ndarray]:
         """For the clause region [start, start+n) of the block table, compute
         (block_ids, UB) with other-clause overlap bounds; blocks impossible
         under a MUST clause with no overlapping blocks are dropped.
 
-        `others` = [(is_must, weight, start, n_blocks)] for the query's other
-        clauses present in this segment (weight 0.0 for MUST_NOT — they
-        don't bound scores but their probe windows must still be sized).
+        `others` = [(is_must, weight, start, n_blocks, pos)] for the query's
+        other clauses present in this segment (weight 0.0 for MUST_NOT —
+        they don't bound scores but their probe windows must still be
+        sized); `pos`/`self_pos` are clause indices in the device kernel's
+        summation order.
+
+        **Exactness argument (replaces the former ±4e-6 ulp band):** the UB
+        is accumulated per clause in the SAME index order and with the SAME
+        f32 operations as the probe kernel's score loop
+        (`probe_scorer.py`: `score += w_t * (tf/(tf+norm))`, t = 0..T-1;
+        absent/non-positive clauses add literal 0.0, an exact identity on
+        the non-negative partial sums). Each per-clause bound dominates the
+        clause's true contribution (`bfac`/`ovmax` are maxima over the same
+        f32 `tf/(tf+cache[fnid])` expression), and IEEE-754 rounding is
+        monotone, so the running f32 UB dominates the running f32 score at
+        every step: `ub >= score` holds *bit-exactly*, and a doc attaining
+        every per-clause bound yields `ub == score` bit-for-bit. Hence
+        `_phase2_keep` can prune on exact compares with no margin.
 
         Returns (block_ids, UB, widths): widths[i] is the widest other-clause
         block window overlapping block i — the probe kernel's per-work-item
@@ -94,12 +109,16 @@ class FieldWand:
         """
         dfp = self.dfp
         ids = np.arange(start, start + n, dtype=np.int64)
-        ub = weight * self.bfac[ids]
         lo = dfp.blk_base[ids].astype(np.uint64)
         hi = dfp.blk_last_doc[ids].astype(np.uint64)
         drop = np.zeros(n, dtype=bool)
         widths = np.zeros(n, dtype=np.int64)
-        for is_must, w2, s2, n2 in others:
+        terms: dict[int, np.ndarray] = {
+            int(self_pos): (np.float32(weight) * self.bfac[ids]).astype(
+                np.float32
+            )
+        }
+        for is_must, w2, s2, n2, pos in others:
             blast = dfp.blk_last_doc[s2 : s2 + n2]
             bbase = dfp.blk_base[s2 : s2 + n2]
             i0 = s2 + np.searchsorted(blast, lo, side="left")
@@ -107,8 +126,12 @@ class FieldWand:
             ov = self.rmax.query(i0, i1)
             if is_must:
                 drop |= i1 <= i0
-            ub = ub + w2 * ov
+            terms[int(pos)] = (np.float32(w2) * ov).astype(np.float32)
             widths = np.maximum(widths, i1 - i0)
+        # accumulate in kernel clause order (see exactness argument above)
+        ub = np.zeros(n, dtype=np.float32)
+        for pos in sorted(terms):
+            ub = (ub + terms[pos]).astype(np.float32)
         if drop.any():
             keep = ~drop
             ids, ub, widths = ids[keep], ub[keep], widths[keep]

@@ -334,8 +334,39 @@ class _View:
         return self.td.term(i)
 
 
+def _has_toplevel_alternation(pattern: str) -> bool:
+    """True if the pattern has an unescaped '|' at group depth 0 (outside
+    character classes). Such a pattern matches strings that need not share
+    any literal prefix, so prefix pruning is unsound."""
+    depth = 0
+    in_class = False
+    i = 0
+    while i < len(pattern):
+        ch = pattern[i]
+        if ch == "\\":
+            i += 2
+            continue
+        if in_class:
+            if ch == "]":
+                in_class = False
+        elif ch == "[":
+            in_class = True
+        elif ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth = max(0, depth - 1)
+        elif ch == "|" and depth == 0:
+            return True
+        i += 1
+    return False
+
+
 def _literal_prefix(pattern: str) -> str:
     """Longest literal prefix of a regex pattern (conservative)."""
+    if _has_toplevel_alternation(pattern):
+        # 'apple|banana' shares no prefix: pruning to 'apple' would drop
+        # every match of the other branches.
+        return ""
     out = []
     i = 0
     meta = set(".^$*+?{}[]|()\\")
