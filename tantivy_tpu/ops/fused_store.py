@@ -1,0 +1,223 @@
+"""FusedStore — every (segment, field) dense block store concatenated into
+ONE device-resident combined row store.
+
+Why: the remoted TPU backend charges a fixed ~26 ms per kernel launch and
+~28 ms per result fetch regardless of size, so launch count dominates batch
+latency. Fusing all segments and fields into one global block id space lets
+a whole batch phase (every query x every segment x every field) ride ONE
+kernel launch + ONE fetch (see `pallas_probe.fused_bool_topk`). It also
+makes multi-field boolean queries a non-event: a clause's region is just a
+slab range, whichever field it lives in.
+
+Layout:
+* per-(segment, field) slab of cstore rows (`pallas_probe.build_cstore`
+  format: docs | tfs | bitcast(bm25 denominator), NaN = deleted/pad), each
+  padded to a multiple of 8 rows (Mosaic DMA tiling);
+* host planning tables (blk_base / blk_last_doc / block-max pairs / bfac)
+  concatenated with the same padding, so a global block id indexes both the
+  device store and the planning tables;
+* per-term regions exposed via `region(seg_ord, field, term_ord)` —
+  `term_block_start + slab_offset`.
+
+The reference has no analogue — its per-segment scorers walk mmap'd posting
+lists (`block_segment_postings.rs`); the fused layout is the TPU-native
+re-design of SURVEY §7 ("postings become [n_blocks, 128] tensors").
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..postings.format import TERMINATED
+from ..query.bm25 import compute_tf_cache
+
+
+class FusedStore:
+    def __init__(self):
+        self.slabs: dict[tuple[int, str], dict] = {}
+        self._order: list[tuple[int, str]] = []
+        self._dirty = False
+        # concatenated host tables (padded rows included)
+        self.blk_base = np.zeros(0, dtype=np.uint32)
+        self.blk_last_doc = np.zeros(0, dtype=np.uint32)
+        self.bfac = np.zeros(0, dtype=np.float32)
+        self.blk_seg = np.zeros(0, dtype=np.int32)
+        self.num_blocks = 0
+        self.cstore = None  # device [NB, 384] u32
+        self._rmax = None
+        # phrase extension (built on demand): positions / owners as 2D
+        # row-DMA-able stores + per-block position offsets
+        self.pstore = None          # device [NPr, 128] u32 positions
+        self.ostore = None          # device [NPr, 128] u32 owner doc ids
+        self.blk_pos = None         # host [NB + 1] i64 position offset per block
+        self._pos_dirty = False
+
+    # -- slab registration -----------------------------------------------
+
+    def ensure_slab(self, seg_ord: int, field: str, dfp, alive,
+                    avg_fieldnorm) -> dict:
+        """Register (and lazily build) the slab for a (segment, field)."""
+        key = (seg_ord, field)
+        slab = self.slabs.get(key)
+        if slab is None:
+            import jax.numpy as jnp
+
+            from .pallas_probe import build_cstore
+
+            cache = compute_tf_cache(np.float32(avg_fieldnorm))
+            nb = dfp.num_blocks
+            nbp = -(-nb // 8) * 8
+            a = jnp.ones(dfp.norm_ids.shape[0], dtype=bool) if alive is None \
+                else alive
+            cstore = build_cstore(dfp.docs, dfp.tfs, dfp.norm_ids, a,
+                                  jnp.asarray(cache))
+            tf = dfp.blk_max_tf.astype(np.float32)
+            bfac = (tf / (tf + cache[dfp.blk_max_fnid])).astype(np.float32)
+            slab = {
+                "seg_ord": seg_ord,
+                "field": field,
+                "dfp": dfp,
+                "cache": cache,
+                "cstore": cstore,
+                "nb": nb,
+                "nbp": nbp,
+                "bfac": bfac,
+                "offset": -1,  # assigned at rebuild
+            }
+            self.slabs[key] = slab
+            self._order.append(key)
+            self._dirty = True
+            self._pos_dirty = True
+        return slab
+
+    def _rebuild(self) -> None:
+        import jax.numpy as jnp
+
+        bases, lasts, bfacs, segs, stores = [], [], [], [], []
+        off = 0
+        for key in self._order:
+            s = self.slabs[key]
+            s["offset"] = off
+            dfp = s["dfp"]
+            nb, nbp = s["nb"], s["nbp"]
+            pad = nbp - nb
+            bases.append(dfp.blk_base.astype(np.uint32))
+            lasts.append(dfp.blk_last_doc.astype(np.uint32))
+            bfacs.append(s["bfac"])
+            if pad:
+                bases.append(np.full(pad, TERMINATED, dtype=np.uint32))
+                lasts.append(np.full(pad, TERMINATED, dtype=np.uint32))
+                bfacs.append(np.zeros(pad, dtype=np.float32))
+            segs.append(np.full(nbp, s["seg_ord"], dtype=np.int32))
+            stores.append(s["cstore"])
+            off += nbp
+        self.num_blocks = off
+        self.blk_base = np.concatenate(bases) if bases else np.zeros(0, np.uint32)
+        self.blk_last_doc = (
+            np.concatenate(lasts) if lasts else np.zeros(0, np.uint32)
+        )
+        self.bfac = np.concatenate(bfacs) if bfacs else np.zeros(0, np.float32)
+        self.blk_seg = np.concatenate(segs) if segs else np.zeros(0, np.int32)
+        self.cstore = (
+            jnp.concatenate(stores, axis=0) if stores else None
+        )
+        from ..parallel.wand import RangeMax
+
+        self._rmax = RangeMax(self.bfac)
+        self._dirty = False
+
+    def ready(self):
+        if self._dirty:
+            self._rebuild()
+        return self
+
+    @property
+    def rmax(self):
+        self.ready()
+        return self._rmax
+
+    def region(self, seg_ord: int, field: str, term_ord: int) -> tuple[int, int]:
+        """(global block start, n_blocks) for a term of a registered slab."""
+        self.ready()
+        s = self.slabs[(seg_ord, field)]
+        dfp = s["dfp"]
+        return (
+            s["offset"] + int(dfp.term_block_start[term_ord]),
+            int(dfp.term_num_blocks[term_ord]),
+        )
+
+    # FieldWand-compatible UB planning over the fused tables --------------
+
+    def clause_blocks_ub(self, start, n, weight, others, self_pos=0):
+        from ..parallel.wand import FieldWand
+
+        return FieldWand.clause_blocks_ub(
+            self, start, n, weight, others, self_pos
+        )
+
+    @property
+    def dfp(self):
+        # FieldWand.clause_blocks_ub reads self.dfp.blk_base/blk_last_doc
+        return self
+
+    # -- phrase position stores -------------------------------------------
+
+    def ensure_positions(self):
+        """Build the fused 2D position/owner stores + per-block position
+        offsets. Positions are re-laid out [ceil(NPOS/128), 128] so the
+        phrase kernel can DMA contiguous row ranges; `ostore` holds the
+        owning DOC id of every position (so aligned-count membership tests
+        are dense compares, no per-lane gathers); `blk_pos[b]` is the global
+        position offset of block b's first posting (from the device pos_cum,
+        fetched once)."""
+        self.ready()
+        if self.pstore is not None and not self._pos_dirty:
+            return
+        import jax.numpy as jnp
+
+        pos_parts, own_parts, blk_pos_parts = [], [], []
+        pos_off = 0
+        for key in self._order:
+            s = self.slabs[key]
+            dfp = s["dfp"]
+            positions, pos_cum = dfp.ensure_positions()
+            npos = int(positions.shape[0])
+            # per-block position offset (within slab): pos_cum at block
+            # starts; one tiny fetch per slab
+            bp = np.asarray(pos_cum[:: 128], dtype=np.int64)
+            bp = np.concatenate([bp, [npos]])  # [nb*?]; append total
+            # bp has nb entries (pos_cum is [nb*128]); pad to nbp + keep
+            # a final total entry at the very end of the fused table
+            nb, nbp = s["nb"], s["nbp"]
+            ext = np.full(nbp, npos, dtype=np.int64)
+            ext[:nb] = bp[:nb]
+            blk_pos_parts.append(pos_off + ext)
+            # owners: doc id per position (device-side repeat)
+            real_tf = jnp.where(
+                dfp.docs != jnp.uint32(TERMINATED), dfp.tfs, jnp.uint32(0)
+            ).reshape(-1)
+            owners = jnp.repeat(
+                dfp.docs.reshape(-1), real_tf, total_repeat_length=npos
+            )
+            pos_parts.append(positions)
+            own_parts.append(owners)
+            s["pos_offset"] = pos_off
+            pos_off += npos
+        total = pos_off
+        rows = max(-(-total // 128), 1)
+        rows_p = -(-rows // 8) * 8
+        padlen = rows_p * 128 - total
+        padv = jnp.full(padlen, jnp.uint32(0xFFFFFFFF), dtype=jnp.uint32)
+        flat_pos = jnp.concatenate(
+            [p.astype(jnp.uint32) for p in pos_parts] + [padv]
+        )
+        flat_own = jnp.concatenate(
+            [o.astype(jnp.uint32) for o in own_parts] + [padv]
+        )
+        self.pstore = flat_pos.reshape(rows_p, 128)
+        self.ostore = flat_own.reshape(rows_p, 128)
+        self.blk_pos = np.concatenate(blk_pos_parts + [[total]]) if \
+            blk_pos_parts else np.zeros(1, dtype=np.int64)
+        self.num_pos = total
+        self.pos_rows = rows_p
+        self._pos_dirty = False

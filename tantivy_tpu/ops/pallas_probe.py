@@ -38,15 +38,24 @@ from .probe_scorer import (
     KIND_SHOULD,
     T_MAX,
     pack_results,
+    pack_results_seg,
     per_query_topk_from_rows,
+    per_query_topk_rows_seg,
 )
 
 NEG_INF = np.float32(-np.inf)
 
 
-def _g_items(kw: int) -> int:
-    """Work items per grid program, sized to the VMEM window budget."""
-    return 16 if kw > 8 else 64
+def _g_items(kw: int, n_clauses: int = 2) -> int:
+    """Work items per grid program, sized to a ~3.5MB VMEM window budget:
+    win_buf = G * n_clauses * kw8 * 384 * 4 bytes."""
+    kw8 = ((kw + 7) & ~7) + 8
+    budget = 3_500_000
+    g = budget // (max(n_clauses, 1) * kw8 * 384 * 4)
+    for cand in (64, 32, 16, 8, 4, 2, 1):
+        if cand <= g:
+            return cand
+    return 1
 
 
 def build_cstore(docs, tfs, norm_ids, alive, cache):
@@ -114,8 +123,11 @@ def _bool_kernel_body(n_clauses: int, kw: int, num_queries: int, G: int):
 
         def win_dma(g, t):
             # jlo is pre-aligned host-side; extra leading rows only add
-            # smaller docs of the same region (harmless for presence/tf)
-            j8 = pl.multiple_of(sc(3 * G + g * n_clauses + t), 8)
+            # smaller docs of the same region (harmless for presence/tf).
+            # jlo < 0 marks a SKIPPED clause probe (wide-window dual-report
+            # plan): DMA row 0 harmlessly; row_ok masks the result away.
+            j = sc(3 * G + g * n_clauses + t)
+            j8 = pl.multiple_of(jnp.maximum(j, 0), 8)
             return pltpu.make_async_copy(
                 cstore_ref.at[pl.ds(j8, kw8)],
                 win_buf.at[g, t],
@@ -162,7 +174,8 @@ def _bool_kernel_body(n_clauses: int, kw: int, num_queries: int, G: int):
                 wdocs = wrow[:, 0:128]
                 wtfs = wrow[:, 128:256]
                 roff = jax.lax.broadcasted_iota(jnp.int32, (kw8, 1), 0)
-                row_ok = ((j + roff) >= s) & ((j + roff) < s + n)
+                # j < 0 = skipped probe (see win_dma): mask the whole window
+                row_ok = (j >= 0) & ((j + roff) >= s) & ((j + roff) < s + n)
                 wd = jnp.where(
                     row_ok, wdocs, jnp.uint32(0xFFFFFFFF)
                 ).reshape(1, kw8 * 128)
@@ -198,9 +211,16 @@ def _bool_kernel_body(n_clauses: int, kw: int, num_queries: int, G: int):
                 )
                 primary = jnp.where(is_prim, jnp.int32(t), primary)
 
+            # `primary` = lowest FULL-PROBING present clause (cl_ship_ref
+            # carries the planner's fullprobe flags). A lane reports iff no
+            # earlier full-probing clause covers the doc (cl <= primary):
+            # with no skipped probes this is exactly the old single-reporter
+            # rule; with skips, partial-score lanes may double-report and
+            # the host dedups by (seg, doc) keeping the max — which some
+            # full-probing lane always supplies (see parallel planner).
             ok = (
                 lane_ok
-                & (primary == cl)
+                & (cl <= primary)
                 & (cnt_must >= req_m_ref[q])
                 & (cnt_should >= req_s_ref[q])
                 & jnp.logical_not(has_not)
@@ -212,6 +232,51 @@ def _bool_kernel_body(n_clauses: int, kw: int, num_queries: int, G: int):
         jax.lax.fori_loop(0, G, compute_g, 0)
 
     return kernel
+
+
+def _probe_rows(
+    scal, cl_weight, cl_kind, cl_start, cl_len, cl_shipped, req_must,
+    req_should, cstore, *, n_clauses: int, kw: int, num_prows: int, G: int,
+    W: int, interpret: bool,
+):
+    """Run the probe kernel over one rung's packed scalars; returns raw
+    (scores [W, 128], docs [W, 128])."""
+    kernel = _bool_kernel_body(n_clauses, kw, num_prows, G)
+    P = W // G
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=7,
+        grid=(P,),
+        in_specs=[
+            pl.BlockSpec((1, 8, 128), lambda i, *_: (i, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=[
+            pl.BlockSpec((G, 128), lambda i, *_: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((G, 128), lambda i, *_: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((G, 8, 384), jnp.uint32),
+            pltpu.VMEM(
+                (G, n_clauses, ((kw + 7) & ~7) + 8, 384), jnp.uint32
+            ),
+            pltpu.SemaphoreType.DMA((G, 1 + n_clauses)),
+        ],
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((W, 128), jnp.float32),
+            jax.ShapeDtypeStruct((W, 128), jnp.uint32),
+        ],
+        interpret=interpret,
+    )(
+        cl_weight, cl_kind, cl_start, cl_len, cl_shipped, req_must,
+        req_should, scal, cstore,
+    )
 
 
 @functools.partial(
@@ -238,8 +303,7 @@ def pallas_bool_topk(
     interpret: bool = False,
 ):
     w = bids.shape[0]
-    G = _g_items(kw)
-    kernel = _bool_kernel_body(n_clauses, kw, num_queries, G)
+    G = _g_items(kw, n_clauses)
     # pack the per-item scalars into (8, 128)-tiled SMEM blocks
     P = w // G
     scal = jnp.concatenate(
@@ -253,39 +317,10 @@ def pallas_bool_topk(
     ).astype(jnp.int32)
     pad_cols = 8 * 128 - scal.shape[1]
     scal = jnp.pad(scal, ((0, 0), (0, pad_cols))).reshape(P, 8, 128)
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=7,
-        grid=(P,),
-        in_specs=[
-            pl.BlockSpec((1, 8, 128), lambda i, *_: (i, 0, 0),
-                         memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pl.ANY),
-        ],
-        out_specs=[
-            pl.BlockSpec((G, 128), lambda i, *_: (i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((G, 128), lambda i, *_: (i, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        scratch_shapes=[
-            pltpu.VMEM((G, 8, 384), jnp.uint32),
-            pltpu.VMEM(
-                (G, n_clauses, ((kw + 7) & ~7) + 8, 384), jnp.uint32
-            ),
-            pltpu.SemaphoreType.DMA((G, 1 + n_clauses)),
-        ],
-    )
-    scores, docs = pl.pallas_call(
-        kernel,
-        grid_spec=grid_spec,
-        out_shape=[
-            jax.ShapeDtypeStruct((w, 128), jnp.float32),
-            jax.ShapeDtypeStruct((w, 128), jnp.uint32),
-        ],
-        interpret=interpret,
-    )(
-        cl_weight, cl_kind, cl_start, cl_len, cl_shipped, req_must,
-        req_should, scal, cstore,
+    scores, docs = _probe_rows(
+        scal, cl_weight, cl_kind, cl_start, cl_len, cl_shipped, req_must,
+        req_should, cstore, n_clauses=n_clauses, kw=kw,
+        num_prows=num_queries, G=G, W=w, interpret=interpret,
     )
     kk = min(k, 128)
     row_sc, row_idx = jax.lax.top_k(scores, kk)
@@ -293,6 +328,176 @@ def pallas_bool_topk(
     return pack_results(
         *per_query_topk_from_rows(row_sc, row_doc, qid, k, num_queries)
     )
+
+
+# ---------------------------------------------------------------------------
+# fused multi-rung launch: every (segment, field) x every window rung of a
+# batch phase in ONE jit program -> one launch + one fetch (the remoted
+# backend charges ~26ms/launch + ~28ms/fetch regardless of size)
+
+#: (kw, max chunk) rungs for the fused path; per-rung W tiers keep the
+#: compiled shape set small while letting small batches ride small shapes
+_FUSED_RUNGS = (2, 8, 64, 512)
+_FUSED_W_TIERS = {
+    2: (256, 4096, 65536),
+    8: (256, 4096, 65536),
+    64: (256, 8192),
+    512: (256, 512),
+}
+#: widest fused probe window; wider work items are re-enumerated through a
+#: denser clause by the planner ("window explosion"), not host-fallbacked
+FUSED_KW_MAX = _FUSED_RUNGS[-1]
+
+
+def fused_w_tier(kw: int, n: int) -> int:
+    for w in _FUSED_W_TIERS[kw]:
+        if n <= w:
+            return w
+    return _FUSED_W_TIERS[kw][-1]
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "k", "num_queries", "num_prows", "n_clauses", "rungs", "interpret",
+    ),
+)
+def fused_bool_topk(
+    rung_scal,   # tuple of [P, 8, 128] i32 packed per-item scalars
+    rung_qid,    # tuple of [W] i32 (query id per item, for the merge tail)
+    rung_seg,    # tuple of [W] i32 (segment ord per item)
+    cl_weight,   # [Pp, T] f32 — plan-row tables (one row per (query, seg))
+    cl_kind,     # [Pp, T] i32
+    cl_start,    # [Pp, T] i32 — GLOBAL fused block units
+    cl_len,      # [Pp, T] i32
+    cl_shipped,  # [Pp, T] i32
+    req_must,    # [Pp] i32
+    req_should,  # [Pp] i32
+    cstore,      # [NB, 384] u32 — the fused store
+    k: int,
+    num_queries: int,
+    num_prows: int,
+    n_clauses: int,
+    rungs: tuple,    # ((W, kw, G), ...)
+    interpret: bool = False,
+):
+    """One launch for a whole batch phase: one probe pallas_call per rung,
+    then a single cross-rung cross-segment top-k merge tail. Returns packed
+    [3, Q, k] (score bits | doc | seg)."""
+    row_sc, row_doc, row_qid, row_seg = [], [], [], []
+    kk = min(k, 128)
+    for (W, kw, G), scal, qid, seg in zip(
+        rungs, rung_scal, rung_qid, rung_seg
+    ):
+        scores, docs = _probe_rows(
+            scal, cl_weight, cl_kind, cl_start, cl_len, cl_shipped,
+            req_must, req_should, cstore, n_clauses=n_clauses, kw=kw,
+            num_prows=num_prows, G=G, W=W, interpret=interpret,
+        )
+        sc, idx = jax.lax.top_k(scores, kk)
+        row_sc.append(sc)
+        row_doc.append(jnp.take_along_axis(docs, idx, axis=1))
+        row_qid.append(qid)
+        row_seg.append(seg)
+    return pack_results_seg(
+        *per_query_topk_rows_seg(
+            jnp.concatenate(row_sc),
+            jnp.concatenate(row_doc),
+            jnp.concatenate(row_seg),
+            jnp.concatenate(row_qid),
+            k,
+            num_queries,
+        )
+    )
+
+
+def launch_fused_bool(
+    fused, work, tables, k: int, num_queries: int, interpret: bool,
+) -> list:
+    """Assemble per-rung scalar packs from the planner's work list and issue
+    ONE fused launch.
+
+    `work` = (blocks [N], prow [N], clause [N], width [N], qid [N], seg [N],
+    skip [N] u32 bitmask of clause probes to skip) numpy arrays; `tables` =
+    dict of plan-row tables (cl_* [P+1, T], req_*). `k` may be inflated by
+    the planner (k_eff) when skipped probes can double-report docs.
+    Returns [packed [3, Q, k]] (a one-element pending list) or [] if empty.
+    """
+    blocks, prow, clause, width, qid, seg, skip = work
+    n_items = len(blocks)
+    if n_items == 0:
+        return []
+    T = tables["cl_weight"].shape[1]
+    num_prows = tables["cl_weight"].shape[0] - 1
+
+    rungs = []
+    rung_scal, rung_qid, rung_seg = [], [], []
+    prev_kw = -1
+    for kw in _FUSED_RUNGS:
+        sel = (width > prev_kw) & (width <= kw)
+        prev_kw = kw
+        if not sel.any():
+            continue
+        G = _g_items(kw, T)
+        b_s, p_s, c_s, q_s, s_s, sk_s = (
+            blocks[sel], prow[sel], clause[sel], qid[sel], seg[sel],
+            skip[sel],
+        )
+        jlo = compute_jlo(
+            fused, b_s.astype(np.int64), p_s.astype(np.int64),
+            tables["cl_start"], tables["cl_len"], kw,
+        )
+        for t in range(T):
+            jlo[((sk_s >> t) & 1).astype(bool), t] = -1
+        cap = _FUSED_W_TIERS[kw][-1]
+        for lo in range(0, len(b_s), cap):
+            hi = min(lo + cap, len(b_s))
+            n = hi - lo
+            W = fused_w_tier(kw, n)
+            b_pad = np.zeros(W, dtype=np.int32)
+            p_pad = np.full(W, num_prows, dtype=np.int32)
+            c_pad = np.zeros(W, dtype=np.int32)
+            q_pad = np.full(W, num_queries, dtype=np.int32)
+            s_pad = np.zeros(W, dtype=np.int32)
+            j_pad = np.zeros((W, T), dtype=np.int32)
+            b_pad[:n] = b_s[lo:hi]
+            p_pad[:n] = p_s[lo:hi]
+            c_pad[:n] = c_s[lo:hi]
+            q_pad[:n] = q_s[lo:hi]
+            s_pad[:n] = s_s[lo:hi]
+            j_pad[:n] = jlo[lo:hi]
+            P = W // G
+            scal = np.concatenate(
+                [
+                    b_pad.reshape(P, G),
+                    p_pad.reshape(P, G),
+                    c_pad.reshape(P, G),
+                    j_pad.reshape(P, G * T),
+                ],
+                axis=1,
+            ).astype(np.int32)
+            scal = np.pad(
+                scal, ((0, 0), (0, 8 * 128 - scal.shape[1]))
+            ).reshape(P, 8, 128)
+            rungs.append((W, kw, G))
+            rung_scal.append(jnp.asarray(scal))
+            rung_qid.append(jnp.asarray(q_pad))
+            rung_seg.append(jnp.asarray(s_pad))
+
+    out = fused_bool_topk(
+        tuple(rung_scal), tuple(rung_qid), tuple(rung_seg),
+        jnp.asarray(tables["cl_weight"]),
+        jnp.asarray(tables["cl_kind"]),
+        jnp.asarray(tables["cl_start"]),
+        jnp.asarray(tables["cl_len"]),
+        jnp.asarray(tables["cl_shipped"].astype(np.int32)),
+        jnp.asarray(tables["req_must"]),
+        jnp.asarray(tables["req_should"]),
+        fused.cstore,
+        k=k, num_queries=num_queries, num_prows=num_prows,
+        n_clauses=T, rungs=tuple(rungs), interpret=interpret,
+    )
+    return [out]
 
 
 def compute_jlo(dfp, work_blocks, work_qid, cl_start, cl_len, kw: int):

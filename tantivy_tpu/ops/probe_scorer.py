@@ -138,6 +138,53 @@ def per_query_topk_from_rows(row_sc, row_doc, qid, k: int, num_queries: int):
     return out_sc, out_doc
 
 
+def per_query_topk_rows_seg(row_sc, row_doc, row_seg, qid, k: int,
+                            num_queries: int):
+    """Cross-segment variant of `per_query_topk_from_rows`: each work row
+    carries its segment ordinal, and the merge sorts 4 keys
+    (qid asc, score desc, seg asc, doc asc) — the exact (score, DocAddress)
+    tie-break of the host fruit-merge (reference
+    `sort_key_top_collector.rs:76-97`). Returns (scores, docs, segs)."""
+    w, kk = row_sc.shape
+    flat_scores = row_sc.reshape(-1)
+    flat_docs = row_doc.reshape(-1)
+    flat_seg = jnp.repeat(row_seg, kk)
+    flat_qid = jnp.repeat(qid, kk)
+    flat_qid = jnp.where(
+        flat_scores == NEG_INF, jnp.int32(num_queries), flat_qid
+    )
+    skey = _sortable_desc(flat_scores)
+    sq, _, sseg, sdoc, ssc = jax.lax.sort(
+        (flat_qid, skey, flat_seg, flat_docs, flat_scores),
+        num_keys=4, is_stable=False,
+    )
+    firsts = jnp.searchsorted(sq, jnp.arange(num_queries, dtype=jnp.int32))
+    nexts = jnp.searchsorted(sq, jnp.arange(1, num_queries + 1, dtype=jnp.int32))
+    n = w * kk
+    idx = firsts[:, None] + jnp.arange(k, dtype=jnp.int32)[None, :]
+    ok = idx < nexts[:, None]
+    idx = jnp.minimum(idx, n - 1)
+    out_sc = jnp.where(ok, ssc[idx], NEG_INF)
+    out_doc = jnp.where(ok, sdoc[idx], jnp.uint32(0))
+    out_seg = jnp.where(ok, sseg[idx], jnp.int32(0))
+    return out_sc, out_doc, out_seg
+
+
+def pack_results_seg(scores, docs, segs):
+    """[3, Q, k] u32 packed (score bits | doc | seg) -> one result fetch."""
+    return jnp.stack(
+        [
+            jax.lax.bitcast_convert_type(scores, jnp.uint32),
+            docs,
+            segs.astype(jnp.uint32),
+        ]
+    )
+
+
+def unpack_results_seg(packed_np):
+    return packed_np[0].view(np.float32), packed_np[1], packed_np[2]
+
+
 def probe_term_window(store_docs, store_tfs, blk_last, docs2d, qid,
                       cl_start_t, cl_len_t, kw: int, n_iters: int):
     """Windowed probe: (found [W,128], tf [W,128], flatpos [W,128]) of every
@@ -252,7 +299,7 @@ def probe_bool_topk_window(
 
     ok = (
         lane_ok
-        & (lane_clause[:, None] == primary)
+        & (lane_clause[:, None] <= primary)
         & (cnt_must >= req_must[qid][:, None])
         & (cnt_should >= req_should[qid][:, None])
         & ~has_not
@@ -343,7 +390,7 @@ def probe_bool_topk(
 
     ok = (
         lane_ok
-        & (fcl == primary)
+        & (fcl <= primary)
         & (cnt_must >= req_must[fq])
         & (cnt_should >= req_should[fq])
         & ~has_not

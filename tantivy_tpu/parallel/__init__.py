@@ -24,6 +24,22 @@ NEG_INF = np.float32(-np.inf)
 
 
 
+def _dedup_hits(hits):
+    """In-place: sort by (score desc, DocAddress asc) and drop later
+    duplicates of the same DocAddress. Duplicates arise from the fused
+    dual-report plan (a skipped-probe lane reports a partial score for a
+    doc some full-probing lane also reports); sorting first means the kept
+    occurrence carries the max — the exact full — score."""
+    hits.sort(key=lambda x: (-float(x[0]), x[1]))
+    seen = set()
+    out = []
+    for h in hits:
+        if h[1] not in seen:
+            seen.add(h[1])
+            out.append(h)
+    hits[:] = out
+
+
 def _topk_thresholds(per_query, k):
     """(score, seg, doc) thresholds per query from the phase-1 results:
     the kth hit's score AND DocAddress. Blocks whose upper bound ties the
@@ -36,7 +52,7 @@ def _topk_thresholds(per_query, k):
     th_doc = np.zeros(Q, dtype=np.int64)
     for qi in range(Q):
         hits = per_query[qi]
-        hits.sort(key=lambda x: (-float(x[0]), x[1]))
+        _dedup_hits(hits)
         del hits[k:]
         if len(hits) == k:
             th[qi] = hits[-1][0]
@@ -236,7 +252,7 @@ class BatchExecutor:
     # boolean batches
 
     def _bool_device_eligible(self, q) -> bool:
-        from ..ops.probe_scorer import T_MAX
+        from ..ops.probe_scorer import T_MAX, _pallas_mode
         from ..query import BooleanQuery, TermQuery
 
         if not isinstance(q, BooleanQuery):
@@ -248,7 +264,9 @@ class BatchExecutor:
             if not isinstance(sub, TermQuery):
                 return False
             fields.add(sub.term.field)
-        return len(fields) == 1
+        # the fused store handles clauses across fields; the XLA fallback
+        # path is single-field only
+        return len(fields) == 1 or _pallas_mode() is not None
 
     def _field_wand(self, seg_ord: int, field: str):
         from .wand import FieldWand
@@ -281,6 +299,9 @@ class BatchExecutor:
         """
         from ..ops import probe_scorer as ps
         from ..query import Occur
+
+        if ps._pallas_mode() is not None:
+            return self._search_boolean_fused(queries, k)
 
         Q = len(queries)
         if Q == 0:
@@ -412,6 +433,11 @@ class BatchExecutor:
                         start[ci], nblk[ci], info[ci][2], others,
                         self_pos=ci,
                     )
+                    widths = (
+                        widths.max(axis=1)
+                        if widths.shape[1]
+                        else np.zeros(len(ids), dtype=np.int64)
+                    )
                     if len(ids):
                         cand.append((ci, ids, ub, widths))
                 if not cand:
@@ -506,6 +532,420 @@ class BatchExecutor:
         for qi in range(Q):
             hits = per_query[qi]
             hits.sort(key=lambda x: (-float(x[0]), x[1]))
+            out.append(hits[:k])
+        return out
+
+    # ------------------------------------------------------------------
+    # fused boolean batches (pallas): ONE launch per phase for the whole
+    # batch across every segment, field, and window rung
+
+    def _fused(self):
+        fs = getattr(self, "_fused_store_obj", None)
+        if fs is None:
+            from ..ops.fused_store import FusedStore
+
+            fs = self._fused_store_obj = FusedStore()
+        return fs
+
+    def _ensure_fused_slab(self, seg_ord: int, field: str):
+        fused = self._fused()
+        if (seg_ord, field) in fused.slabs:
+            return
+        fs = self._field_stats.get(field)
+        if fs is None:
+            fs = self.searcher.field_statistics(field)
+            self._field_stats[field] = fs
+        dseg = self._device_segments[seg_ord]
+        fused.ensure_slab(
+            seg_ord, field, dseg.field_postings(field), dseg.alive,
+            fs.average_fieldnorm,
+        )
+
+    def _count_fallback(self, kind: str) -> None:
+        fb = getattr(self, "fallbacks", None)
+        if fb is None:
+            fb = self.fallbacks = {}
+        fb[kind] = fb.get(kind, 0) + 1
+
+    @staticmethod
+    def _prow_tier(n: int) -> int:
+        for t in (32, 128, 512, 2048, 8192, 32768):
+            if n <= t:
+                return t
+        return n
+
+    def _search_boolean_fused(self, queries: list, k: int):
+        """Fused-store boolean batch: every (query, segment) plan row across
+        all fields rides ONE pallas launch per phase (see
+        `ops/fused_store.py` and `pallas_probe.fused_bool_topk`).
+
+        Wide probe windows are handled without host fallbacks in the two
+        sound cases:
+        * MUST queries: a wide leader block is re-enumerated through the
+          densest other MUST clause's overlapping blocks ("explosion") —
+          coverage holds because every match lies in every MUST clause; the
+          primary-dedup rule already de-duplicates docs found by both
+          enumerators.
+        * pure-SHOULD (minimum_should_match <= 1) queries: an item may SKIP
+          probing a strictly denser SHOULD clause (jlo = -1); its lanes then
+          report partial scores, and the lowest full-probing present clause
+          — which always exists (the densest present clause never skips:
+          skips only target strictly denser clauses) — reports the exact
+          full score. The kernel's `cl <= prim_full` reporter rule plus host
+          dedup-by-address keeping the max yields exact results (a lane's
+          partial score never exceeds the true score: contributions are
+          non-negative).
+        Remaining wide cases (m-of-n, MUST_NOT over huge regions, exploded
+        blocks still wide) fall back to exact host evaluation per
+        (query, segment), counted in `self.fallbacks`.
+        """
+        from ..ops import pallas_probe as pp
+        from ..ops import probe_scorer as ps
+        from ..query import Occur
+
+        Q = len(queries)
+        if Q == 0:
+            return []
+        interpret = ps._pallas_mode() == "interpret"
+        kind_of = {
+            Occur.MUST: ps.KIND_MUST,
+            Occur.SHOULD: ps.KIND_SHOULD,
+            Occur.MUST_NOT: ps.KIND_MUST_NOT,
+        }
+        KWMAX = pp.FUSED_KW_MAX
+
+        qclauses = []  # per query: [(kind, term, weight, field)]
+        q_req_must = np.zeros(Q, dtype=np.int32)
+        q_req_should = np.zeros(Q, dtype=np.int32)
+        q_report_all = np.zeros(Q, dtype=bool)
+        for qi, q in enumerate(queries):
+            n_must = sum(1 for occ, _ in q.clauses if occ == Occur.MUST)
+            n_should = sum(1 for occ, _ in q.clauses if occ == Occur.SHOULD)
+            q_req_must[qi] = n_must
+            ms = q.minimum_number_should_match
+            if n_must == 0:
+                ms = max(ms, 1)
+            q_req_should[qi] = min(ms, n_should) if n_should else 0
+            if n_should and q.minimum_number_should_match > n_should:
+                q_req_should[qi] = 1 << 30
+            info = []
+            for occ, sub in q.clauses:
+                w = (
+                    np.float32(0.0)
+                    if occ == Occur.MUST_NOT
+                    else np.float32(self._term_weight(sub.term)[0])
+                )
+                info.append((kind_of[occ], sub.term, w, sub.term.field))
+            qclauses.append(info)
+            q_report_all[qi] = n_must == 0 and q_req_should[qi] <= 1
+
+        readers = self.searcher.segment_readers()
+        fields = {c[3] for info in qclauses for c in info}
+        for seg_ord in range(len(readers)):
+            for f in fields:
+                self._ensure_fused_slab(seg_ord, f)
+        fused = self._fused().ready()
+
+        M1 = 4
+        per_query: list[list] = [[] for _ in range(Q)]
+        per_tb: dict[int, dict] = {}
+
+        _dt1 = debug_time("bool.plan_fused")
+        _dt1.__enter__()
+        for seg_ord, reader in enumerate(readers):
+            for qi, info in enumerate(qclauses):
+                T = len(info)
+                ords = [
+                    self._term_ord(seg_ord, reader, c[3], c[1].value_bytes)
+                    for c in info
+                ]
+                if any(
+                    c[0] == ps.KIND_MUST and o < 0
+                    for c, o in zip(info, ords)
+                ):
+                    continue
+                positive = [
+                    ci
+                    for ci, (c, o) in enumerate(zip(info, ords))
+                    if c[0] in (ps.KIND_MUST, ps.KIND_SHOULD) and o >= 0
+                ]
+                if not positive:
+                    continue
+                regions = {
+                    ci: fused.region(seg_ord, info[ci][3], ords[ci])
+                    for ci in range(T)
+                    if ords[ci] >= 0
+                }
+                musts = [ci for ci in positive if info[ci][0] == ps.KIND_MUST]
+                nblk = {ci: regions[ci][1] for ci in regions}
+                shipped = (
+                    [min(musts, key=lambda ci: nblk[ci])] if musts
+                    else list(positive)
+                )
+
+                def others_for(ci):
+                    return [
+                        (
+                            info[c2][0] == ps.KIND_MUST,
+                            info[c2][2] if c2 in positive else np.float32(0.0),
+                            regions[c2][0],
+                            regions[c2][1],
+                            c2,
+                        )
+                        for c2 in range(T)
+                        if c2 != ci and ords[c2] >= 0
+                        and (
+                            c2 in positive
+                            or info[c2][0] == ps.KIND_MUST_NOT
+                        )
+                    ]
+
+                report_all = bool(q_report_all[qi])
+                staged = []  # (clause, ids, ub, eff_width, skipbits)
+                fallback = False
+                extra_shipped: set[int] = set()
+                for ci in shipped:
+                    oth = others_for(ci)
+                    ids, ub, wmat = fused.clause_blocks_ub(
+                        regions[ci][0], regions[ci][1], info[ci][2], oth,
+                        self_pos=ci,
+                    )
+                    if not len(ids):
+                        continue
+                    skipbits = np.zeros(len(ids), dtype=np.uint32)
+                    eff = np.zeros(len(ids), dtype=np.int64)
+                    for oi, (_, _, _, n2, c2) in enumerate(oth):
+                        wcol = wmat[:, oi]
+                        can_skip = (
+                            report_all
+                            and info[c2][0] == ps.KIND_SHOULD
+                            and c2 in positive
+                            and (n2, c2) > (nblk[ci], ci)
+                        )
+                        if can_skip:
+                            sk = wcol > KWMAX
+                            skipbits |= sk.astype(np.uint32) << np.uint32(c2)
+                            eff = np.maximum(eff, np.where(sk, 0, wcol))
+                        else:
+                            eff = np.maximum(eff, wcol)
+                    wide = eff > KWMAX
+                    if wide.any():
+                        alts = [c2 for c2 in musts if c2 != ci]
+                        if not alts:
+                            fallback = True
+                            break
+                        c_alt = max(alts, key=lambda c2: nblk[c2])
+                        s2, n2 = regions[c_alt]
+                        wlo = fused.blk_base[ids[wide]].astype(np.uint64)
+                        whi = fused.blk_last_doc[ids[wide]].astype(np.uint64)
+                        blast = fused.blk_last_doc[s2 : s2 + n2]
+                        bbase = fused.blk_base[s2 : s2 + n2]
+                        i0 = s2 + np.searchsorted(blast, wlo, side="left")
+                        i1 = s2 + np.searchsorted(bbase, whi, side="right")
+                        union = np.unique(
+                            np.concatenate(
+                                [np.arange(a, b) for a, b in zip(i0, i1)]
+                                or [np.zeros(0, dtype=np.int64)]
+                            )
+                        )
+                        if len(union):
+                            lo2, hi2 = int(union[0]), int(union[-1]) + 1
+                            ids2, ub2, wmat2 = fused.clause_blocks_ub(
+                                lo2, hi2 - lo2, info[c_alt][2],
+                                others_for(c_alt), self_pos=c_alt,
+                            )
+                            inu = np.isin(ids2, union)
+                            ids2, ub2 = ids2[inu], ub2[inu]
+                            eff2 = (
+                                wmat2[inu].max(axis=1)
+                                if wmat2.shape[1]
+                                else np.zeros(len(ids2), dtype=np.int64)
+                            )
+                            if (eff2 > KWMAX).any():
+                                fallback = True
+                                break
+                            if len(ids2):
+                                staged.append((
+                                    c_alt, ids2, ub2, eff2,
+                                    np.zeros(len(ids2), dtype=np.uint32),
+                                ))
+                                extra_shipped.add(c_alt)
+                        keep = ~wide
+                        ids, ub, eff, skipbits = (
+                            ids[keep], ub[keep], eff[keep], skipbits[keep],
+                        )
+                    if len(ids):
+                        staged.append((ci, ids, ub, eff, skipbits))
+                if fallback:
+                    per_query[qi].extend(
+                        self._host_segment_topk(queries[qi], seg_ord, reader, k)
+                    )
+                    self._count_fallback("bool_wide")
+                    continue
+                if not staged:
+                    continue
+
+                # commit the plan row
+                Tb = ps.t_bucket(T)
+                g = per_tb.get(Tb)
+                if g is None:
+                    g = per_tb[Tb] = {
+                        "rows": [],     # per prow table rows
+                        "p1": [],       # work tuples
+                        "rest": [],
+                        "any_skip": False,
+                    }
+                prow = len(g["rows"])
+                row = {
+                    "qi": qi,
+                    "seg": seg_ord,
+                    "cl_weight": np.zeros(Tb, dtype=np.float32),
+                    "cl_kind": np.full(Tb, ps.KIND_ABSENT, dtype=np.int32),
+                    "cl_start": np.zeros(Tb, dtype=np.int32),
+                    "cl_len": np.zeros(Tb, dtype=np.int32),
+                    "cl_fullprobe": np.zeros(Tb, dtype=np.int32),
+                    "req_must": int(q_req_must[qi]),
+                    "req_should": int(q_req_should[qi]),
+                }
+                for ci, (c, o) in enumerate(zip(info, ords)):
+                    if o < 0:
+                        continue
+                    row["cl_weight"][ci] = (
+                        0.0 if c[0] == ps.KIND_MUST_NOT else c[2]
+                    )
+                    row["cl_kind"][ci] = c[0]
+                    row["cl_start"][ci] = regions[ci][0]
+                    row["cl_len"][ci] = regions[ci][1]
+                # fullprobe = shipped & no skipped probes on ANY of its items
+                skips_of = {}
+                for ci, _, _, _, sk in staged:
+                    skips_of[ci] = skips_of.get(ci, False) or bool(sk.any())
+                for ci in set(shipped) | extra_shipped:
+                    if ci in skips_of:
+                        row["cl_fullprobe"][ci] = 0 if skips_of[ci] else 1
+                g["rows"].append(row)
+                if any(skips_of.values()):
+                    g["any_skip"] = True
+
+                # phase-1 = the prow's top-M1 blocks by UB across clauses
+                all_ub = np.concatenate([s[2] for s in staged])
+                if len(all_ub) <= M1:
+                    cut = NEG_INF
+                else:
+                    cut = np.partition(all_ub, len(all_ub) - M1)[
+                        len(all_ub) - M1
+                    ]
+                taken = 0
+                for ci, ids, ub, eff, sk in staged:
+                    pick = ub >= cut
+                    extra = int(pick.sum()) - (M1 - taken)
+                    if extra > 0:
+                        selidx = np.nonzero(pick)[0]
+                        pick[selidx[len(selidx) - extra:]] = False
+                    taken += int(pick.sum())
+                    if pick.any():
+                        g["p1"].append(
+                            (prow, qi, seg_ord, ci, ids[pick], eff[pick],
+                             sk[pick])
+                        )
+                    if (~pick).any():
+                        g["rest"].append(
+                            (prow, qi, seg_ord, ci, ids[~pick], ub[~pick],
+                             eff[~pick], sk[~pick])
+                        )
+        _dt1.__exit__(None, None, None)
+
+        def finalize_tables(g, Tb):
+            n = len(g["rows"])
+            tier = self._prow_tier(n)
+            t = {
+                "cl_weight": np.zeros((tier + 1, Tb), np.float32),
+                "cl_kind": np.full((tier + 1, Tb), 3, np.int32),
+                "cl_start": np.zeros((tier + 1, Tb), np.int32),
+                "cl_len": np.zeros((tier + 1, Tb), np.int32),
+                "cl_shipped": np.zeros((tier + 1, Tb), np.int32),
+                "req_must": np.zeros(tier + 1, np.int32),
+                "req_should": np.zeros(tier + 1, np.int32),
+            }
+            t["req_must"][n:] = 1 << 30
+            for i, row in enumerate(g["rows"]):
+                t["cl_weight"][i] = row["cl_weight"]
+                t["cl_kind"][i] = row["cl_kind"]
+                t["cl_start"][i] = row["cl_start"]
+                t["cl_len"][i] = row["cl_len"]
+                t["cl_shipped"][i] = row["cl_fullprobe"]
+                t["req_must"][i] = row["req_must"]
+                t["req_should"][i] = row["req_should"]
+            return t
+
+        def build_work(items):
+            blocks = np.concatenate([it[4] for it in items])
+            prow = np.concatenate(
+                [np.full(len(it[4]), it[0], np.int32) for it in items]
+            )
+            clause = np.concatenate(
+                [np.full(len(it[4]), it[3], np.int32) for it in items]
+            )
+            width = np.concatenate([it[-2] for it in items])
+            qid = np.concatenate(
+                [np.full(len(it[4]), it[1], np.int32) for it in items]
+            )
+            seg = np.concatenate(
+                [np.full(len(it[4]), it[2], np.int32) for it in items]
+            )
+            skip = np.concatenate([it[-1] for it in items])
+            return blocks, prow, clause, width, qid, seg, skip
+
+        # ---- phase 1: one fused launch per T-bucket ----------------------
+        pending1 = []
+        tb_tables = {}
+        for Tb, g in per_tb.items():
+            tb_tables[Tb] = finalize_tables(g, Tb)
+            if not g["p1"]:
+                continue
+            k_eff = min(k * Tb, 128) if g["any_skip"] else k
+            with debug_time("bool.fused_dispatch1"):
+                for out in pp.launch_fused_bool(
+                    fused, build_work(g["p1"]), tb_tables[Tb], k_eff, Q,
+                    interpret,
+                ):
+                    pending1.append((None, out))
+        with debug_time("bool.collect1", n=len(pending1)):
+            self._collect_flat(pending1, per_query, k)
+        th, th_seg, th_doc = _topk_thresholds(per_query, k)
+
+        # ---- phase 2: survivors only --------------------------------------
+        pending2 = []
+        for Tb, g in per_tb.items():
+            if not g["rest"]:
+                continue
+            survivors = []
+            for prow, qi, seg_ord, ci, ids, ub, eff, sk in g["rest"]:
+                keep = _phase2_keep(
+                    ub, fused.blk_base[ids], seg_ord,
+                    th[qi], th_seg[qi], th_doc[qi],
+                )
+                if keep.any():
+                    survivors.append(
+                        (prow, qi, seg_ord, ci, ids[keep], eff[keep],
+                         sk[keep])
+                    )
+            if not survivors:
+                continue
+            k_eff = min(k * Tb, 128) if g["any_skip"] else k
+            with debug_time("bool.fused_dispatch2"):
+                for out in pp.launch_fused_bool(
+                    fused, build_work(survivors), tb_tables[Tb], k_eff, Q,
+                    interpret,
+                ):
+                    pending2.append((None, out))
+        with debug_time("bool.collect2", n=len(pending2)):
+            self._collect_flat(pending2, per_query, k)
+
+        out = []
+        for qi in range(Q):
+            hits = per_query[qi]
+            _dedup_hits(hits)
             out.append(hits[:k])
         return out
 
@@ -670,6 +1110,11 @@ class BatchExecutor:
                     starts[leader], nblks[leader], qweight[qi], others,
                     self_pos=leader,
                 )
+                widths = (
+                    widths.max(axis=1)
+                    if widths.shape[1]
+                    else np.zeros(len(ids), dtype=np.int64)
+                )
                 if not len(ids):
                     continue
                 if int(widths.max(initial=0)) > ph.MAX_KW:
@@ -781,20 +1226,28 @@ class BatchExecutor:
         return out
 
     def _collect_flat(self, pending, per_query, k):
-        from ..ops.probe_scorer import unpack_results
+        from ..ops.probe_scorer import unpack_results, unpack_results_seg
 
         for seg_ord, out in pending:
+            segs = None
             if isinstance(out, tuple):
                 vals = np.asarray(out[0])
                 docs = np.asarray(out[1])
-            else:  # packed [2, Q, k] single-fetch result
-                vals, docs = unpack_results(np.asarray(out))
+            else:
+                packed = np.asarray(out)
+                if packed.shape[0] == 3:
+                    # fused cross-segment result: seg ord rides the payload
+                    vals, docs, segs = unpack_results_seg(packed)
+                else:  # packed [2, Q, k] single-fetch result
+                    vals, docs = unpack_results(packed)
             qs, js = np.nonzero(vals > NEG_INF)
             vsel = vals[qs, js]
             dsel = docs[qs, js]
+            ssel = segs[qs, js] if segs is not None else None
             for i, qi in enumerate(qs.tolist()):
+                so = seg_ord if ssel is None else int(ssel[i])
                 per_query[qi].append(
-                    (np.float32(vsel[i]), DocAddress(seg_ord, int(dsel[i])))
+                    (np.float32(vsel[i]), DocAddress(so, int(dsel[i])))
                 )
 
     def search_term_batch_bucketed(self, terms: list, k: int):

@@ -112,13 +112,15 @@ class FieldWand:
         lo = dfp.blk_base[ids].astype(np.uint64)
         hi = dfp.blk_last_doc[ids].astype(np.uint64)
         drop = np.zeros(n, dtype=bool)
-        widths = np.zeros(n, dtype=np.int64)
+        # per-(block, other-clause) overlap width — callers reduce with
+        # .max(axis=1), or use per-clause widths for probe-skip decisions
+        widths = np.zeros((n, len(others)), dtype=np.int64)
         terms: dict[int, np.ndarray] = {
             int(self_pos): (np.float32(weight) * self.bfac[ids]).astype(
                 np.float32
             )
         }
-        for is_must, w2, s2, n2, pos in others:
+        for oi, (is_must, w2, s2, n2, pos) in enumerate(others):
             blast = dfp.blk_last_doc[s2 : s2 + n2]
             bbase = dfp.blk_base[s2 : s2 + n2]
             i0 = s2 + np.searchsorted(blast, lo, side="left")
@@ -127,7 +129,7 @@ class FieldWand:
             if is_must:
                 drop |= i1 <= i0
             terms[int(pos)] = (np.float32(w2) * ov).astype(np.float32)
-            widths = np.maximum(widths, i1 - i0)
+            widths[:, oi] = i1 - i0
         # accumulate in kernel clause order (see exactness argument above)
         ub = np.zeros(n, dtype=np.float32)
         for pos in sorted(terms):

@@ -1,0 +1,157 @@
+"""Fused-store boolean batches (one launch per phase) vs the host engine.
+
+Runs the pallas kernels in interpreter mode on CPU. Exercises the round-3
+additions specifically: multi-segment fusion, multi-field clauses, the
+wide-window probe-skip (dual-report) plan for pure-SHOULD queries, and
+MUST-query window explosion.
+"""
+
+import numpy as np
+import pytest
+
+import tantivy_tpu as tt
+from tantivy_tpu.parallel import BatchExecutor
+
+from test_device_ops import assert_hits_match
+
+
+@pytest.fixture(autouse=True)
+def force_pallas(monkeypatch):
+    monkeypatch.setenv("TANTIVY_TPU_PALLAS", "1")
+
+
+def t(w, field="body"):
+    return tt.TermQuery(tt.Term.from_field_text(field, w))
+
+
+def build_zipf_index(num_docs=600, num_commits=3, seed=3):
+    """Zipf-ish corpus: w0 very common, tail rare — makes real wide windows."""
+    b = tt.Schema.builder()
+    b.add_text_field("body", tt.TEXT)
+    b.add_text_field("title", tt.TEXT)
+    index = tt.Index.create_in_ram(b.build())
+    rng = np.random.default_rng(seed)
+    vocab = 40
+    ranks = np.arange(1, vocab + 1)
+    probs = (1.0 / ranks) / (1.0 / ranks).sum()
+    words = [f"w{i}" for i in range(vocab)]
+    w = index.writer_for_tests()
+    per = num_docs // num_commits
+    for c in range(num_commits):
+        for _ in range(per):
+            body = " ".join(rng.choice(words, 12, p=probs))
+            title = " ".join(rng.choice(words, 3, p=probs))
+            w.add_document(tt.Document(body=body, title=title))
+        w.commit()
+    w.close()
+    return index, words
+
+
+@pytest.fixture(scope="module")
+def zipf():
+    index, words = build_zipf_index()
+    searcher = index.reader().searcher()
+    return searcher, words
+
+
+def check(searcher, queries, k=10):
+    executor = BatchExecutor(searcher)
+    device = executor.search_batch(queries, k)
+    for q, dev in zip(queries, device):
+        host = searcher.search(q, tt.TopDocs(k))
+        assert_hits_match(dev, host, context=repr(q))
+    return executor
+
+
+def test_fused_multisegment_or_and(zipf):
+    searcher, words = zipf
+    queries = []
+    for i in range(0, 16, 2):
+        queries.append(tt.BooleanQuery.union([t(words[i]), t(words[i + 1])]))
+        queries.append(
+            tt.BooleanQuery.intersection([t(words[i]), t(words[i + 1])])
+        )
+    check(searcher, queries)
+
+
+def test_fused_multifield_clauses(zipf):
+    searcher, words = zipf
+    queries = [
+        tt.BooleanQuery.union([t(words[0], "body"), t(words[1], "title")]),
+        tt.BooleanQuery.intersection(
+            [t(words[0], "body"), t(words[0], "title")]
+        ),
+        tt.BooleanQuery(
+            [
+                (tt.Occur.MUST, t(words[2], "body")),
+                (tt.Occur.MUST_NOT, t(words[1], "title")),
+            ]
+        ),
+    ]
+    check(searcher, queries)
+
+
+def test_fused_wide_window_skip_exact(zipf, monkeypatch):
+    """Force the probe-skip (dual-report) path: with FUSED_KW_MAX dropped to
+    1, every rare-OR-common query has wide windows toward the common term."""
+    import tantivy_tpu.ops.pallas_probe as pp
+
+    monkeypatch.setattr(pp, "FUSED_KW_MAX", 1)
+    searcher, words = zipf
+    queries = [
+        tt.BooleanQuery.union([t(words[-1]), t(words[0])]),  # rare OR common
+        tt.BooleanQuery.union([t(words[0]), t(words[-2])]),  # common OR rare
+        tt.BooleanQuery.union([t(words[0]), t(words[1])]),   # common OR common
+        t(words[-3]),
+    ]
+    executor = check(searcher, queries)
+
+
+def test_fused_must_explosion_exact(zipf, monkeypatch):
+    """Force MUST-window explosion: rare AND common re-enumerates the wide
+    rare blocks through the common clause's overlapping blocks."""
+    import tantivy_tpu.ops.pallas_probe as pp
+
+    monkeypatch.setattr(pp, "FUSED_KW_MAX", 1)
+    searcher, words = zipf
+    queries = [
+        tt.BooleanQuery.intersection([t(words[-1]), t(words[0])]),
+        tt.BooleanQuery.intersection([t(words[0]), t(words[-2])]),
+        tt.BooleanQuery.intersection([t(words[1]), t(words[2])]),
+    ]
+    check(searcher, queries)
+
+
+def test_fused_m_of_n_and_mustnot(zipf):
+    searcher, words = zipf
+    queries = [
+        tt.BooleanQuery(
+            [
+                (tt.Occur.SHOULD, t(words[0])),
+                (tt.Occur.SHOULD, t(words[1])),
+                (tt.Occur.SHOULD, t(words[5])),
+            ],
+            minimum_number_should_match=2,
+        ),
+        tt.BooleanQuery(
+            [
+                (tt.Occur.MUST, t(words[0])),
+                (tt.Occur.MUST_NOT, t(words[1])),
+            ]
+        ),
+    ]
+    check(searcher, queries)
+
+
+def test_fused_with_deletes():
+    index, words = build_zipf_index(num_docs=300, num_commits=2, seed=11)
+    w = index.writer_for_tests()
+    w.delete_term(tt.Term.from_field_text("body", words[3]))
+    w.commit()
+    w.close()
+    searcher = index.reader().searcher()
+    queries = [
+        tt.BooleanQuery.union([t(words[0]), t(words[1])]),
+        tt.BooleanQuery.intersection([t(words[0]), t(words[2])]),
+    ]
+    check(searcher, queries)
