@@ -111,6 +111,19 @@ class FusedStore:
             segs.append(np.full(nbp, s["seg_ord"], dtype=np.int32))
             stores.append(s["cstore"])
             off += nbp
+        # keep the widest boolean window DMA (kw8 = 72 rows + alignment) in
+        # bounds even on tiny stores
+        min_rows = 80
+        if 0 < off < min_rows:
+            pad = min_rows - off
+            bases.append(np.full(pad, TERMINATED, dtype=np.uint32))
+            lasts.append(np.full(pad, TERMINATED, dtype=np.uint32))
+            bfacs.append(np.zeros(pad, dtype=np.float32))
+            segs.append(np.zeros(pad, dtype=np.int32))
+            stores.append(
+                jnp.full((pad, 384), jnp.uint32(TERMINATED), dtype=jnp.uint32)
+            )
+            off = min_rows
         self.num_blocks = off
         self.blk_base = np.concatenate(bases) if bases else np.zeros(0, np.uint32)
         self.blk_last_doc = (
@@ -185,10 +198,16 @@ class FusedStore:
             # per-block position offset (within slab): pos_cum at block
             # starts; one tiny fetch per slab
             bp = np.asarray(pos_cum[:: 128], dtype=np.int64)
-            bp = np.concatenate([bp, [npos]])  # [nb*?]; append total
-            # bp has nb entries (pos_cum is [nb*128]); pad to nbp + keep
-            # a final total entry at the very end of the fused table
             nb, nbp = s["nb"], s["nbp"]
+            # layout invariant the phrase kernel relies on: a term's flat
+            # position region starts exactly at its first block's cumulative
+            # tf (PostingsSerializer appends positions in (term, block)
+            # order with no gaps — `postings/format.py:135`)
+            tbs = dfp.term_block_start
+            if len(tbs):
+                assert np.array_equal(
+                    np.asarray(dfp.term_pos_start, dtype=np.int64), bp[tbs]
+                ), "positions layout mismatch: term regions not contiguous"
             ext = np.full(nbp, npos, dtype=np.int64)
             ext[:nb] = bp[:nb]
             blk_pos_parts.append(pos_off + ext)
@@ -205,6 +224,11 @@ class FusedStore:
             pos_off += npos
         total = pos_off
         rows = max(-(-total // 128), 1)
+        # keep at least the widest phrase-kernel slab DMA in bounds even on
+        # tiny stores
+        from .pallas_phrase import _PHRASE_RUNGS
+
+        rows = max(rows, _PHRASE_RUNGS[-1][1])
         rows_p = -(-rows // 8) * 8
         padlen = rows_p * 128 - total
         padv = jnp.full(padlen, jnp.uint32(0xFFFFFFFF), dtype=jnp.uint32)

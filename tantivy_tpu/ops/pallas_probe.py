@@ -52,10 +52,11 @@ def _g_items(kw: int, n_clauses: int = 2) -> int:
     kw8 = ((kw + 7) & ~7) + 8
     budget = 3_500_000
     g = budget // (max(n_clauses, 1) * kw8 * 384 * 4)
-    for cand in (64, 32, 16, 8, 4, 2, 1):
+    for cand in (64, 32, 16):
         if cand <= g:
             return cand
-    return 1
+    # floor: pallas output blocks need 8-divisible rows
+    return 8
 
 
 def build_cstore(docs, tfs, norm_ids, alive, cache):
@@ -90,14 +91,14 @@ def ensure_cstore(dfp, alive, cache):
 
 def _bool_kernel_body(n_clauses: int, kw: int, num_queries: int, G: int):
     def kernel(
-        cl_w_ref,      # [Qp, T] f32 (scalar prefetch — small tables only:
-        cl_kind_ref,   # [Qp, T] i32  SMEM is ~1MB, per-item scalars ride
-        cl_start_ref,  # [Qp, T] i32  per-program SMEM blocks instead)
-        cl_len_ref,    # [Qp, T] i32
-        cl_ship_ref,   # [Qp, T] i32
+        cl_w_ref,      # [Qp * T] f32 (scalar prefetch, FLATTENED — SMEM
+        cl_kind_ref,   # [Qp * T] i32  tiles 2D arrays to (8,128) pages, a
+        cl_start_ref,  # [Qp * T] i32  64x blowup; 1D stays compact. SMEM is
+        cl_len_ref,    # [Qp * T] i32  ~1MB; per-item scalars are DMA'd per
+        cl_ship_ref,   # [Qp * T] i32  program from HBM)
         req_m_ref,     # [Qp] i32
         req_s_ref,     # [Qp] i32
-        scal_ref,      # [1, 8, 128] i32 — this program's packed scalars:
+        scal_hbm,      # [P, 8, 128] i32 (HBM) — per-program packed scalars:
                        #   bids [0,G) | qid [G,2G) | lcl [2G,3G) |
                        #   jlo [3G + gi*T + t]
         cstore_ref,    # [NB, 384] u32 (HBM)
@@ -105,9 +106,20 @@ def _bool_kernel_body(n_clauses: int, kw: int, num_queries: int, G: int):
         docs_ref,      # out [G, 128] u32 (VMEM)
         lane_buf,      # scratch VMEM [G, 8, 384] u32
         win_buf,       # scratch VMEM [G, T, kw8, 384] u32
+        scal_ref,      # scratch SMEM [1, 8, 128] i32 — this program's page
         sems,          # DMA sems [G, 1 + T]
+        scal_sem,      # DMA sem for the scalar page
     ):
         kw8 = ((kw + 7) & ~7) + 8  # 8-aligned super-window size
+
+        # per-item scalars would blow the ~1MB SMEM budget as a prefetched
+        # operand at big work-list sizes (P pages x 4KB, x2 buffers, x rungs
+        # in a fused program); stream this program's single page instead
+        cp = pltpu.make_async_copy(
+            scal_hbm.at[pl.ds(pl.program_id(0), 1)], scal_ref, scal_sem
+        )
+        cp.start()
+        cp.wait()
 
         def sc(idx):
             return scal_ref[0, idx // 128, idx % 128]
@@ -167,8 +179,8 @@ def _bool_kernel_body(n_clauses: int, kw: int, num_queries: int, G: int):
             primary = jnp.full((1, 128), T_MAX + 1, dtype=jnp.int32)
             docs_col = docs_row.reshape(128, 1)
             for t in range(n_clauses):
-                s = cl_start_ref[q, t]
-                n = cl_len_ref[q, t]
+                s = cl_start_ref[q * n_clauses + t]
+                n = cl_len_ref[q * n_clauses + t]
                 j = sc(3 * G + g * n_clauses + t)
                 wrow = win_buf[g, t]                   # [kw8, 384]
                 wdocs = wrow[:, 0:128]
@@ -193,8 +205,8 @@ def _bool_kernel_body(n_clauses: int, kw: int, num_queries: int, G: int):
                 tf_t = jnp.where(
                     own, tfs_row.astype(jnp.int32), tf_probe
                 ).astype(jnp.float32)
-                kind = cl_kind_ref[q, t]
-                contrib = cl_w_ref[q, t] * (tf_t / (tf_t + cachev))
+                kind = cl_kind_ref[q * n_clauses + t]
+                contrib = cl_w_ref[q * n_clauses + t] * (tf_t / (tf_t + cachev))
                 positive = presence & (
                     (kind == KIND_MUST) | (kind == KIND_SHOULD)
                 )
@@ -207,7 +219,7 @@ def _bool_kernel_body(n_clauses: int, kw: int, num_queries: int, G: int):
                 ).astype(jnp.int32)
                 has_not = has_not | (presence & (kind == KIND_MUST_NOT))
                 is_prim = (
-                    presence & (cl_ship_ref[q, t] > 0) & (primary > T_MAX)
+                    presence & (cl_ship_ref[q * n_clauses + t] > 0) & (primary > T_MAX)
                 )
                 primary = jnp.where(is_prim, jnp.int32(t), primary)
 
@@ -242,13 +254,22 @@ def _probe_rows(
     """Run the probe kernel over one rung's packed scalars; returns raw
     (scores [W, 128], docs [W, 128])."""
     kernel = _bool_kernel_body(n_clauses, kw, num_prows, G)
+    # flatten the plan tables: SMEM tiles 2D operands to (8,128) pages (a
+    # 64x footprint blowup); 1D scalar-prefetch arrays stay compact
+    cl_weight = cl_weight.reshape(-1)
+    cl_kind = cl_kind.reshape(-1)
+    cl_start = cl_start.reshape(-1)
+    cl_len = cl_len.reshape(-1)
+    cl_shipped = cl_shipped.reshape(-1)
     P = W // G
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=7,
         grid=(P,),
         in_specs=[
-            pl.BlockSpec((1, 8, 128), lambda i, *_: (i, 0, 0),
-                         memory_space=pltpu.SMEM),
+            # per-item scalars stay in HBM (a prefetched-SMEM operand costs
+            # P x 4KB of the ~1MB SMEM budget; the kernel streams one page
+            # per program instead)
+            pl.BlockSpec(memory_space=pltpu.HBM),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=[
@@ -262,7 +283,9 @@ def _probe_rows(
             pltpu.VMEM(
                 (G, n_clauses, ((kw + 7) & ~7) + 8, 384), jnp.uint32
             ),
+            pltpu.SMEM((1, 8, 128), jnp.int32),
             pltpu.SemaphoreType.DMA((G, 1 + n_clauses)),
+            pltpu.SemaphoreType.DMA,
         ],
     )
     return pl.pallas_call(
@@ -336,13 +359,15 @@ def pallas_bool_topk(
 # backend charges ~26ms/launch + ~28ms/fetch regardless of size)
 
 #: (kw, max chunk) rungs for the fused path; per-rung W tiers keep the
-#: compiled shape set small while letting small batches ride small shapes
-_FUSED_RUNGS = (2, 8, 64, 512)
+#: compiled shape set small while letting small batches ride small shapes.
+#: (G must stay >= 8 — pallas output blocks need 8-divisible rows — which
+#: caps kw at 64; wider windows are handled by the planner's explosion /
+#: probe-skip plans, or counted host fallbacks.)
+_FUSED_RUNGS = (2, 8, 64)
 _FUSED_W_TIERS = {
     2: (256, 4096, 65536),
     8: (256, 4096, 65536),
     64: (256, 8192),
-    512: (256, 512),
 }
 #: widest fused probe window; wider work items are re-enumerated through a
 #: denser clause by the planner ("window explosion"), not host-fallbacked
@@ -386,14 +411,18 @@ def fused_bool_topk(
     [3, Q, k] (score bits | doc | seg)."""
     row_sc, row_doc, row_qid, row_seg = [], [], [], []
     kk = min(k, 128)
+    token = None  # chains rung kernels so their scoped SMEM doesn't overlap
     for (W, kw, G), scal, qid, seg in zip(
         rungs, rung_scal, rung_qid, rung_seg
     ):
+        if token is not None:
+            scal = scal + token
         scores, docs = _probe_rows(
             scal, cl_weight, cl_kind, cl_start, cl_len, cl_shipped,
             req_must, req_should, cstore, n_clauses=n_clauses, kw=kw,
             num_prows=num_prows, G=G, W=W, interpret=interpret,
         )
+        token = (docs[0, 0] & jnp.uint32(0)).astype(jnp.int32)
         sc, idx = jax.lax.top_k(scores, kk)
         row_sc.append(sc)
         row_doc.append(jnp.take_along_axis(docs, idx, axis=1))
@@ -430,15 +459,12 @@ def launch_fused_bool(
     T = tables["cl_weight"].shape[1]
     num_prows = tables["cl_weight"].shape[0] - 1
 
-    rungs = []
-    rung_scal, rung_qid, rung_seg = [], [], []
+    # bucket per rung, computing window starts + applying skip sentinels
+    per_rung = []
     prev_kw = -1
     for kw in _FUSED_RUNGS:
         sel = (width > prev_kw) & (width <= kw)
         prev_kw = kw
-        if not sel.any():
-            continue
-        G = _g_items(kw, T)
         b_s, p_s, c_s, q_s, s_s, sk_s = (
             blocks[sel], prow[sel], clause[sel], qid[sel], seg[sel],
             skip[sel],
@@ -449,43 +475,42 @@ def launch_fused_bool(
         )
         for t in range(T):
             jlo[((sk_s >> t) & 1).astype(bool), t] = -1
-        cap = _FUSED_W_TIERS[kw][-1]
-        for lo in range(0, len(b_s), cap):
-            hi = min(lo + cap, len(b_s))
-            n = hi - lo
-            W = fused_w_tier(kw, n)
-            b_pad = np.zeros(W, dtype=np.int32)
-            p_pad = np.full(W, num_prows, dtype=np.int32)
-            c_pad = np.zeros(W, dtype=np.int32)
-            q_pad = np.full(W, num_queries, dtype=np.int32)
-            s_pad = np.zeros(W, dtype=np.int32)
-            j_pad = np.zeros((W, T), dtype=np.int32)
-            b_pad[:n] = b_s[lo:hi]
-            p_pad[:n] = p_s[lo:hi]
-            c_pad[:n] = c_s[lo:hi]
-            q_pad[:n] = q_s[lo:hi]
-            s_pad[:n] = s_s[lo:hi]
-            j_pad[:n] = jlo[lo:hi]
-            P = W // G
-            scal = np.concatenate(
-                [
-                    b_pad.reshape(P, G),
-                    p_pad.reshape(P, G),
-                    c_pad.reshape(P, G),
-                    j_pad.reshape(P, G * T),
-                ],
-                axis=1,
-            ).astype(np.int32)
-            scal = np.pad(
-                scal, ((0, 0), (0, 8 * 128 - scal.shape[1]))
-            ).reshape(P, 8, 128)
-            rungs.append((W, kw, G))
-            rung_scal.append(jnp.asarray(scal))
-            rung_qid.append(jnp.asarray(q_pad))
-            rung_seg.append(jnp.asarray(s_pad))
+        per_rung.append([kw, b_s, p_s, c_s, q_s, s_s, jlo, 0])
 
-    out = fused_bool_topk(
-        tuple(rung_scal), tuple(rung_qid), tuple(rung_seg),
+    def make_chunk(kw, b_s, p_s, c_s, q_s, s_s, jlo, lo):
+        hi = min(lo + _FUSED_W_TIERS[kw][-1], len(b_s))
+        n = hi - lo
+        W = fused_w_tier(kw, max(n, 1))
+        G = _g_items(kw, T)
+        b_pad = np.zeros(W, dtype=np.int32)
+        p_pad = np.full(W, num_prows, dtype=np.int32)
+        c_pad = np.zeros(W, dtype=np.int32)
+        q_pad = np.full(W, num_queries, dtype=np.int32)
+        s_pad = np.zeros(W, dtype=np.int32)
+        j_pad = np.zeros((W, T), dtype=np.int32)
+        b_pad[:n] = b_s[lo:hi]
+        p_pad[:n] = p_s[lo:hi]
+        c_pad[:n] = c_s[lo:hi]
+        q_pad[:n] = q_s[lo:hi]
+        s_pad[:n] = s_s[lo:hi]
+        j_pad[:n] = jlo[lo:hi]
+        P = W // G
+        scal = np.concatenate(
+            [
+                b_pad.reshape(P, G),
+                p_pad.reshape(P, G),
+                c_pad.reshape(P, G),
+                j_pad.reshape(P, G * T),
+            ],
+            axis=1,
+        ).astype(np.int32)
+        scal = np.pad(
+            scal, ((0, 0), (0, 8 * 128 - scal.shape[1]))
+        ).reshape(P, 8, 128)
+        return (W, kw, G), jnp.asarray(scal), jnp.asarray(q_pad), \
+            jnp.asarray(s_pad), hi
+
+    table_args = (
         jnp.asarray(tables["cl_weight"]),
         jnp.asarray(tables["cl_kind"]),
         jnp.asarray(tables["cl_start"]),
@@ -493,11 +518,39 @@ def launch_fused_bool(
         jnp.asarray(tables["cl_shipped"].astype(np.int32)),
         jnp.asarray(tables["req_must"]),
         jnp.asarray(tables["req_should"]),
-        fused.cstore,
-        k=k, num_queries=num_queries, num_prows=num_prows,
-        n_clauses=T, rungs=tuple(rungs), interpret=interpret,
     )
-    return [out]
+
+    def launch(chunks):
+        rungs = tuple(c[0] for c in chunks)
+        return fused_bool_topk(
+            tuple(c[1] for c in chunks),
+            tuple(c[2] for c in chunks),
+            tuple(c[3] for c in chunks),
+            *table_args,
+            fused.cstore,
+            k=k, num_queries=num_queries, num_prows=num_prows,
+            n_clauses=T, rungs=rungs, interpret=interpret,
+        )
+
+    # one chunk per rung per call: the static `rungs` tuple then only
+    # varies over per-rung TIER choices (a small bounded set), so changing
+    # batch compositions never trigger fresh compiles; overflow beyond a
+    # rung's top tier goes to follow-up single-rung calls (also stable)
+    outs = []
+    first = []
+    for r in per_rung:
+        kw, b_s = r[0], r[1]
+        chunk = make_chunk(*r[:7], 0)
+        r[7] = chunk[4]
+        first.append(chunk)
+    outs.append(launch(first))
+    for r in per_rung:
+        kw, b_s = r[0], r[1]
+        while r[7] < len(b_s):
+            chunk = make_chunk(*r[:7], r[7])
+            r[7] = chunk[4]
+            outs.append(launch([chunk]))
+    return outs
 
 
 def compute_jlo(dfp, work_blocks, work_qid, cl_start, cl_len, kw: int):

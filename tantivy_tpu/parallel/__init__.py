@@ -22,6 +22,15 @@ from ..utils.trace import debug_time
 NEG_INF = np.float32(-np.inf)
 
 
+def _m1() -> int:
+    """Phase-1 candidate blocks per (query, segment): more phase-1 work
+    buys tighter thresholds and a smaller phase 2 (overridable for
+    experiments via TANTIVY_TPU_M1)."""
+    import os
+
+    return int(os.environ.get("TANTIVY_TPU_M1", "4"))
+
+
 
 
 def _dedup_hits(hits):
@@ -337,7 +346,7 @@ class BatchExecutor:
             field_of_q.append(q.clauses[0][1].term.field)
 
         readers = self.searcher.segment_readers()
-        M1 = 4  # phase-1 candidate blocks per query per segment
+        M1 = _m1()  # phase-1 candidate blocks per query per segment
 
         # ---- per-segment planning + phase-1 dispatch --------------------
         per_query: list[list[tuple[np.float32, DocAddress]]] = [
@@ -606,6 +615,17 @@ class BatchExecutor:
         Q = len(queries)
         if Q == 0:
             return []
+        # plan-row tables ride SMEM scalar prefetch: cap Q x n_segments and
+        # sub-batch beyond it
+        n_segs = max(1, len(self.searcher.segment_readers()))
+        max_q = max(1, 4096 // n_segs)
+        if Q > max_q:
+            out = []
+            for lo in range(0, Q, max_q):
+                out.extend(
+                    self._search_boolean_fused(queries[lo : lo + max_q], k)
+                )
+            return out
         interpret = ps._pallas_mode() == "interpret"
         kind_of = {
             Occur.MUST: ps.KIND_MUST,
@@ -646,7 +666,7 @@ class BatchExecutor:
                 self._ensure_fused_slab(seg_ord, f)
         fused = self._fused().ready()
 
-        M1 = 4
+        M1 = _m1()
         per_query: list[list] = [[] for _ in range(Q)]
         per_tb: dict[int, dict] = {}
 
@@ -1039,6 +1059,264 @@ class BatchExecutor:
             for i in order
         ]
 
+    def _search_phrase_fused(self, queries: list, k: int):
+        """Fused pallas phrase batch: position-slab kernel, one launch per
+        phase (see `ops/pallas_phrase.py`). Work items anchor on the rarest
+        term's blocks; anchor blocks whose own position slab exceeds the
+        anchor cap, or whose partner spans exceed the widest rung, are
+        re-anchored through the densest other term (all phrase terms are
+        MUSTs, so any term's blocks cover every match in their doc range);
+        re-anchoring can double-report docs with identical exact scores —
+        the host dedup-by-address absorbs that. Irreducibly wide prows fall
+        back to exact host evaluation (counted)."""
+        from ..ops import pallas_phrase as php
+        from ..ops import probe_scorer as ps
+        from ..query.bm25 import Bm25Weight
+        from ..schema.term import Term
+
+        Q = len(queries)
+        if Q == 0:
+            return []
+        interpret = ps._pallas_mode() == "interpret"
+        qweight = np.zeros(Q, dtype=np.float32)
+        for qi, q in enumerate(queries):
+            fs = self._field_stats.get(q.field)
+            if fs is None:
+                fs = self.searcher.field_statistics(q.field)
+                self._field_stats[q.field] = fs
+            dfs = [
+                self.searcher.doc_freq(Term(q.field, tb))
+                for tb in q.term_bytes
+            ]
+            qweight[qi] = Bm25Weight.for_terms(
+                dfs, fs.total_num_docs, fs.average_fieldnorm
+            ).weight
+
+        readers = self.searcher.segment_readers()
+        for seg_ord in range(len(readers)):
+            for f in {q.field for q in queries}:
+                self._ensure_fused_slab(seg_ord, f)
+        fused = self._fused().ready()
+        fused.ensure_positions()
+        blk_pos = fused.blk_pos
+
+        M1 = _m1()
+        per_query: list[list] = [[] for _ in range(Q)]
+        groups: dict[int, dict] = {}  # keyed by n_partners bucket
+
+        def overlaps(ids, s2, n2):
+            lo = fused.blk_base[ids].astype(np.uint64)
+            hi = fused.blk_last_doc[ids].astype(np.uint64)
+            i0 = s2 + np.searchsorted(
+                fused.blk_last_doc[s2 : s2 + n2], lo, side="left"
+            )
+            i1 = s2 + np.searchsorted(
+                fused.blk_base[s2 : s2 + n2], hi, side="right"
+            )
+            return i0, i1
+
+        def plan_anchor(qi, anchor, regions, offsets, ids):
+            """Work columns for anchor-term blocks `ids` (global): returns
+            (ok items dict, bad mask) — bad = fat anchor slab or over-wide
+            partner span."""
+            T = len(regions)
+            n = len(ids)
+            lpos = blk_pos[ids].astype(np.int64)
+            llen = blk_pos[ids + 1] - lpos
+            S = ps.t_bucket(T) - 1
+            cpos = np.zeros((n, S), dtype=np.int64)
+            clen = np.zeros((n, S), dtype=np.int64)
+            delta = np.zeros((n, S), dtype=np.int64)
+            drop = np.zeros(n, dtype=bool)
+            span = np.zeros(n, dtype=np.int64)
+            slot = 0
+            for t in range(T):
+                if t == anchor:
+                    continue
+                s2, n2 = regions[t]
+                i0, i1 = overlaps(ids, s2, n2)
+                drop |= i1 <= i0  # a phrase term is a MUST
+                p0 = blk_pos[i0]
+                p1 = blk_pos[i1]
+                cpos[:, slot] = p0
+                clen[:, slot] = p1 - p0
+                delta[:, slot] = offsets[t] - offsets[anchor]
+                span = np.maximum(span, p1 - p0)
+                slot += 1
+            bad = (llen > php.ANCHOR_POS_CAP) | (span > php.PARTNER_POS_CAP)
+            ub = (
+                np.float32(qweight[qi]) * fused.bfac[ids]
+            ).astype(np.float32)
+            keep = ~drop
+            return {
+                "ids": ids[keep], "lpos": lpos[keep], "llen": llen[keep],
+                "cpos": cpos[keep], "clen": clen[keep],
+                "delta": delta[keep], "span": span[keep], "ub": ub[keep],
+                "bad": bad[keep],
+            }
+
+        for seg_ord, reader in enumerate(readers):
+            for qi, q in enumerate(queries):
+                field = q.field
+                T = len(q.term_bytes)
+                ords = [
+                    self._term_ord(seg_ord, reader, field, tb)
+                    for tb in q.term_bytes
+                ]
+                if any(o < 0 for o in ords):
+                    continue
+                regions = [
+                    fused.region(seg_ord, field, o) for o in ords
+                ]
+                leader = min(range(T), key=lambda t: regions[t][1])
+                s0, n0 = regions[leader]
+                plan = plan_anchor(
+                    qi, leader, regions, q.offsets,
+                    np.arange(s0, s0 + n0, dtype=np.int64),
+                )
+                staged = [(leader, plan)]
+                fallback = False
+                if plan["bad"].any():
+                    others_nblk = [
+                        (regions[t][1], t) for t in range(T) if t != leader
+                    ]
+                    t_alt = max(others_nblk)[1]
+                    s2, n2 = regions[t_alt]
+                    bad_ids = plan["ids"][plan["bad"]]
+                    i0, i1 = overlaps(bad_ids, s2, n2)
+                    union = np.unique(
+                        np.concatenate(
+                            [np.arange(a, b) for a, b in zip(i0, i1)]
+                            or [np.zeros(0, dtype=np.int64)]
+                        )
+                    )
+                    plan2 = plan_anchor(
+                        qi, t_alt, regions, q.offsets, union
+                    )
+                    if plan2["bad"].any():
+                        fallback = True
+                    else:
+                        # drop the bad originals; exploded cover them
+                        good = ~plan["bad"]
+                        plan = {
+                            kk_: vv[good] for kk_, vv in plan.items()
+                        }
+                        staged = [(leader, plan), (t_alt, plan2)]
+                if fallback:
+                    per_query[qi].extend(
+                        self._host_segment_topk(q, seg_ord, reader, k)
+                    )
+                    self._count_fallback("phrase_wide")
+                    continue
+                if sum(len(p["ids"]) for _, p in staged) == 0:
+                    continue
+
+                Sb = ps.t_bucket(T) - 1
+                g = groups.get(Sb)
+                if g is None:
+                    g = groups[Sb] = {
+                        "qw_rows": [], "meta": [], "p1": [], "rest": [],
+                        "any_dup": False,
+                    }
+                prow = len(g["qw_rows"])
+                g["qw_rows"].append(qweight[qi])
+                g["meta"].append((qi, seg_ord))
+                if len(staged) > 1:
+                    g["any_dup"] = True
+
+                all_ub = np.concatenate([p["ub"] for _, p in staged])
+                if len(all_ub) <= M1:
+                    cut = NEG_INF
+                else:
+                    cut = np.partition(all_ub, len(all_ub) - M1)[
+                        len(all_ub) - M1
+                    ]
+                taken = 0
+                for _, p in staged:
+                    pick = p["ub"] >= cut
+                    extra = int(pick.sum()) - (M1 - taken)
+                    if extra > 0:
+                        selidx = np.nonzero(pick)[0]
+                        pick[selidx[len(selidx) - extra:]] = False
+                    taken += int(pick.sum())
+                    for name, sel in (("p1", pick), ("rest", ~pick)):
+                        if sel.any():
+                            g[name].append(
+                                (prow, qi, seg_ord,
+                                 {kk_: vv[sel] for kk_, vv in p.items()})
+                            )
+
+        def build_work(items):
+            cols = {}
+            for key in ("ids", "lpos", "llen", "cpos", "clen", "delta",
+                        "span"):
+                cols[key] = np.concatenate([p[key] for _, _, _, p in items])
+            prow = np.concatenate(
+                [np.full(len(p["ids"]), pr, np.int32)
+                 for pr, _, _, p in items]
+            )
+            qid = np.concatenate(
+                [np.full(len(p["ids"]), qi_, np.int32)
+                 for _, qi_, _, p in items]
+            )
+            seg = np.concatenate(
+                [np.full(len(p["ids"]), so, np.int32)
+                 for _, _, so, p in items]
+            )
+            return (
+                cols["ids"], prow, qid, seg, cols["lpos"], cols["llen"],
+                cols["cpos"], cols["clen"], cols["delta"], cols["span"],
+            )
+
+        pending1 = []
+        tb_qw = {}
+        for Sb, g in groups.items():
+            qw_table = np.zeros(len(g["qw_rows"]) + 1, dtype=np.float32)
+            qw_table[: len(g["qw_rows"])] = g["qw_rows"]
+            tb_qw[Sb] = qw_table
+            if not g["p1"]:
+                continue
+            k_eff = min(2 * k, 128) if g["any_dup"] else k
+            for out in php.launch_fused_phrase(
+                fused, build_work(g["p1"]), qw_table, Sb, k_eff, Q,
+                interpret,
+            ):
+                pending1.append((None, out))
+        self._collect_flat(pending1, per_query, k)
+        th, th_seg, th_doc = _topk_thresholds(per_query, k)
+
+        pending2 = []
+        for Sb, g in groups.items():
+            if not g["rest"]:
+                continue
+            survivors = []
+            for prow, qi, seg_ord, p in g["rest"]:
+                keep = _phase2_keep(
+                    p["ub"], fused.blk_base[p["ids"]], seg_ord,
+                    th[qi], th_seg[qi], th_doc[qi],
+                )
+                if keep.any():
+                    survivors.append(
+                        (prow, qi, seg_ord,
+                         {kk_: vv[keep] for kk_, vv in p.items()})
+                    )
+            if not survivors:
+                continue
+            k_eff = min(2 * k, 128) if g["any_dup"] else k
+            for out in php.launch_fused_phrase(
+                fused, build_work(survivors), tb_qw[Sb], Sb, k_eff, Q,
+                interpret,
+            ):
+                pending2.append((None, out))
+        self._collect_flat(pending2, per_query, k)
+
+        out = []
+        for qi in range(Q):
+            hits = per_query[qi]
+            _dedup_hits(hits)
+            out.append(hits[:k])
+        return out
+
     def search_phrase_batch(self, queries: list, k: int):
         """Batched phrase(slop=0) queries on device with the same two-phase
         Block-WAND pruning as booleans: candidates come from the rarest
@@ -1048,6 +1326,11 @@ class BatchExecutor:
         from ..ops import phrase_scorer as ph
         from ..query.bm25 import Bm25Weight
         from ..schema.term import Term
+
+        from ..ops.probe_scorer import _pallas_mode
+
+        if _pallas_mode() is not None:
+            return self._search_phrase_fused(queries, k)
 
         Q = len(queries)
         if Q == 0:
@@ -1066,7 +1349,7 @@ class BatchExecutor:
             ).weight
 
         readers = self.searcher.segment_readers()
-        M1 = 4
+        M1 = _m1()
         max_other_tf = ph.MAX_OTHER_TF
         per_query: list[list[tuple[np.float32, DocAddress]]] = [
             [] for _ in range(Q)
