@@ -31,6 +31,7 @@ from __future__ import annotations
 
 import json
 import math
+import re
 from dataclasses import dataclass, field
 
 import numpy as np
@@ -443,23 +444,44 @@ class InterBuckets(Intermediate):
         items = list(self.buckets.items())
         if kind == "terms":
             size = body.get("size", 10)
+            min_dc = int(body.get("min_doc_count", 1))
             order = body.get("order", {"_count": "desc"})
             ((okey, odir),) = order.items() if isinstance(order, dict) else (("_count", "desc"),)
             reverse = odir == "desc"
+            fin = [
+                (key, cnt, {n: i.finalize() for n, i in subs.items()})
+                for key, (cnt, subs) in items
+            ]
+            if min_dc > 0:
+                fin = [x for x in fin if x[1] >= min_dc]
             if okey == "_count":
-                items.sort(key=lambda kv: (-kv[1][0] if reverse else kv[1][0], kv[0] if isinstance(kv[0], str) else str(kv[0])))
-            else:  # _key
-                items.sort(key=lambda kv: kv[0], reverse=reverse)
-            shown = items[:size]
-            sum_other = sum(cnt for _, (cnt, _) in items[size:])
+                fin.sort(key=lambda kv: (-kv[1] if reverse else kv[1], kv[0] if isinstance(kv[0], str) else str(kv[0])))
+            elif okey == "_key":
+                fin.sort(key=lambda kv: kv[0], reverse=reverse)
+            else:
+                # order by sub-metric target, e.g. {"avg_price": "asc"} or
+                # {"stats.avg": "desc"} (reference CustomOrder semantics,
+                # `term_agg/mod.rs:237-249`)
+                path = okey.split(".")
+
+                def metric_val(subs_fin):
+                    cur = subs_fin.get(path[0])
+                    for p in path[1:]:
+                        cur = cur.get(p) if isinstance(cur, dict) else None
+                    if isinstance(cur, dict):
+                        cur = cur.get("value")
+                    return -math.inf if cur is None else float(cur)
+
+                fin.sort(
+                    key=lambda kv: (metric_val(kv[2]), str(kv[0])),
+                    reverse=reverse,
+                )
+            shown = fin[:size]
+            sum_other = sum(cnt for _, cnt, _ in fin[size:])
             return {
                 "buckets": [
-                    {
-                        "key": key,
-                        "doc_count": cnt,
-                        **{n: i.finalize() for n, i in subs.items()},
-                    }
-                    for key, (cnt, subs) in shown
+                    {"key": key, "doc_count": cnt, **subs_fin}
+                    for key, cnt, subs_fin in shown
                 ],
                 "sum_other_doc_count": sum_other,
                 "doc_count_error_upper_bound": 0,
@@ -592,6 +614,39 @@ class IntermediateAggregationResults:
 # per-segment collection
 
 
+def _terms_key_filter(body: dict):
+    """Bucket-key predicate for terms-agg `include`/`exclude` (reference
+    `term_agg/mod.rs:274-279`, `agg_data.rs:917-965`): a string parameter is
+    a whole-key regex (tantivy_fst::Regex matches the entire term), a list
+    is an exact-value set (numbers compared via their bucket-key rendering)."""
+    inc = body.get("include")
+    exc = body.get("exclude")
+    if inc is None and exc is None:
+        return lambda key: True
+
+    def canon(k):
+        return k if isinstance(k, str) else str(k)
+
+    inc_re = re.compile(inc) if isinstance(inc, str) else None
+    inc_set = {canon(v) for v in inc} if isinstance(inc, list) else None
+    exc_re = re.compile(exc) if isinstance(exc, str) else None
+    exc_set = {canon(v) for v in exc} if isinstance(exc, list) else None
+
+    def ok(key) -> bool:
+        s = canon(key)
+        if inc_re is not None and inc_re.fullmatch(s) is None:
+            return False
+        if inc_set is not None and s not in inc_set:
+            return False
+        if exc_re is not None and exc_re.fullmatch(s) is not None:
+            return False
+        if exc_set is not None and s in exc_set:
+            return False
+        return True
+
+    return ok
+
+
 def _hash64(values: np.ndarray) -> np.ndarray:
     """splitmix64 over u64 values (for HLL)."""
     x = values.astype(np.uint64).copy()
@@ -652,39 +707,68 @@ def _collect_node(node, reader, seg_ord, docs, scores, limits) -> Intermediate:
         b = InterBuckets("terms", body)
         fld = body["field"]
         col = reader.fast_fields().column(fld)
+        key_ok = _terms_key_filter(body)
+
+        def add_bucket(key, sub_docs):
+            b.buckets[key] = [
+                int(len(sub_docs)),
+                {
+                    n: _collect_node(nd, reader, seg_ord, sub_docs, None,
+                                     limits)
+                    for n, nd in sub.items()
+                },
+            ]
+
+        idx = np.zeros(0, dtype=np.int64)
         if col is not None and len(docs):
             if col.dictionary is not None:
                 ords, idx, dic = _column_ords(reader, fld, docs)
                 uniq, inv = np.unique(ords, return_inverse=True)
                 limits.check_buckets(len(uniq))
                 for u_i, o in enumerate(uniq):
-                    sel = inv == u_i
                     key = dic.term(int(o)).decode("utf-8", "replace")
-                    sub_docs = docs[idx[sel]]
-                    b.buckets[key] = [
-                        int(sel.sum()),
-                        {
-                            n: _collect_node(nd, reader, seg_ord, sub_docs,
-                                             None, limits)
-                            for n, nd in sub.items()
-                        },
-                    ]
+                    if not key_ok(key):
+                        continue
+                    add_bucket(key, docs[idx[inv == u_i]])
             else:
                 vals, idx = _column_values(reader, fld, docs)
                 uniq, inv = np.unique(vals, return_inverse=True)
                 limits.check_buckets(len(uniq))
                 for u_i, v in enumerate(uniq):
-                    sel = inv == u_i
                     key = int(v) if float(v).is_integer() else float(v)
-                    sub_docs = docs[idx[sel]]
-                    b.buckets[key] = [
-                        int(sel.sum()),
-                        {
-                            n: _collect_node(nd, reader, seg_ord, sub_docs,
-                                             None, limits)
-                            for n, nd in sub.items()
-                        },
-                    ]
+                    if not key_ok(key):
+                        continue
+                    add_bucket(key, docs[idx[inv == u_i]])
+        # `missing`: docs with no value bucket under the given key
+        # (reference `term_agg/mod.rs:251-272`)
+        miss = body.get("missing")
+        if miss is not None and len(docs) and key_ok(miss):
+            has_val = np.zeros(len(docs), dtype=bool)
+            if col is not None:
+                has_val[idx] = True
+            miss_docs = docs[~has_val]
+            if len(miss_docs):
+                prev = b.buckets.get(miss)
+                add_bucket(miss, miss_docs)
+                if prev is not None:  # missing key collides with a real term
+                    new = b.buckets[miss]
+                    new[0] += prev[0]
+                    for n, i in prev[1].items():
+                        if n in new[1]:
+                            new[1][n].merge(i)
+                        else:
+                            new[1][n] = i
+        # min_doc_count == 0: surface every dictionary term, even unmatched
+        # (reference `term_agg/mod.rs:231-235` — documented as expensive)
+        if int(body.get("min_doc_count", 1)) == 0 and col is not None \
+                and col.dictionary is not None:
+            dic = col.dictionary
+            n_terms = len(dic)
+            limits.check_buckets(n_terms)
+            for o in range(n_terms):
+                key = dic.term(o).decode("utf-8", "replace")
+                if key not in b.buckets and key_ok(key):
+                    add_bucket(key, docs[:0])
         return b
     if kind in ("histogram", "date_histogram"):
         b = InterBuckets(kind, body)

@@ -196,3 +196,126 @@ class TestTopHits:
         res = agg(s, q, {"th": {"top_hits": {"size": 2}}})
         assert len(res["th"]["hits"]) == 2
         assert res["th"]["hits"][0]["_score"] >= res["th"]["hits"][1]["_score"]
+
+
+class TestTermsOptions:
+    """Reference `term_agg/mod.rs` options: missing / include / exclude /
+    min_doc_count / order-by-sub-metric."""
+
+    @pytest.fixture(scope="class")
+    def opt_setup(self):
+        b = tt.Schema.builder()
+        b.add_text_field("text", tt.TEXT)
+        b.add_text_field(
+            "brand", tt.TextOptions(fast=True, indexed=True, tokenizer="raw")
+        )
+        b.add_f64_field("price", tt.FAST)
+        schema = b.build()
+        index = tt.Index.create_in_ram(schema)
+        w = index.writer_for_tests()
+        rows = [
+            ("a", "acme", 10.0),
+            ("b", "acme", 30.0),
+            ("c", "globex", 5.0),
+            ("d", None, 7.0),       # missing brand
+            ("e", None, 9.0),       # missing brand
+            ("f", "initech", 100.0),
+        ]
+        for i, (txt, brand, price) in enumerate(rows):
+            kw = {"text": txt, "price": price}
+            if brand is not None:
+                kw["brand"] = brand
+            w.add_document(tt.Document(**kw))
+            if i == 2:
+                w.commit()  # two segments
+        w.commit()
+        w.close()
+        return index, index.reader().searcher()
+
+    def test_missing(self, opt_setup):
+        _, s = opt_setup
+        res = agg(s, tt.AllQuery(), {
+            "b": {"terms": {"field": "brand", "missing": "N/A"}},
+        })
+        by_key = {b["key"]: b["doc_count"] for b in res["b"]["buckets"]}
+        assert by_key == {"acme": 2, "globex": 1, "initech": 1, "N/A": 2}
+
+    def test_missing_with_subagg(self, opt_setup):
+        _, s = opt_setup
+        res = agg(s, tt.AllQuery(), {
+            "b": {"terms": {"field": "brand", "missing": "N/A"},
+                  "aggs": {"p": {"sum": {"field": "price"}}}},
+        })
+        by_key = {b["key"]: b for b in res["b"]["buckets"]}
+        assert by_key["N/A"]["p"]["value"] == 16.0
+        assert by_key["acme"]["p"]["value"] == 40.0
+
+    def test_include_regex(self, opt_setup):
+        _, s = opt_setup
+        res = agg(s, tt.AllQuery(), {
+            "b": {"terms": {"field": "brand", "include": "(acme|glo.*)"}},
+        })
+        keys = {b["key"] for b in res["b"]["buckets"]}
+        assert keys == {"acme", "globex"}
+
+    def test_include_regex_is_full_match(self, opt_setup):
+        _, s = opt_setup
+        res = agg(s, tt.AllQuery(), {
+            "b": {"terms": {"field": "brand", "include": "acm"}},
+        })
+        assert res["b"]["buckets"] == []
+
+    def test_include_values_exclude_regex(self, opt_setup):
+        _, s = opt_setup
+        res = agg(s, tt.AllQuery(), {
+            "b": {"terms": {"field": "brand",
+                            "include": ["acme", "initech"],
+                            "exclude": "ini.*"}},
+        })
+        keys = [b["key"] for b in res["b"]["buckets"]]
+        assert keys == ["acme"]
+
+    def test_exclude_values(self, opt_setup):
+        _, s = opt_setup
+        res = agg(s, tt.AllQuery(), {
+            "b": {"terms": {"field": "brand", "exclude": ["acme"]}},
+        })
+        keys = {b["key"] for b in res["b"]["buckets"]}
+        assert keys == {"globex", "initech"}
+
+    def test_min_doc_count_zero(self, opt_setup):
+        index, s = opt_setup
+        q = index.parse_query("text:a")  # matches one doc (brand=acme)
+        res = agg(s, q, {
+            "b": {"terms": {"field": "brand", "min_doc_count": 0}},
+        })
+        by_key = {b["key"]: b["doc_count"] for b in res["b"]["buckets"]}
+        assert by_key == {"acme": 1, "globex": 0, "initech": 0}
+
+    def test_min_doc_count_filters(self, opt_setup):
+        _, s = opt_setup
+        res = agg(s, tt.AllQuery(), {
+            "b": {"terms": {"field": "brand", "min_doc_count": 2}},
+        })
+        keys = {b["key"] for b in res["b"]["buckets"]}
+        assert keys == {"acme"}
+
+    def test_order_by_sub_metric(self, opt_setup):
+        _, s = opt_setup
+        res = agg(s, tt.AllQuery(), {
+            "b": {"terms": {"field": "brand",
+                            "order": {"mx": "desc"}},
+                  "aggs": {"mx": {"max": {"field": "price"}}}},
+        })
+        keys = [b["key"] for b in res["b"]["buckets"]]
+        assert keys == ["initech", "acme", "globex"]
+
+    def test_order_by_stats_path(self, opt_setup):
+        _, s = opt_setup
+        res = agg(s, tt.AllQuery(), {
+            "b": {"terms": {"field": "brand",
+                            "order": {"st.avg": "asc"}},
+                  "aggs": {"st": {"stats": {"field": "price"}}}},
+        })
+        keys = [b["key"] for b in res["b"]["buckets"]]
+        assert keys == ["globex", "acme", "initech"]
