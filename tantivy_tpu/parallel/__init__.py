@@ -1532,65 +1532,3 @@ class BatchExecutor:
                 per_query[qi].append(
                     (np.float32(vsel[i]), DocAddress(so, int(dsel[i])))
                 )
-
-    def search_term_batch_bucketed(self, terms: list, k: int):
-        """Legacy bucketed path (no WAND); kept for cross-checking."""
-        from ..ops.term_scorer import dispatch_term_topk
-
-        Q = len(terms)
-        if Q == 0:
-            return []
-
-        # global statistics (host), cached per unique term
-        weights = np.zeros(Q, dtype=np.float32)
-        caches = np.zeros((Q, 256), dtype=np.float32)
-        for qi, term in enumerate(terms):
-            w, c = self._term_weight(term)
-            weights[qi] = w
-            caches[qi] = c
-
-        # dispatch everything asynchronously, then sync once
-        pending: list[tuple[int, np.ndarray, int, object, object]] = []
-        readers = self.searcher.segment_readers()
-        by_field: dict[str, list[int]] = {}
-        for qi, term in enumerate(terms):
-            by_field.setdefault(term.field, []).append(qi)
-        for seg_ord, (reader, dseg) in enumerate(zip(readers, self._device_segments)):
-            for field, qids in by_field.items():
-                inv = reader.inverted_index(field)
-                ords = np.full(len(qids), -1, dtype=np.int64)
-                for row, qi in enumerate(qids):
-                    ckey = (seg_ord, field, terms[qi].value_bytes)
-                    o = self._term_ord_cache.get(ckey, -2)
-                    if o == -2:
-                        o_ = inv.term_ord(terms[qi].value_bytes)
-                        o = -1 if o_ is None else o_
-                        self._term_ord_cache[ckey] = o
-                    ords[row] = o
-                qids_arr = np.asarray(qids)
-                for sub_qids, kk, vals, docs in dispatch_term_topk(
-                    dseg, field, ords, weights[qids_arr], caches[qids_arr], k
-                ):
-                    pending.append((seg_ord, qids_arr[sub_qids], kk, vals, docs))
-
-        # single sync point: materialize all device results
-        per_query: list[list[tuple[float, DocAddress]]] = [[] for _ in range(Q)]
-        for seg_ord, qids, kk, vals_dev, docs_dev in pending:
-            vals = np.asarray(vals_dev)[: len(qids)]
-            docs = np.asarray(docs_dev)[: len(qids)]
-            finite = vals > NEG_INF
-            for row, qi in enumerate(qids):
-                n = int(np.count_nonzero(finite[row]))
-                hits = per_query[qi]
-                for j in range(n):
-                    hits.append(
-                        (np.float32(vals[row, j]), DocAddress(seg_ord, int(docs[row, j])))
-                    )
-
-        # cross-segment merge (the "fruit merge" reduce)
-        out = []
-        for qi in range(Q):
-            hits = per_query[qi]
-            hits.sort(key=lambda x: (-float(x[0]), x[1]))
-            out.append(hits[:k])
-        return out
