@@ -360,18 +360,29 @@ def pallas_bool_topk(
 
 #: (kw, max chunk) rungs for the fused path; per-rung W tiers keep the
 #: compiled shape set small while letting small batches ride small shapes.
-#: (G must stay >= 8 — pallas output blocks need 8-divisible rows — which
-#: caps kw at 64; wider windows are handled by the planner's explosion /
-#: probe-skip plans, or counted host fallbacks.)
-_FUSED_RUNGS = (2, 8, 64)
+#: (G must stay >= 8 — pallas output blocks need 8-divisible rows — and the
+#: win_buf scratch is G x T x kw8 x 384 x 4 bytes, so the widest rung shrinks
+#: as the clause bucket grows; wider windows are handled by the planner's
+#: explosion / probe-skip plans, or counted host fallbacks.)
+_FUSED_RUNGS = (2, 8, 64)        # T <= 8: up to 14MB win_buf at kw=64,T=8
+_FUSED_RUNGS_WIDE = (8, 32)      # T <= 16: kw=32 -> kw8=40 -> 7.9MB win_buf
 _FUSED_W_TIERS = {
     2: (256, 4096, 65536),
     8: (256, 4096, 65536),
+    32: (256, 8192),
     64: (256, 8192),
 }
-#: widest fused probe window; wider work items are re-enumerated through a
-#: denser clause by the planner ("window explosion"), not host-fallbacked
-FUSED_KW_MAX = _FUSED_RUNGS[-1]
+
+
+def fused_rungs(n_clauses: int) -> tuple:
+    return _FUSED_RUNGS if n_clauses <= 8 else _FUSED_RUNGS_WIDE
+
+
+def fused_kw_max(n_clauses: int) -> int:
+    """Widest fused probe window for a clause bucket; wider work items are
+    re-enumerated through a denser clause by the planner ("window
+    explosion"), not host-fallbacked."""
+    return fused_rungs(n_clauses)[-1]
 
 
 def fused_w_tier(kw: int, n: int) -> int:
@@ -462,7 +473,7 @@ def launch_fused_bool(
     # bucket per rung, computing window starts + applying skip sentinels
     per_rung = []
     prev_kw = -1
-    for kw in _FUSED_RUNGS:
+    for kw in fused_rungs(T):
         sel = (width > prev_kw) & (width <= kw)
         prev_kw = kw
         b_s, p_s, c_s, q_s, s_s, sk_s = (

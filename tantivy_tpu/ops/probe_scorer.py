@@ -46,8 +46,10 @@ from .flat_scorer import _sortable_desc
 
 NEG_INF = np.float32(-np.inf)
 
-#: max clauses per boolean query on the device path
-T_MAX = 8
+#: max clauses per boolean query on the device path (wider queries use the
+#: host engine; 9..16-clause queries ride narrower fused window rungs — see
+#: `pallas_probe.fused_rungs` — because VMEM caps window_bytes x clauses)
+T_MAX = 16
 
 
 def binsearch_flat(flat, target, lo0, hi0, iters: int):
@@ -415,7 +417,7 @@ _WKW_LADDER = ((65536, 2), (65536, 8), (8192, 64))
 #: a clause window exceeds the widest bucket)
 _W_LADDER = (256, 4096)
 #: clause-count buckets
-_T_LADDER = (2, 4, T_MAX)
+_T_LADDER = (2, 4, 8, T_MAX)
 #: block-index search depth buckets (covers <= 2^(n_iters-1) blocks/term)
 _ITER_LADDER = (9, 15, 21)
 

@@ -632,7 +632,6 @@ class BatchExecutor:
             Occur.SHOULD: ps.KIND_SHOULD,
             Occur.MUST_NOT: ps.KIND_MUST_NOT,
         }
-        KWMAX = pp.FUSED_KW_MAX
 
         qclauses = []  # per query: [(kind, term, weight, field)]
         q_req_must = np.zeros(Q, dtype=np.int32)
@@ -721,6 +720,7 @@ class BatchExecutor:
                     ]
 
                 report_all = bool(q_report_all[qi])
+                KWMAX = pp.fused_kw_max(ps.t_bucket(T))
                 staged = []  # (clause, ids, ub, eff_width, skipbits)
                 fallback = False
                 extra_shipped: set[int] = set()

@@ -92,11 +92,11 @@ def test_fused_multifield_clauses(zipf):
 
 
 def test_fused_wide_window_skip_exact(zipf, monkeypatch):
-    """Force the probe-skip (dual-report) path: with FUSED_KW_MAX dropped to
+    """Force the probe-skip (dual-report) path: with fused_kw_max dropped to
     1, every rare-OR-common query has wide windows toward the common term."""
     import tantivy_tpu.ops.pallas_probe as pp
 
-    monkeypatch.setattr(pp, "FUSED_KW_MAX", 1)
+    monkeypatch.setattr(pp, "fused_kw_max", lambda n_clauses: 1)
     searcher, words = zipf
     queries = [
         tt.BooleanQuery.union([t(words[-1]), t(words[0])]),  # rare OR common
@@ -112,7 +112,7 @@ def test_fused_must_explosion_exact(zipf, monkeypatch):
     rare blocks through the common clause's overlapping blocks."""
     import tantivy_tpu.ops.pallas_probe as pp
 
-    monkeypatch.setattr(pp, "FUSED_KW_MAX", 1)
+    monkeypatch.setattr(pp, "fused_kw_max", lambda n_clauses: 1)
     searcher, words = zipf
     queries = [
         tt.BooleanQuery.intersection([t(words[-1]), t(words[0])]),
@@ -154,4 +154,29 @@ def test_fused_with_deletes():
         tt.BooleanQuery.union([t(words[0]), t(words[1])]),
         tt.BooleanQuery.intersection([t(words[0]), t(words[2])]),
     ]
+    check(searcher, queries)
+
+
+def test_fused_wide_clause_counts(zipf):
+    """9..16-clause queries ride the narrow-rung fused path (T_MAX=16)."""
+    searcher, words = zipf
+    rng = np.random.default_rng(11)
+    queries = []
+    for n in (9, 12, 16):
+        ws = rng.choice(words, n, replace=False)
+        queries.append(tt.BooleanQuery.union([t(w) for w in ws]))
+        queries.append(tt.BooleanQuery.intersection([t(w) for w in ws[:3]] +
+                                                    [t(words[0])] * 0))
+    # a 10-clause AND over common terms (wide windows -> explosion paths)
+    queries.append(
+        tt.BooleanQuery.intersection([t(words[i]) for i in range(10)])
+    )
+    # mixed occur at T=11
+    from tantivy_tpu.query import BooleanQuery, Occur
+    mixed = BooleanQuery(
+        [(Occur.MUST, t(words[0]))]
+        + [(Occur.SHOULD, t(words[i])) for i in range(1, 10)]
+        + [(Occur.MUST_NOT, t(words[30]))]
+    )
+    queries.append(mixed)
     check(searcher, queries)
