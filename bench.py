@@ -1,19 +1,30 @@
 """Benchmark: batched top-10 QPS over the Wikipedia sample corpus suites.
 
-Mirrors the reference harness shape (`benches/and_or_queries.rs:1-17`,
-search-benchmark-game): four suites — term / AND / OR / phrase — of 256-query
-batches over (a) the reference's 1000-doc `wiki.json` sample and (b) a scaled
-corpus synthesized from the same token stream (real vocabulary, Zipf shape,
-real bigrams for the phrase suite). Reports per-suite QPS with p50/p99 batch
-latency, compile/warmup time separately, and a device-vs-host top-10
-exact-match gate per suite.
+Mirrors the reference harness shapes:
+* `benches/and_or_queries.rs` / search-benchmark-game — term / AND / OR /
+  phrase 256-query batches, top-10, over (a) the reference's 1000-doc
+  `wiki.json` sample and (b) a 1M-doc corpus synthesized from the same token
+  stream (real vocabulary, Zipf shape, real bigrams) across >= 4 segments.
+* `benches/range_queries.rs` — range-count batches over u64 fast fields at
+  three selectivity bands (low / high / out-of-range).
+* `benches/agg_bench.rs` — histogram/stats/percentiles/terms/range/composite
+  aggregation requests over fast-field columns.
+* `benches/index-bench.rs` / README "<3 min Wikipedia" — cold-cache indexing
+  throughput, single- and multi-threaded.
+
+Per-suite QPS with p50/p99 batch latency; compile/warmup time reported
+separately (the warm pass runs every timed batch once so steady-state numbers
+measure execution, not XLA compilation — caches persist across runs); a
+device-vs-host exact-match gate covers 256 queries per suite (and k=3 on
+wiki1k); device->host fallback counts are reported per corpus.
 
 vs_baseline: the reference publishes no absolute numbers and cannot be built
 here (no Rust toolchain — see BASELINE.md). We normalize against 1000 QPS/core
 as a stand-in for tantivy's single-core top-10 throughput on comparable
 corpora. vs_baseline = mean-suite QPS per chip / 1000.
 
-The built indexes are cached under .bench_cache/ across runs.
+The built indexes are cached under .bench_cache/ across runs; cold build
+timings are recorded in the cache at first build and re-reported.
 """
 
 import json
@@ -30,8 +41,11 @@ CACHE = Path(__file__).resolve().parent / ".bench_cache"
 BATCH = 256
 K = 10
 N_BATCHES = 8
-SCALED_DOCS = 200_000
-EXACT_SAMPLE = 32
+SCALED_DOCS = 1_000_000
+SCALED_COMMITS = 4
+EXACT_SAMPLE = 256
+RANGE_EXACT_SAMPLE = 64
+AGG_REPEATS = 3
 
 
 def _tokens_from_wiki():
@@ -53,35 +67,66 @@ def _synthetic_token_stream(rng, n_tokens=400_000, vocab=30_000):
     return list(rng.choice(words, n_tokens, p=probs))
 
 
-def _build_index(path, docs_iter, n_docs):
+def _scaled_schema():
     import tantivy_tpu as tt
 
     b = tt.Schema.builder()
     b.add_text_field("body", tt.TEXT)
-    schema = b.build()
+    b.add_u64_field("score", tt.FAST)
+    b.add_f64_field("score_f64", tt.FAST)
+    b.add_u64_field("ts", tt.FAST)
+    return b.build()
+
+
+def _build_index(path, docs_iter, n_docs, with_fast, num_threads=None,
+                 commit_every=None):
+    import tantivy_tpu as tt
+
+    if with_fast:
+        schema = _scaled_schema()
+    else:
+        b = tt.Schema.builder()
+        b.add_text_field("body", tt.TEXT)
+        schema = b.build()
     index = tt.Index.create_in_dir(path, schema)
-    w = index.writer(memory_budget=2_000_000_000)
+    kwargs = {} if num_threads is None else {"num_threads": num_threads}
+    w = index.writer(memory_budget=2_000_000_000, **kwargs)
     t0 = time.time()
-    for text in docs_iter:
-        w.add_document(tt.Document(body=text))
+    made = 0
+    for doc in docs_iter:
+        w.add_document(tt.Document(**doc) if isinstance(doc, dict)
+                       else tt.Document(body=doc))
+        made += 1
+        if commit_every and made % commit_every == 0 and made < n_docs:
+            w.commit()
     w.commit()
+    dt = time.time() - t0
     w.close()
-    return index, time.time() - t0
+    return index, dt
 
 
-def _open_or_build(name, docs_fn, n_docs):
+def _open_or_build(name, docs_fn, n_docs, with_fast=False, commit_every=None):
     import tantivy_tpu as tt
 
     path = CACHE / name
+    info_path = path / "bench_build_info.json"
     if (path / "meta.json").exists():
         try:
-            return tt.Index.open_in_dir(path), 0.0
+            index = tt.Index.open_in_dir(path)
+            build_s = 0.0
+            if info_path.exists():
+                build_s = json.loads(info_path.read_text())["build_s"]
+            return index, build_s
         except Exception:
             import shutil
 
             shutil.rmtree(path)
     path.mkdir(parents=True, exist_ok=True)
-    return _build_index(path, docs_fn(), n_docs)
+    index, build_s = _build_index(
+        path, docs_fn(), n_docs, with_fast, commit_every=commit_every
+    )
+    info_path.write_text(json.dumps({"build_s": build_s, "docs": n_docs}))
+    return index, build_s
 
 
 def make_corpora():
@@ -98,27 +143,38 @@ def make_corpora():
                 d = json.loads(line)
                 yield (d.get("title", "") + " " + d.get("body", ""))
 
-    def scaled_docs():
-        # windows over the token stream with a shifting phase per pass:
-        # real vocabulary + real adjacency at any scale
-        n = len(stream)
-        made = 0
-        passno = 0
-        rng2 = np.random.default_rng(7)
-        while made < SCALED_DOCS:
-            i = (passno * 131) % max(n - 200, 1)
-            while i + 10 < n and made < SCALED_DOCS:
-                ln = int(rng2.integers(20, 100))
-                yield " ".join(stream[i : i + ln])
-                i += ln
-                made += 1
-            passno += 1
-
     corpora = []
     if have_wiki:
-        corpora.append(("wiki1k", wiki_docs, 1000))
-    corpora.append(("scaled", scaled_docs, SCALED_DOCS))
+        corpora.append(("wiki1k", wiki_docs, 1000, False))
+    corpora.append(
+        ("scaled1m", lambda: scaled_docs(stream, SCALED_DOCS), SCALED_DOCS,
+         True)
+    )
     return corpora, stream, have_wiki
+
+
+def scaled_docs(stream, n_docs):
+    """Windows over the token stream with a shifting phase per pass (real
+    vocabulary + real adjacency at any scale) + synthetic fast-field columns
+    shaped like the reference's range/agg bench corpora
+    (`range_queries.rs:36-43`, `agg_bench.rs` score/score_f64)."""
+    n = len(stream)
+    made = 0
+    passno = 0
+    rng2 = np.random.default_rng(7)
+    while made < n_docs:
+        i = (passno * 131) % max(n - 200, 1)
+        while i + 10 < n and made < n_docs:
+            ln = int(rng2.integers(20, 100))
+            yield {
+                "body": " ".join(stream[i : i + ln]),
+                "score": int(rng2.integers(0, 1000)),
+                "score_f64": float(rng2.normal(100.0, 30.0)),
+                "ts": made * 10 + int(rng2.integers(0, 10)),
+            }
+            i += ln
+            made += 1
+        passno += 1
 
 
 def make_query_log(searcher, stream, rng, n_queries):
@@ -162,7 +218,52 @@ def make_query_log(searcher, stream, rng, n_queries):
     return logs
 
 
-def run_suites(index, stream, label):
+def make_range_log(rng, n_queries, n_docs):
+    """Range queries over the scaled corpus's fast columns at the reference
+    bench's three selectivity bands (`range_queries.rs:84-120`)."""
+    from tantivy_tpu.query.range_query import RangeQuery
+
+    out = []
+    for i in range(n_queries):
+        band = i % 3
+        if band == 0:     # low-value narrow range over dense 0..999
+            lo = int(rng.integers(0, 10))
+            out.append(RangeQuery("score", lower=lo, upper=lo + 9))
+        elif band == 1:   # high-value narrow range
+            lo = int(rng.integers(985, 995))
+            out.append(RangeQuery("score", lower=lo, upper=lo + 5))
+        else:             # ascending ts window (~1% selectivity)
+            lo = int(rng.integers(0, n_docs * 10))
+            out.append(RangeQuery("ts", lower=lo, upper=lo + n_docs // 10))
+    return out
+
+
+AGG_REQUESTS = {
+    "avg_u64": {"a": {"avg": {"field": "score"}}},
+    "stats_f64": {"s": {"stats": {"field": "score_f64"}}},
+    "percentiles_f64": {
+        "p": {"percentiles": {"field": "score_f64",
+                              "percents": [95, 99, 99.9]}}
+    },
+    "histogram": {"h": {"histogram": {"field": "score", "interval": 10.0}}},
+    "terms_1000": {"t": {"terms": {"field": "score", "size": 100}}},
+    "range_with_avg": {
+        "r": {
+            "range": {"field": "score",
+                      "ranges": [{"to": 100.0},
+                                 {"from": 100.0, "to": 500.0},
+                                 {"from": 500.0}]},
+            "aggs": {"a": {"avg": {"field": "score_f64"}}},
+        }
+    },
+    "composite": {
+        "c": {"composite": {"size": 100,
+                            "sources": [{"s": {"terms": {"field": "score"}}}]}}
+    },
+}
+
+
+def run_main_suites(index, stream, label, detail):
     import tantivy_tpu as tt
     from tantivy_tpu.parallel import BatchExecutor
 
@@ -176,9 +277,10 @@ def run_suites(index, stream, label):
     warm_s = 0.0
     for kind in suites:
         qlog = logs[kind]
-        # warmup: compiles (persistent jit cache makes reruns cheap)
+        # warm pass: compiles every shape the timed pass will hit
+        # (persistent jit cache makes subsequent runs cheap)
         t0 = time.time()
-        for b in range(3):
+        for b in range(3 + N_BATCHES):
             executor.search_batch(qlog[b * BATCH : (b + 1) * BATCH], K)
         warm_s += time.time() - t0
 
@@ -198,7 +300,7 @@ def run_suites(index, stream, label):
         }
 
         # exactness gate: device vs host top-10 doc addresses
-        sample = qlog[: EXACT_SAMPLE]
+        sample = qlog[:EXACT_SAMPLE]
         dev = executor.search_batch(sample, K)
         exact = True
         for q, d in zip(sample, dev):
@@ -207,8 +309,100 @@ def run_suites(index, stream, label):
                 exact = False
                 break
         result[kind]["exact_match"] = exact
+    if label == "wiki1k":
+        # k-variation gate (small corpus only: bounded compile cost)
+        k3_ok = True
+        for kind in suites:
+            sample = logs[kind][:32]
+            dev = executor.search_batch(sample, 3)
+            for q, d in zip(sample, dev):
+                h = searcher.search(q, tt.TopDocs(3))
+                if [a for _, a in d] != [a for _, a in h]:
+                    k3_ok = False
+        result["exact_match_k3"] = k3_ok
     result["warmup_s"] = round(warm_s, 1)
-    return result
+    result["fallbacks"] = dict(getattr(executor, "fallbacks", {}) or {})
+    return searcher, executor, result
+
+
+def run_range_suite(searcher, executor, n_docs):
+    import tantivy_tpu as tt
+
+    rng = np.random.default_rng(77)
+    qlog = make_range_log(rng, BATCH * (N_BATCHES + 1), n_docs)
+    executor.count_batch(qlog[:BATCH])  # warm column sort caches
+    times = []
+    total = 0
+    for b in range(1, 1 + N_BATCHES):
+        batch = qlog[b * BATCH : (b + 1) * BATCH]
+        t0 = time.time()
+        res = executor.count_batch(batch)
+        times.append(time.time() - t0)
+        total += len(res)
+    dt = np.array(times)
+    from tantivy_tpu.collector import Count
+
+    exact = all(
+        c == searcher.search(q, Count())
+        for q, c in zip(qlog[:RANGE_EXACT_SAMPLE],
+                        executor.count_batch(qlog[:RANGE_EXACT_SAMPLE]))
+    )
+    return {
+        "qps": round(total / dt.sum(), 1),
+        "p50_ms": round(float(np.percentile(dt * 1000, 50)), 3),
+        "p99_ms": round(float(np.percentile(dt * 1000, 99)), 3),
+        "exact_match": exact,
+    }
+
+
+def run_agg_suite(searcher, n_docs):
+    import tantivy_tpu as tt
+    from tantivy_tpu.aggregation import AggregationCollector
+
+    per_req = {}
+    total_reqs = 0
+    total_s = 0.0
+    sane = True
+    for name, req in AGG_REQUESTS.items():
+        col = AggregationCollector(req)
+        res = searcher.search(tt.AllQuery(), col)  # warm
+        t0 = time.time()
+        for _ in range(AGG_REPEATS):
+            res = searcher.search(tt.AllQuery(), col)
+        dt = time.time() - t0
+        per_req[name] = round(AGG_REPEATS / dt, 2)
+        total_reqs += AGG_REPEATS
+        total_s += dt
+        if name == "stats_f64" and res["s"]["count"] != n_docs:
+            sane = False
+        if name == "histogram" and len(res["h"]["buckets"]) != 100:
+            sane = False
+    return {
+        "qps": round(total_reqs / total_s, 2),
+        "per_request_qps": per_req,
+        "sane": sane,
+    }
+
+
+def measure_indexing(stream):
+    """Cold single-thread vs multi-thread ingest throughput (reference
+    indexes full Wikipedia '<3 min, multithreaded', README.md:39)."""
+    import shutil
+    import tempfile
+
+    n = 100_000
+    out = {}
+    for threads, key in ((1, "docs_per_s_1t"), (None, "docs_per_s_mt")):
+        tmp = tempfile.mkdtemp(prefix="tantivy_tpu_idx_bench")
+        try:
+            _, dt = _build_index(
+                Path(tmp), scaled_docs(stream, n), n, with_fast=True,
+                num_threads=threads,
+            )
+            out[key] = round(n / dt, 1)
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)
+    return out
 
 
 def main():
@@ -220,18 +414,27 @@ def main():
     detail = {"corpora": {}}
     all_qps = []
     all_exact = True
-    for name, docs_fn, n_docs in corpora:
-        index, build_s = _open_or_build(name, docs_fn, n_docs)
-        res = run_suites(index, stream, name)
+    for name, docs_fn, n_docs, with_fast in corpora:
+        index, build_s = _open_or_build(
+            name, docs_fn, n_docs, with_fast,
+            commit_every=(n_docs // SCALED_COMMITS if with_fast else None),
+        )
+        searcher, executor, res = run_main_suites(index, stream, name, detail)
         res["docs"] = n_docs
+        res["segments"] = len(searcher.segment_readers())
         res["index_build_s"] = round(build_s, 1)
+        if with_fast:
+            res["range"] = run_range_suite(searcher, executor, n_docs)
+            res["agg"] = run_agg_suite(searcher, n_docs)
         detail["corpora"][name] = res
-        if name == "scaled":
+        if with_fast:
             all_qps = [res[k]["qps"] for k in ("term", "and", "or", "phrase")]
             all_exact = all(
-                res[k]["exact_match"] for k in ("term", "and", "or", "phrase")
-            )
+                res[k]["exact_match"]
+                for k in ("term", "and", "or", "phrase")
+            ) and res["range"]["exact_match"]
 
+    detail["indexing"] = measure_indexing(stream)
     qps = float(np.mean(all_qps)) if all_qps else 0.0
     detail["wiki_corpus"] = have_wiki
     detail["batch_size"] = BATCH

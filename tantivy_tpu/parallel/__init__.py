@@ -814,6 +814,7 @@ class BatchExecutor:
                         "p1": [],       # work tuples
                         "rest": [],
                         "any_skip": False,
+                        "any_dup": False,
                     }
                 prow = len(g["rows"])
                 row = {
@@ -836,16 +837,28 @@ class BatchExecutor:
                     row["cl_kind"][ci] = c[0]
                     row["cl_start"][ci] = regions[ci][0]
                     row["cl_len"][ci] = regions[ci][1]
-                # fullprobe = shipped & no skipped probes on ANY of its items
+                # fullprobe = shipped & no skipped probes on ANY of its items.
+                # When explosion re-anchored wide blocks through another
+                # clause, NO clause may claim fullprobe: the leader's item
+                # coverage is now partial (its wide blocks were dropped), so
+                # the kernel's `cl <= primary` dedup rule would silently
+                # suppress the re-anchored enumerator's lanes for exactly the
+                # docs the leader no longer covers. Instead every enumerator
+                # reports (primary stays unset) and the host dedups by
+                # DocAddress — both enumerators carry the exact full score.
                 skips_of = {}
                 for ci, _, _, _, sk in staged:
                     skips_of[ci] = skips_of.get(ci, False) or bool(sk.any())
-                for ci in set(shipped) | extra_shipped:
-                    if ci in skips_of:
-                        row["cl_fullprobe"][ci] = 0 if skips_of[ci] else 1
+                exploded = bool(extra_shipped)
+                if not exploded:
+                    for ci in set(shipped):
+                        if ci in skips_of:
+                            row["cl_fullprobe"][ci] = 0 if skips_of[ci] else 1
                 g["rows"].append(row)
                 if any(skips_of.values()):
                     g["any_skip"] = True
+                if exploded:
+                    g["any_dup"] = True
 
                 # phase-1 = the prow's top-M1 blocks by UB across clauses
                 all_ub = np.concatenate([s[2] for s in staged])
@@ -923,7 +936,10 @@ class BatchExecutor:
             tb_tables[Tb] = finalize_tables(g, Tb)
             if not g["p1"]:
                 continue
-            k_eff = min(k * Tb, 128) if g["any_skip"] else k
+            mult = Tb if g["any_skip"] else 1
+            if g["any_dup"]:
+                mult = max(mult, 2)  # explosion dual-enumeration
+            k_eff = min(k * mult, 128)
             with debug_time("bool.fused_dispatch1"):
                 for out in pp.launch_fused_bool(
                     fused, build_work(g["p1"]), tb_tables[Tb], k_eff, Q,
@@ -952,7 +968,10 @@ class BatchExecutor:
                     )
             if not survivors:
                 continue
-            k_eff = min(k * Tb, 128) if g["any_skip"] else k
+            mult = Tb if g["any_skip"] else 1
+            if g["any_dup"]:
+                mult = max(mult, 2)  # explosion dual-enumeration
+            k_eff = min(k * mult, 128)
             with debug_time("bool.fused_dispatch2"):
                 for out in pp.launch_fused_bool(
                     fused, build_work(survivors), tb_tables[Tb], k_eff, Q,
@@ -1019,6 +1038,72 @@ class BatchExecutor:
         for i in sorted(other):
             results[i] = self.searcher.search(queries[i], TopDocs(k))
         return results
+
+    # ------------------------------------------------------------------
+    # batched counting (the reference's Count collector, batched)
+
+    def _sorted_column(self, seg_ord: int, field: str):
+        cache = getattr(self, "_sorted_col_cache", None)
+        if cache is None:
+            cache = self._sorted_col_cache = {}
+        key = (seg_ord, field)
+        sv = cache.get(key)
+        if sv is None:
+            col = self.searcher.segment_readers()[seg_ord].fast_fields() \
+                .column(field)
+            sv = cache[key] = np.sort(col.values)
+        return sv
+
+    def count_batch(self, queries: list) -> list[int]:
+        """Batched Count collection. Fast-field range queries over FULL
+        columns in delete-free segments collapse to two `searchsorted`
+        probes on a cached sorted copy of the column — O(log n) per
+        (query, segment) instead of the reference's per-query column scan
+        (`range_query_fastfield.rs`, `fast_field_range_doc_set.rs:43`).
+        Everything else (deletes, optional/multi columns, non-range
+        queries) takes the host Count path."""
+        from ..collector import Count
+        from ..fastfield import CARD_FULL
+        from ..query.range_query import FastFieldRangeWeight, RangeQuery
+
+        out = [0] * len(queries)
+        readers = self.searcher.segment_readers()
+        other = []
+        for i, q in enumerate(queries):
+            if not isinstance(q, RangeQuery):
+                other.append(i)
+                continue
+            w = q.weight(self.searcher, False)
+            if not isinstance(w, FastFieldRangeWeight):
+                other.append(i)
+                continue
+            lo, hi = w._bounds_u64()
+            total = 0
+            fast_ok = True
+            for seg_ord, reader in enumerate(readers):
+                if reader.alive_bitset() is not None:
+                    fast_ok = False
+                    break
+                col = reader.fast_fields().column(q.field)
+                if col is None:
+                    continue
+                if col.cardinality != CARD_FULL:
+                    fast_ok = False
+                    break
+                if lo > hi:
+                    continue
+                sv = self._sorted_column(seg_ord, q.field)
+                total += int(
+                    np.searchsorted(sv, np.uint64(hi), side="right")
+                    - np.searchsorted(sv, np.uint64(lo), side="left")
+                )
+            if fast_ok:
+                out[i] = total
+            else:
+                other.append(i)
+        for i in other:
+            out[i] = self.searcher.search(queries[i], Count())
+        return out
 
     # ------------------------------------------------------------------
     # phrase batches

@@ -180,3 +180,30 @@ def test_fused_wide_clause_counts(zipf):
     )
     queries.append(mixed)
     check(searcher, queries)
+
+
+def test_fused_partial_explosion_exact(monkeypatch):
+    """Regression: explosion with PARTIAL leader coverage (some leader
+    blocks narrow, some wide). The leader must not claim fullprobe after its
+    wide blocks are re-anchored, or the partner enumerator's lanes are
+    suppressed and matches in the dropped blocks vanish (found as a scaled
+    TPU bench exact_match failure, round 3)."""
+    import tantivy_tpu.ops.pallas_probe as pp
+
+    monkeypatch.setattr(pp, "fused_kw_max", lambda n_clauses: 2)
+    b = tt.Schema.builder()
+    b.add_text_field("body", tt.TEXT)
+    index = tt.Index.create_in_ram(b.build())
+    w = index.writer_for_tests()
+    # "bb" everywhere; "aa" dense in docs 0..127 (narrow leader block) then
+    # sparse every 8th doc (wide leader blocks spanning many bb blocks)
+    for i in range(1280):
+        body = "bb" if (i >= 128 and i % 8) else "aa bb"
+        w.add_document(tt.Document(body=body))
+    w.commit()
+    w.close()
+    searcher = index.reader().searcher()
+    q = tt.BooleanQuery.intersection([t("aa"), t("bb")])
+    check(searcher, [q], k=10)
+    # also top-k deep enough to need hits from both coverage regions
+    check(searcher, [q], k=60)
