@@ -161,11 +161,12 @@ class FusedStore:
 
     # FieldWand-compatible UB planning over the fused tables --------------
 
-    def clause_blocks_ub(self, start, n, weight, others, self_pos=0):
+    def clause_blocks_ub(self, start, n, weight, others, self_pos=0,
+                         return_detail=False):
         from ..parallel.wand import FieldWand
 
         return FieldWand.clause_blocks_ub(
-            self, start, n, weight, others, self_pos
+            self, start, n, weight, others, self_pos, return_detail
         )
 
     @property

@@ -458,35 +458,39 @@ def launch_fused_bool(
     ONE fused launch.
 
     `work` = (blocks [N], prow [N], clause [N], width [N], qid [N], seg [N],
-    skip [N] u32 bitmask of clause probes to skip) numpy arrays; `tables` =
-    dict of plan-row tables (cl_* [P+1, T], req_*). `k` may be inflated by
-    the planner (k_eff) when skipped probes can double-report docs.
+    jlo [N, T]) numpy arrays — the planner supplies each item's per-clause
+    window start directly (8-aligned; -1 = skip that clause's probe), which
+    is how window SLICING works: sliced items share a block but carry
+    different window starts. `tables` = dict of plan-row tables
+    (cl_* [P+1, T], req_*). `k` may be inflated by the planner (k_eff) when
+    skipped probes / slice overlap can double-report docs.
     Returns [packed [3, Q, k]] (a one-element pending list) or [] if empty.
     """
-    blocks, prow, clause, width, qid, seg, skip = work
+    blocks, prow, clause, width, qid, seg, jlo_all = work
     n_items = len(blocks)
     if n_items == 0:
         return []
     T = tables["cl_weight"].shape[1]
     num_prows = tables["cl_weight"].shape[0] - 1
+    nbp = -(-fused.num_blocks // 8) * 8
 
-    # bucket per rung, computing window starts + applying skip sentinels
+    # bucket per rung, clamping window starts so the kw8-row DMA stays
+    # in bounds (8-aligned; -1 skip sentinels pass through)
     per_rung = []
     prev_kw = -1
     for kw in fused_rungs(T):
         sel = (width > prev_kw) & (width <= kw)
         prev_kw = kw
-        b_s, p_s, c_s, q_s, s_s, sk_s = (
+        b_s, p_s, c_s, q_s, s_s = (
             blocks[sel], prow[sel], clause[sel], qid[sel], seg[sel],
-            skip[sel],
         )
-        jlo = compute_jlo(
-            fused, b_s.astype(np.int64), p_s.astype(np.int64),
-            tables["cl_start"], tables["cl_len"], kw,
-        )
-        for t in range(T):
-            jlo[((sk_s >> t) & 1).astype(bool), t] = -1
-        per_rung.append([kw, b_s, p_s, c_s, q_s, s_s, jlo, 0])
+        kw8 = ((kw + 7) & ~7) + 8
+        hi = (max(nbp - kw8, 0) // 8) * 8
+        j_s = jlo_all[sel].astype(np.int32)
+        j_s = np.where(j_s < 0, np.int32(-1), np.minimum(j_s, hi))
+        per_rung.append([kw, b_s, p_s, c_s, q_s, s_s, j_s, 0])
+    assert sum(len(r[1]) for r in per_rung) == n_items, \
+        "work item wider than the widest rung reached the launcher"
 
     def make_chunk(kw, b_s, p_s, c_s, q_s, s_s, jlo, lo):
         hi = min(lo + _FUSED_W_TIERS[kw][-1], len(b_s))

@@ -588,24 +588,30 @@ class BatchExecutor:
         all fields rides ONE pallas launch per phase (see
         `ops/fused_store.py` and `pallas_probe.fused_bool_topk`).
 
-        Wide probe windows are handled without host fallbacks in the two
-        sound cases:
-        * MUST queries: a wide leader block is re-enumerated through the
-          densest other MUST clause's overlapping blocks ("explosion") —
-          coverage holds because every match lies in every MUST clause; the
-          primary-dedup rule already de-duplicates docs found by both
-          enumerators.
-        * pure-SHOULD (minimum_should_match <= 1) queries: an item may SKIP
-          probing a strictly denser SHOULD clause (jlo = -1); its lanes then
-          report partial scores, and the lowest full-probing present clause
-          — which always exists (the densest present clause never skips:
-          skips only target strictly denser clauses) — reports the exact
-          full score. The kernel's `cl <= prim_full` reporter rule plus host
-          dedup-by-address keeping the max yields exact results (a lane's
-          partial score never exceeds the true score: contributions are
-          non-negative).
-        Remaining wide cases (m-of-n, MUST_NOT over huge regions, exploded
-        blocks still wide) fall back to exact host evaluation per
+        Wide probe windows (a sparse clause's block spanning many blocks of
+        a dense partner) are handled without host fallbacks in two sound
+        ways, both emitting explicit per-item window starts (`jlo`):
+        * wide MUST probes are SLICED: the item is replicated with the same
+          block/lanes but consecutive `stride`-row windows covering the
+          overlap. A matching doc's partner posting lies in exactly one
+          region row, so exactly the slice(s) fetching that row satisfy the
+          MUST and report the full exact score (adjacent slices overlap by
+          the DMA alignment slack, so a doc can double-report with identical
+          scores — host dedup-by-address absorbs it). Non-matching slices
+          fail the MUST count and report nothing. Per-slice UBs are
+          recomputed with the slice's own range-max, so phase-2 pruning
+          tightens as the window shrinks.
+        * wide SHOULD probes are SKIPPED (jlo = -1, partial scores) and the
+          skipped clause is itself shipped in full; the doc's densest
+          present positive clause probes everything through narrow windows,
+          so some reporting lane always carries the exact full score and
+          host dedup keeps the max. (For pure-SHOULD rows the skip is
+          restricted to strictly denser clauses, preserving that invariant
+          structurally.)
+        Rows with any skip/slice lose the single-reporter `fullprobe`
+        optimization (every enumerator reports; k_eff is widened for the
+        duplicates). Remaining wide cases (wide MUST_NOT probes, two wide
+        MUST columns on one item) fall back to exact host evaluation per
         (query, segment), counted in `self.fallbacks`.
         """
         from ..ops import pallas_probe as pp
@@ -720,82 +726,109 @@ class BatchExecutor:
                     ]
 
                 report_all = bool(q_report_all[qi])
-                KWMAX = pp.fused_kw_max(ps.t_bucket(T))
-                staged = []  # (clause, ids, ub, eff_width, skipbits)
+                Tb = ps.t_bucket(T)
+                KWMAX = pp.fused_kw_max(Tb)
+                stride = max(8, (KWMAX // 8) * 8)
+                stride_cov = stride + 8  # kw8 slack rows a slice DMA fetches
+                staged = []  # (clause, ids, ub, eff_width, jlo [n, Tb])
                 fallback = False
-                extra_shipped: set[int] = set()
-                for ci in shipped:
+                any_skip_row = False
+                any_slice_row = False
+                ship_set = set(shipped)
+                to_ship = list(shipped)
+                while to_ship and not fallback:
+                    ci = to_ship.pop()
                     oth = others_for(ci)
-                    ids, ub, wmat = fused.clause_blocks_ub(
+                    det = fused.clause_blocks_ub(
                         regions[ci][0], regions[ci][1], info[ci][2], oth,
-                        self_pos=ci,
+                        self_pos=ci, return_detail=True,
                     )
-                    if not len(ids):
+                    ids, ub = det["ids"], det["ub"]
+                    n_it = len(ids)
+                    if not n_it:
                         continue
-                    skipbits = np.zeros(len(ids), dtype=np.uint32)
-                    eff = np.zeros(len(ids), dtype=np.int64)
+                    jlo = np.zeros((n_it, Tb), dtype=np.int64)
+                    eff = np.zeros(n_it, dtype=np.int64)
+                    slice_cols = []  # (oi, c2, wide mask) — wide MUST probes
                     for oi, (_, _, _, n2, c2) in enumerate(oth):
-                        wcol = wmat[:, oi]
-                        can_skip = (
-                            report_all
-                            and info[c2][0] == ps.KIND_SHOULD
-                            and c2 in positive
-                            and (n2, c2) > (nblk[ci], ci)
-                        )
-                        if can_skip:
-                            sk = wcol > KWMAX
-                            skipbits |= sk.astype(np.uint32) << np.uint32(c2)
-                            eff = np.maximum(eff, np.where(sk, 0, wcol))
-                        else:
+                        wcol = det["widths"][:, oi]
+                        jlo[:, c2] = det["jlo"][:, oi]
+                        wide = wcol > KWMAX
+                        if not wide.any():
                             eff = np.maximum(eff, wcol)
-                    wide = eff > KWMAX
-                    if wide.any():
-                        alts = [c2 for c2 in musts if c2 != ci]
-                        if not alts:
-                            fallback = True
-                            break
-                        c_alt = max(alts, key=lambda c2: nblk[c2])
-                        s2, n2 = regions[c_alt]
-                        wlo = fused.blk_base[ids[wide]].astype(np.uint64)
-                        whi = fused.blk_last_doc[ids[wide]].astype(np.uint64)
-                        blast = fused.blk_last_doc[s2 : s2 + n2]
-                        bbase = fused.blk_base[s2 : s2 + n2]
-                        i0 = s2 + np.searchsorted(blast, wlo, side="left")
-                        i1 = s2 + np.searchsorted(bbase, whi, side="right")
-                        union = np.unique(
-                            np.concatenate(
-                                [np.arange(a, b) for a, b in zip(i0, i1)]
-                                or [np.zeros(0, dtype=np.int64)]
-                            )
-                        )
-                        if len(union):
-                            lo2, hi2 = int(union[0]), int(union[-1]) + 1
-                            ids2, ub2, wmat2 = fused.clause_blocks_ub(
-                                lo2, hi2 - lo2, info[c_alt][2],
-                                others_for(c_alt), self_pos=c_alt,
-                            )
-                            inu = np.isin(ids2, union)
-                            ids2, ub2 = ids2[inu], ub2[inu]
-                            eff2 = (
-                                wmat2[inu].max(axis=1)
-                                if wmat2.shape[1]
-                                else np.zeros(len(ids2), dtype=np.int64)
-                            )
-                            if (eff2 > KWMAX).any():
+                            continue
+                        kind2 = info[c2][0]
+                        if kind2 == ps.KIND_SHOULD and c2 in positive:
+                            if report_all and not (n2, c2) > (nblk[ci], ci):
+                                # pure-SHOULD skips must target a strictly
+                                # denser clause (full-reporter invariant)
                                 fallback = True
                                 break
-                            if len(ids2):
-                                staged.append((
-                                    c_alt, ids2, ub2, eff2,
-                                    np.zeros(len(ids2), dtype=np.uint32),
-                                ))
-                                extra_shipped.add(c_alt)
-                        keep = ~wide
-                        ids, ub, eff, skipbits = (
-                            ids[keep], ub[keep], eff[keep], skipbits[keep],
-                        )
+                            jlo[wide, c2] = -1  # skip; ship c2 in full
+                            eff = np.maximum(eff, np.where(wide, 0, wcol))
+                            any_skip_row = True
+                            if c2 not in ship_set:
+                                ship_set.add(c2)
+                                to_ship.append(c2)
+                        elif kind2 == ps.KIND_MUST:
+                            slice_cols.append((oi, c2, wide))
+                            eff = np.maximum(eff, np.where(wide, 0, wcol))
+                        else:  # wide MUST_NOT probe: no sound device plan
+                            fallback = True
+                            break
+                    if fallback:
+                        break
+                    if slice_cols:
+                        n_wide_cols = np.zeros(n_it, dtype=np.int64)
+                        for _, _, wide in slice_cols:
+                            n_wide_cols += wide
+                        if (n_wide_cols > 1).any():
+                            fallback = True  # 2+ wide MUSTs: cross product
+                            break
+                        any_slice_row = True
+                        base_keep = n_wide_cols == 0
+                        for oi, c2, wide in slice_cols:
+                            rows = np.nonzero(wide)[0]
+                            i0a = det["jlo"][rows, oi]
+                            i0r = det["i0"][rows, oi]
+                            i1r = det["i1"][rows, oi]
+                            nsl = -(-(i1r - i0a) // stride)
+                            tot = int(nsl.sum())
+                            rep = np.repeat(rows, nsl)
+                            off = (
+                                np.arange(tot, dtype=np.int64)
+                                - np.repeat(np.cumsum(nsl) - nsl, nsl)
+                            )
+                            starts = np.repeat(i0a, nsl) + off * stride
+                            jlo_sl = jlo[rep].copy()
+                            jlo_sl[:, c2] = starts
+                            # per-slice UB: same ordered f32 sum, with this
+                            # clause's range-max taken over the slice's
+                            # fetched rows only (tighter, still a bound)
+                            ov = fused.rmax.query(
+                                np.maximum(starts, np.repeat(i0r, nsl)),
+                                np.minimum(
+                                    starts + stride_cov, np.repeat(i1r, nsl)
+                                ),
+                            )
+                            w2 = np.float32(info[c2][2])
+                            ub_sl = np.zeros(tot, dtype=np.float32)
+                            for pos in sorted(det["terms"]):
+                                term = (
+                                    (w2 * ov).astype(np.float32)
+                                    if pos == c2
+                                    else det["terms"][pos][rep]
+                                )
+                                ub_sl = (ub_sl + term).astype(np.float32)
+                            eff_sl = np.maximum(eff[rep], stride)
+                            staged.append(
+                                (ci, ids[rep], ub_sl, eff_sl, jlo_sl)
+                            )
+                        if not base_keep.all():
+                            ids, ub = ids[base_keep], ub[base_keep]
+                            eff, jlo = eff[base_keep], jlo[base_keep]
                     if len(ids):
-                        staged.append((ci, ids, ub, eff, skipbits))
+                        staged.append((ci, ids, ub, eff, jlo))
                 if fallback:
                     per_query[qi].extend(
                         self._host_segment_topk(queries[qi], seg_ord, reader, k)
@@ -806,7 +839,6 @@ class BatchExecutor:
                     continue
 
                 # commit the plan row
-                Tb = ps.t_bucket(T)
                 g = per_tb.get(Tb)
                 if g is None:
                     g = per_tb[Tb] = {
@@ -837,27 +869,17 @@ class BatchExecutor:
                     row["cl_kind"][ci] = c[0]
                     row["cl_start"][ci] = regions[ci][0]
                     row["cl_len"][ci] = regions[ci][1]
-                # fullprobe = shipped & no skipped probes on ANY of its items.
-                # When explosion re-anchored wide blocks through another
-                # clause, NO clause may claim fullprobe: the leader's item
-                # coverage is now partial (its wide blocks were dropped), so
-                # the kernel's `cl <= primary` dedup rule would silently
-                # suppress the re-anchored enumerator's lanes for exactly the
-                # docs the leader no longer covers. Instead every enumerator
-                # reports (primary stays unset) and the host dedups by
-                # DocAddress — both enumerators carry the exact full score.
-                skips_of = {}
-                for ci, _, _, _, sk in staged:
-                    skips_of[ci] = skips_of.get(ci, False) or bool(sk.any())
-                exploded = bool(extra_shipped)
-                if not exploded:
-                    for ci in set(shipped):
-                        if ci in skips_of:
-                            row["cl_fullprobe"][ci] = 0 if skips_of[ci] else 1
+                # fullprobe single-reporter optimization only for plain rows
+                # (no skipped probes, no sliced windows): any complexity
+                # means dual reports — every enumerator reports, the host
+                # dedups by DocAddress keeping the (exact, maximal) score.
+                if not any_skip_row and not any_slice_row:
+                    for ci in ship_set:
+                        row["cl_fullprobe"][ci] = 1
                 g["rows"].append(row)
-                if any(skips_of.values()):
+                if any_skip_row:
                     g["any_skip"] = True
-                if exploded:
+                if any_slice_row or (any_skip_row and not report_all):
                     g["any_dup"] = True
 
                 # phase-1 = the prow's top-M1 blocks by UB across clauses
@@ -869,7 +891,7 @@ class BatchExecutor:
                         len(all_ub) - M1
                     ]
                 taken = 0
-                for ci, ids, ub, eff, sk in staged:
+                for ci, ids, ub, eff, jlo in staged:
                     pick = ub >= cut
                     extra = int(pick.sum()) - (M1 - taken)
                     if extra > 0:
@@ -879,12 +901,12 @@ class BatchExecutor:
                     if pick.any():
                         g["p1"].append(
                             (prow, qi, seg_ord, ci, ids[pick], eff[pick],
-                             sk[pick])
+                             jlo[pick])
                         )
                     if (~pick).any():
                         g["rest"].append(
                             (prow, qi, seg_ord, ci, ids[~pick], ub[~pick],
-                             eff[~pick], sk[~pick])
+                             eff[~pick], jlo[~pick])
                         )
         _dt1.__exit__(None, None, None)
 
@@ -926,8 +948,8 @@ class BatchExecutor:
             seg = np.concatenate(
                 [np.full(len(it[4]), it[2], np.int32) for it in items]
             )
-            skip = np.concatenate([it[-1] for it in items])
-            return blocks, prow, clause, width, qid, seg, skip
+            jlo = np.vstack([it[-1] for it in items])
+            return blocks, prow, clause, width, qid, seg, jlo
 
         # ---- phase 1: one fused launch per T-bucket ----------------------
         pending1 = []
@@ -938,7 +960,7 @@ class BatchExecutor:
                 continue
             mult = Tb if g["any_skip"] else 1
             if g["any_dup"]:
-                mult = max(mult, 2)  # explosion dual-enumeration
+                mult = max(mult, 2)  # slice/skip dual reports
             k_eff = min(k * mult, 128)
             with debug_time("bool.fused_dispatch1"):
                 for out in pp.launch_fused_bool(
@@ -956,7 +978,7 @@ class BatchExecutor:
             if not g["rest"]:
                 continue
             survivors = []
-            for prow, qi, seg_ord, ci, ids, ub, eff, sk in g["rest"]:
+            for prow, qi, seg_ord, ci, ids, ub, eff, jlo in g["rest"]:
                 keep = _phase2_keep(
                     ub, fused.blk_base[ids], seg_ord,
                     th[qi], th_seg[qi], th_doc[qi],
@@ -964,13 +986,13 @@ class BatchExecutor:
                 if keep.any():
                     survivors.append(
                         (prow, qi, seg_ord, ci, ids[keep], eff[keep],
-                         sk[keep])
+                         jlo[keep])
                     )
             if not survivors:
                 continue
             mult = Tb if g["any_skip"] else 1
             if g["any_dup"]:
-                mult = max(mult, 2)  # explosion dual-enumeration
+                mult = max(mult, 2)  # slice/skip dual reports
             k_eff = min(k * mult, 128)
             with debug_time("bool.fused_dispatch2"):
                 for out in pp.launch_fused_bool(

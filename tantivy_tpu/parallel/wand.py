@@ -76,6 +76,7 @@ class FieldWand:
         weight: np.float32,
         others: list,
         self_pos: int = 0,
+        return_detail: bool = False,
     ) -> tuple[np.ndarray, np.ndarray]:
         """For the clause region [start, start+n) of the block table, compute
         (block_ids, UB) with other-clause overlap bounds; blocks impossible
@@ -105,7 +106,15 @@ class FieldWand:
         static window-size bucket is chosen from it (a block of a rare
         clause sees wide windows over a dense partner; a dense clause's
         blocks see ~1-3-block windows — bucketing per item keeps the common
-        case cheap).
+        case cheap). Widths are measured from the 8-aligned-down window
+        start (the kernel's DMA alignment), so `width <= kw` guarantees the
+        kw-rung super-window covers the whole overlap.
+
+        With `return_detail=True`, returns a dict additionally carrying the
+        per-(block, other) aligned window starts (`jlo`), raw overlap bounds
+        (`i0`/`i1`), and the per-clause-position f32 UB terms — what the
+        fused planner needs to emit explicit kernel windows and to recompute
+        per-slice UBs when a wide window is sliced.
         """
         dfp = self.dfp
         ids = np.arange(start, start + n, dtype=np.int64)
@@ -115,6 +124,9 @@ class FieldWand:
         # per-(block, other-clause) overlap width — callers reduce with
         # .max(axis=1), or use per-clause widths for probe-skip decisions
         widths = np.zeros((n, len(others)), dtype=np.int64)
+        jlo = np.zeros((n, len(others)), dtype=np.int64)
+        i0s = np.zeros((n, len(others)), dtype=np.int64)
+        i1s = np.zeros((n, len(others)), dtype=np.int64)
         terms: dict[int, np.ndarray] = {
             int(self_pos): (np.float32(weight) * self.bfac[ids]).astype(
                 np.float32
@@ -129,12 +141,24 @@ class FieldWand:
             if is_must:
                 drop |= i1 <= i0
             terms[int(pos)] = (np.float32(w2) * ov).astype(np.float32)
-            widths[:, oi] = i1 - i0
+            i0a = (i0 // 8) * 8
+            jlo[:, oi] = i0a
+            i0s[:, oi] = i0
+            i1s[:, oi] = i1
+            widths[:, oi] = i1 - i0a
         # accumulate in kernel clause order (see exactness argument above)
         ub = np.zeros(n, dtype=np.float32)
         for pos in sorted(terms):
             ub = (ub + terms[pos]).astype(np.float32)
+        keep = ~drop
         if drop.any():
-            keep = ~drop
             ids, ub, widths = ids[keep], ub[keep], widths[keep]
+        if return_detail:
+            if drop.any():
+                jlo, i0s, i1s = jlo[keep], i0s[keep], i1s[keep]
+                terms = {p: t[keep] for p, t in terms.items()}
+            return {
+                "ids": ids, "ub": ub.astype(np.float32), "widths": widths,
+                "jlo": jlo, "i0": i0s, "i1": i1s, "terms": terms,
+            }
         return ids, ub.astype(np.float32), widths
