@@ -233,14 +233,136 @@ def make_sharded_bool_topk(mesh: Mesh, k: int, num_queries: int,
     return jax.jit(step)
 
 
+def make_sharded_phrase_topk(mesh: Mesh, k: int, num_queries: int,
+                             n_terms: int, n_segs: int, n_iters: int,
+                             pw: int, max_p: int):
+    """SPMD phrase(slop=0) batch step. Each shard anchors work items on the
+    rarest term's blocks of its own segments, probes every term's region by
+    per-lane binary search (`probe_term` — the deep-probe variant, no window
+    caps), gathers pw-wide position windows from the shard's stacked
+    positions store, counts aligned matches, and fruit-merges over the mesh.
+    The single-chip analogue is `ops/phrase_scorer.probe_phrase_topk`."""
+    from ..ops.probe_scorer import per_query_topk_from_rows, probe_term
+
+    def step(doc_store, tf_store, blk_last, pos_cum, positions,
+             block_sel, lane_q, lane_t, lane_seg, valid,
+             norm_ids, alive, doc_off,
+             q_weight, cl_start, cl_len, cl_pos_start, cl_shift, cache):
+        def shard_fn(doc_store, tf_store, blk_last, pos_cum, positions,
+                     block_sel, lane_q, lane_t, lane_seg, valid,
+                     norm_ids, alive, doc_off,
+                     q_weight, cl_start, cl_len, cl_pos_start, cl_shift,
+                     cache):
+            ds, ts, bl = doc_store[0], tf_store[0], blk_last[0]
+            pcum, pos = pos_cum[0], positions[0]
+            nid, alv = norm_ids[0], alive[0]
+            c_start, c_len = cl_start[0], cl_len[0]
+            c_pstart = cl_pos_start[0]
+            docs = jnp.take(ds, block_sel[0], axis=0)  # [W, 128]
+            tfs = jnp.take(ts, block_sel[0], axis=0)
+            w, lanes = docs.shape
+            max_doc = nid.shape[0]
+            npos = max(int(pos.shape[0]), 1)
+
+            fq = jnp.repeat(lane_q[0], lanes)
+            fdoc = docs.reshape(-1)
+            fterm = jnp.repeat(lane_t[0], lanes)
+            fseg = jnp.repeat(lane_seg[0], lanes)
+            safe = jnp.minimum(fdoc, jnp.uint32(max(max_doc - 1, 0)))
+            lane_ok = (
+                (fdoc != jnp.uint32(TERMINATED))
+                & jnp.repeat(valid[0], lanes)
+                & alv[safe]
+                & (fq < jnp.int32(num_queries))
+            )
+            norm = cache[nid[safe].astype(jnp.int32)]
+
+            all_found = lane_ok
+            tf_t, pwin_t, shift_t = [], [], []
+            for t in range(n_terms):
+                s = c_start[fq, t, fseg]
+                found, tf, flatpos = probe_term(
+                    ds, ts, bl, fdoc, s, c_len[fq, t, fseg], n_iters,
+                )
+                all_found = all_found & found & (c_len[fq, t, fseg] > 0)
+                tfi = tf.astype(jnp.int32)
+                tf_t.append(tfi)
+                pbase = c_pstart[fq, t, fseg] + (
+                    pcum[flatpos]
+                    - pcum[jnp.minimum(s * 128, pcum.shape[0] - 1)]
+                ).astype(jnp.int32)
+                pidx = jnp.clip(
+                    pbase[:, None] + jnp.arange(pw, dtype=jnp.int32),
+                    0, npos - 1,
+                )
+                win = pos[pidx].astype(jnp.int32)  # [L, pw]
+                in_tf = jnp.arange(pw, dtype=jnp.int32) < tfi[:, None]
+                pwin_t.append(jnp.where(in_tf, win, jnp.int32(-(1 << 30))))
+                shift_t.append(cl_shift[fq, t])
+
+            anchor_tf = jnp.zeros_like(tf_t[0])
+            anchor_win = jnp.zeros_like(pwin_t[0])
+            anchor_shift = jnp.zeros_like(shift_t[0])
+            for t in range(n_terms):
+                own = fterm == t
+                anchor_tf = jnp.where(own, tf_t[t], anchor_tf)
+                anchor_win = jnp.where(own[:, None], pwin_t[t], anchor_win)
+                anchor_shift = jnp.where(own, shift_t[t], anchor_shift)
+
+            count = jnp.zeros(fq.shape, dtype=jnp.int32)
+            for j in range(max_p):
+                in_range = (j < anchor_tf) & all_found
+                p = anchor_win[:, j] + anchor_shift
+                match = in_range
+                for t in range(n_terms):
+                    target = (p - shift_t[t])[:, None]
+                    match = match & jnp.any(pwin_t[t] == target, axis=1)
+                count = count + match.astype(jnp.int32)
+
+            tf = count.astype(jnp.float32)
+            score = q_weight[fq] * (tf / (tf + norm))
+            ok = all_found & (count > 0)
+            lane_scores = jnp.where(ok, score, NEG_INF).reshape(w, lanes)
+            kk = min(k, lanes)
+            row_sc, row_idx = jax.lax.top_k(lane_scores, kk)
+            row_doc = jnp.take_along_axis(docs, row_idx, axis=1)
+            vals, ldocs = per_query_topk_from_rows(
+                row_sc, row_doc, lane_q[0], k, num_queries
+            )
+            gdocs = ldocs + doc_off[0]
+            return _fruit_merge(vals, gdocs, k)
+
+        return jax.shard_map(
+            shard_fn,
+            mesh=mesh,
+            in_specs=(
+                P("seg"), P("seg"), P("seg"), P("seg"), P("seg"),
+                P("seg"), P("seg"), P("seg"), P("seg"), P("seg"),
+                P("seg"), P("seg"), P("seg"),
+                P(), P("seg"), P("seg"), P("seg"), P(), P(),
+            ),
+            out_specs=(P(), P()),
+            check_vma=False,
+        )(doc_store, tf_store, blk_last, pos_cum, positions,
+          block_sel, lane_q, lane_t, lane_seg, valid,
+          norm_ids, alive, doc_off,
+          q_weight, cl_start, cl_len, cl_pos_start, cl_shift, cache)
+
+    return jax.jit(step)
+
+
 class ShardedSearcher:
     """Device-mesh search over an index: shards segments across the mesh and
-    runs batched term top-k with on-device fruit merging."""
+    runs batched term/boolean/phrase top-k with on-device fruit merging and
+    two-phase Block-WAND pruning (thresholds established from a phase-1
+    launch over each query's best-UB blocks; phase 2 ships survivors only)."""
 
     def __init__(self, searcher, mesh: Mesh):
         self.searcher = searcher
         self.mesh = mesh
         self.n_shards = mesh.shape["seg"]
+        #: shipped-block accounting of the last batch (pruning visibility)
+        self.last_shipped: dict[str, int] = {}
         self._build_shards()
 
     def _build_shards(self):
@@ -283,11 +405,15 @@ class ShardedSearcher:
             block_off = 0
             doc_off = 0  # shard-local doc offset (norms/alive indexing)
             seg_infos = []
+            pos_list, pcum_list = [], []
+            pos_off = 0
             for seg_idx, r in enumerate(readers):
                 dseg = DeviceSegment(r, mode="dense")
                 dfp = dseg.field_postings(field)
-                docs_list.append(np.asarray(dfp.docs))
-                tfs_list.append(np.asarray(dfp.tfs))
+                d_np = np.asarray(dfp.docs)
+                t_np = np.asarray(dfp.tfs)
+                docs_list.append(d_np)
+                tfs_list.append(t_np)
                 blast_list.append(
                     dfp.blk_last_doc.astype(np.uint32) + np.uint32(doc_off)
                 )
@@ -296,19 +422,40 @@ class ShardedSearcher:
                 alive_list.append(
                     a if a is not None else np.ones(r.max_doc, dtype=bool)
                 )
+                # host-side planning stats: block-max bfac (WAND UBs) and
+                # per-block true max tf (phrase position-window rungs)
+                from ..query.bm25 import compute_tf_cache
+
+                fs = self.searcher.field_statistics(field)
+                cache = compute_tf_cache(np.float32(fs.average_fieldnorm))
+                btf = dfp.blk_max_tf.astype(np.float32)
+                bfac = (btf / (btf + cache[dfp.blk_max_fnid])).astype(
+                    np.float32
+                )
+                real_tf = np.where(d_np != np.uint32(TERMINATED), t_np, 0)
+                # per-segment positions + exclusive posting-rank cumsum
+                positions_np, _ = dfp._positions_np, None
+                pcum = np.cumsum(real_tf.reshape(-1), dtype=np.uint32)
+                pcum -= real_tf.reshape(-1).astype(np.uint32)
+                pos_list.append(positions_np.astype(np.uint32))
+                pcum_list.append(pcum)
                 seg_infos.append(
                     {
                         "reader": r,
                         "block_off": block_off,
                         "doc_off": doc_off,
+                        "pos_off": pos_off,
                         "global_base": int(
                             self.seg_bases[self.shard_seg_ords[shard_i][seg_idx]]
                         ),
                         "dfp": dfp,
+                        "bfac": bfac,
+                        "blk_top_tf": real_tf.max(axis=1, initial=0),
                     }
                 )
                 block_off += dfp.num_blocks
                 doc_off += r.max_doc
+                pos_off += len(positions_np)
             # store docs as shard-local ids (for norm/alive gathers); the
             # kernel's doc_off is replaced by per-block global rebase below
             adj_docs = []
@@ -350,6 +497,14 @@ class ShardedSearcher:
                     "norms": norms,
                     "alive": alive,
                     "segs": seg_infos,
+                    "positions": (
+                        np.concatenate(pos_list)
+                        if pos_list else np.zeros(0, dtype=np.uint32)
+                    ),
+                    "pos_cum": (
+                        np.concatenate(pcum_list)
+                        if pcum_list else np.zeros(0, dtype=np.uint32)
+                    ),
                 }
             )
         # pad shards to uniform shapes
@@ -367,12 +522,21 @@ class ShardedSearcher:
             blk_last[s, :n] = blob["blast"]
             norm_ids[s, : len(blob["norms"])] = blob["norms"]
             alive[s, : len(blob["alive"])] = blob["alive"]
+        np_pos = max(max((len(b["positions"]) for b in shard_blobs),
+                         default=1), 1)
+        positions = np.zeros((D, np_pos), dtype=np.uint32)
+        pos_cum = np.zeros((D, nb * 128), dtype=np.uint32)
+        for s, blob in enumerate(shard_blobs):
+            positions[s, : len(blob["positions"])] = blob["positions"]
+            pos_cum[s, : len(blob["pos_cum"])] = blob["pos_cum"]
         data = {
             "doc_store": doc_store,
             "tf_store": tf_store,
             "blk_last": blk_last,
             "norm_ids": norm_ids,
             "alive": alive,
+            "positions": positions,
+            "pos_cum": pos_cum,
             "shard_blobs": shard_blobs,
             "nb": nb,
             "md": md,
@@ -534,13 +698,19 @@ class ShardedSearcher:
                 info.append((kd, sub.term, w))
             qinfo.append(info)
 
-        # per-shard work lists
-        work = []  # per shard: (blocks, qids, clauses, segs)
+        # candidate blocks + WAND upper bounds per (shard, segment, query,
+        # shipped clause) — the single-chip planner's bounds, shard-local
+        from .wand import FieldWand
+
+        M1 = 4
+        cand = []  # (shard, qi, gblocks, ub, gbase_of_blocks, cls, segs)
         for s, blob in enumerate(data["shard_blobs"]):
-            blocks, qids, cls, segs = [], [], [], []
             for si, seg in enumerate(blob["segs"]):
                 inv = seg["reader"].inverted_index(field)
                 dfp = seg["dfp"]
+                fw = seg.get("fw")
+                if fw is None:
+                    fw = seg["fw"] = FieldWand(dfp, fs.average_fieldnorm)
                 for qi, info in enumerate(qinfo):
                     ords = [inv.term_ord(t.value_bytes) for _, t, _ in info]
                     ords = [-1 if o is None else o for o in ords]
@@ -580,38 +750,55 @@ class ShardedSearcher:
                         )]
                     else:
                         shipped = positive
+                    qsegcand = []
                     for ci in shipped:
                         cl_shipped[s, qi, ci, si] = True
-                        s0 = seg["block_off"] + int(
-                            dfp.term_block_start[ords[ci]]
+                        others = [
+                            (info[c2][0] == KIND_MUST,
+                             info[c2][2] if c2 in positive
+                             else np.float32(0.0),
+                             int(dfp.term_block_start[ords[c2]]),
+                             int(dfp.term_num_blocks[ords[c2]]),
+                             c2)
+                            for c2 in range(len(info))
+                            if c2 != ci and ords[c2] >= 0
+                            and (c2 in positive
+                                 or info[c2][0] == KIND_MUST_NOT)
+                        ]
+                        ids, ub, _ = fw.clause_blocks_ub(
+                            int(dfp.term_block_start[ords[ci]]),
+                            int(dfp.term_num_blocks[ords[ci]]),
+                            info[ci][2], others, self_pos=ci,
                         )
-                        n = int(dfp.term_num_blocks[ords[ci]])
-                        blocks.append(np.arange(s0, s0 + n, dtype=np.int32))
-                        qids.append(np.full(n, qi, dtype=np.int32))
-                        cls.append(np.full(n, ci, dtype=np.int32))
-                        segs.append(np.full(n, si, dtype=np.int32))
-            work.append((blocks, qids, cls, segs))
-
-        W = 1
-        for blocks, _, _, _ in work:
-            W = max(W, sum(len(b) for b in blocks))
-        Wp = 1
-        while Wp < W:
-            Wp *= 2
-        block_sel = np.zeros((D, Wp), dtype=np.int32)
-        lane_q = np.full((D, Wp), Q, dtype=np.int32)
-        lane_cl = np.zeros((D, Wp), dtype=np.int32)
-        lane_seg = np.zeros((D, Wp), dtype=np.int32)
-        valid = np.zeros((D, Wp), dtype=bool)
-        for s, (blocks, qids, cls, segs) in enumerate(work):
-            if not blocks:
-                continue
-            b = np.concatenate(blocks)
-            block_sel[s, : len(b)] = b
-            lane_q[s, : len(b)] = np.concatenate(qids)
-            lane_cl[s, : len(b)] = np.concatenate(cls)
-            lane_seg[s, : len(b)] = np.concatenate(segs)
-            valid[s, : len(b)] = True
+                        if not len(ids):
+                            continue
+                        gblocks = ids + seg["block_off"]
+                        gbase = (
+                            dfp.blk_base[ids].astype(np.int64)
+                            + seg["global_base"]
+                        )
+                        qsegcand.append((ci, gblocks, ub, gbase))
+                    if not qsegcand:
+                        continue
+                    # phase-1 = top-M1 blocks by UB across this (q, seg)
+                    all_ub = np.concatenate([c[2] for c in qsegcand])
+                    if len(all_ub) <= M1:
+                        cut = NEG_INF
+                    else:
+                        cut = np.partition(all_ub, len(all_ub) - M1)[
+                            len(all_ub) - M1
+                        ]
+                    taken = 0
+                    for ci, gblocks, ub, gbase in qsegcand:
+                        pick = ub >= cut
+                        extra = int(pick.sum()) - (M1 - taken)
+                        if extra > 0:
+                            sel = np.nonzero(pick)[0]
+                            pick[sel[len(sel) - extra:]] = False
+                        taken += int(pick.sum())
+                        cand.append(
+                            (s, qi, si, ci, gblocks, ub, gbase, pick)
+                        )
 
         doc_off = np.zeros(D, dtype=np.uint32)
         for s in range(D):
@@ -621,29 +808,308 @@ class ShardedSearcher:
                 )
         n_iters = max(int(np.ceil(np.log2(max(max_nblk, 2)))) + 1, 4)
         step = make_sharded_bool_topk(self.mesh, k, Q, T, S, n_iters)
-        vals, gdocs = step(
-            data["doc_store"], data["tf_store"], data["blk_last"],
-            block_sel, lane_q, lane_cl, lane_seg, valid,
-            data["norm_ids"], data["alive"], doc_off,
-            cl_weight, cl_kind, cl_start, cl_len, cl_shipped,
-            req_must, req_should, jnp.asarray(cache),
-        )
-        vals = np.asarray(vals)
-        gdocs = np.asarray(gdocs).astype(np.int64)
+
+        def launch(selector):
+            """Pack per-shard work lists for the selected blocks and run one
+            SPMD step. selector(entry) -> bool mask over the entry's blocks."""
+            per_shard = {s: [] for s in range(D)}
+            total = 0
+            for entry in cand:
+                s, qi, si, ci, gblocks, ub, gbase, pick = entry
+                m = selector(entry)
+                if m.any():
+                    per_shard[s].append(
+                        (gblocks[m], qi, ci, si)
+                    )
+                    total += int(m.sum())
+            W = max(
+                (sum(len(x[0]) for x in lst) for lst in per_shard.values()),
+                default=1,
+            )
+            Wp = 1
+            while Wp < max(W, 1):
+                Wp *= 2
+            block_sel = np.zeros((D, Wp), dtype=np.int32)
+            lane_q = np.full((D, Wp), Q, dtype=np.int32)
+            lane_cl = np.zeros((D, Wp), dtype=np.int32)
+            lane_seg = np.zeros((D, Wp), dtype=np.int32)
+            valid = np.zeros((D, Wp), dtype=bool)
+            for s, lst in per_shard.items():
+                off = 0
+                for gblocks, qi, ci, si in lst:
+                    n = len(gblocks)
+                    block_sel[s, off : off + n] = gblocks
+                    lane_q[s, off : off + n] = qi
+                    lane_cl[s, off : off + n] = ci
+                    lane_seg[s, off : off + n] = si
+                    valid[s, off : off + n] = True
+                    off += n
+            vals, gdocs = step(
+                data["doc_store"], data["tf_store"], data["blk_last"],
+                block_sel, lane_q, lane_cl, lane_seg, valid,
+                data["norm_ids"], data["alive"], doc_off,
+                cl_weight, cl_kind, cl_start, cl_len, cl_shipped,
+                req_must, req_should, jnp.asarray(cache),
+            )
+            return np.asarray(vals), np.asarray(gdocs).astype(np.int64), total
+
+        # ---- phase 1: each query's best-UB blocks -------------------------
+        v1, d1, n1 = launch(lambda e: e[7])
+        th = np.full(Q, NEG_INF, dtype=np.float32)
+        th_doc = np.full(Q, 1 << 62, dtype=np.int64)
+        for qi in range(Q):
+            finite = np.isfinite(v1[qi])
+            if int(finite.sum()) == k:
+                th[qi] = v1[qi][finite][-1]
+                th_doc[qi] = d1[qi][finite][-1]
+
+        # ---- phase 2: surviving rest blocks (tie-aware, exact) ------------
+        def survivors(e):
+            s, qi, si, ci, gblocks, ub, gbase, pick = e
+            rest = ~pick
+            if th[qi] == NEG_INF:
+                return rest
+            later = gbase > th_doc[qi]
+            return rest & ((ub > th[qi]) | ((ub == th[qi]) & ~later))
+
+        v2, d2, n2 = launch(survivors)
+        self.last_shipped = {
+            "candidates": int(sum(len(e[4]) for e in cand)),
+            "phase1": n1,
+            "phase2": n2,
+        }
+
         out = []
         for qi in range(Q):
-            hits = []
-            for j in range(k):
-                sc = vals[qi, j]
-                if not np.isfinite(sc):
-                    continue
-                g = int(gdocs[qi, j])
-                seg = int(np.searchsorted(self.seg_bases, g, side="right")) - 1
-                hits.append(
+            merged: dict[int, np.float32] = {}
+            for vals, gdocs in ((v1, d1), (v2, d2)):
+                for j in range(k):
+                    sc = vals[qi, j]
+                    if not np.isfinite(sc):
+                        continue
+                    g = int(gdocs[qi, j])
+                    if g not in merged or merged[g] < sc:
+                        merged[g] = np.float32(sc)
+            hits = sorted(
+                ((sc, g) for g, sc in merged.items()),
+                key=lambda x: (-float(x[0]), x[1]),
+            )[:k]
+            qout = []
+            for sc, g in hits:
+                seg = int(
+                    np.searchsorted(self.seg_bases, g, side="right")
+                ) - 1
+                qout.append(
                     (np.float32(sc),
                      DocAddress(seg, g - int(self.seg_bases[seg])))
                 )
-            out.append(hits)
+            out.append(qout)
+        return out
+
+
+    def search_phrase_batch(self, queries: list, k: int):
+        """Batched sharded phrase(slop=0) search with two-phase pruning:
+        anchor blocks come from each segment's rarest term, phase 1 ships
+        each query's best-UB anchors (UB = phrase_weight * leader bfac —
+        phrase tf <= leader tf), phase 2 ships threshold survivors.
+        Pathological in-doc tf resolves on host per query (exact), mirroring
+        the single-chip planner. Returns list[list[(score, DocAddress)]]."""
+        from ..collector import TopDocs
+        from ..ops.phrase_scorer import MAX_P, _PW_LADDER
+        from ..ops.phrase_scorer import t_bucket as ph_t_bucket
+        from ..query.bm25 import Bm25Weight, compute_tf_cache
+        from ..schema.term import Term
+        from ..searcher import DocAddress
+
+        if not queries:
+            return []
+        field = queries[0].field
+        assert all(q.field == field for q in queries), "one field per batch"
+        data = self._field_data(field)
+        D = self.n_shards
+        Q = len(queries)
+        fs = self.searcher.field_statistics(field)
+        cache = compute_tf_cache(np.float32(fs.average_fieldnorm))
+        T = ph_t_bucket(max(len(q.term_bytes) for q in queries))
+        S = max(max((len(b["segs"]) for b in data["shard_blobs"]),
+                    default=1), 1)
+
+        q_weight = np.zeros(Q + 1, dtype=np.float32)
+        for qi, q in enumerate(queries):
+            dfs = [
+                self.searcher.doc_freq(Term(field, tb)) for tb in q.term_bytes
+            ]
+            q_weight[qi] = Bm25Weight.for_terms(
+                dfs, fs.total_num_docs, fs.average_fieldnorm
+            ).weight
+
+        cl_start = np.zeros((D, Q + 1, T, S), dtype=np.int32)
+        cl_len = np.zeros((D, Q + 1, T, S), dtype=np.int32)
+        cl_pstart = np.zeros((D, Q + 1, T, S), dtype=np.int32)
+        cl_shift = np.zeros((Q + 1, T), dtype=np.int32)
+        host_queries: set[int] = set()
+        cand = []  # (shard, qi, si, gblocks, ub, gbase, pick)
+        max_nblk = 1
+        max_tf = 1
+        M1 = 4
+        for qi, q in enumerate(queries):
+            mx_off = max(q.offsets)
+            for t, off in enumerate(q.offsets):
+                cl_shift[qi, t] = mx_off - off
+        for s, blob in enumerate(data["shard_blobs"]):
+            for si, seg in enumerate(blob["segs"]):
+                inv = seg["reader"].inverted_index(field)
+                dfp = seg["dfp"]
+                for qi, q in enumerate(queries):
+                    if qi in host_queries:
+                        continue
+                    ords = [inv.term_ord(tb) for tb in q.term_bytes]
+                    if any(o is None for o in ords):
+                        continue  # a phrase term is a MUST
+                    starts = [int(dfp.term_block_start[o]) for o in ords]
+                    nblks = [int(dfp.term_num_blocks[o]) for o in ords]
+                    tops = [
+                        int(seg["blk_top_tf"][s0 : s0 + n].max(initial=0))
+                        for s0, n in zip(starts, nblks)
+                    ]
+                    leader = min(range(len(ords)), key=lambda t: nblks[t])
+                    if tops[leader] > MAX_P or max(tops) > _PW_LADDER[-1][0]:
+                        host_queries.add(qi)
+                        continue
+                    max_tf = max(max_tf, *tops)
+                    for t, o in enumerate(ords):
+                        cl_start[s, qi, t, si] = seg["block_off"] + starts[t]
+                        cl_len[s, qi, t, si] = nblks[t]
+                        cl_pstart[s, qi, t, si] = (
+                            seg["pos_off"] + int(dfp.term_pos_start[o])
+                        )
+                        max_nblk = max(max_nblk, nblks[t])
+                    ids = np.arange(
+                        starts[leader], starts[leader] + nblks[leader],
+                        dtype=np.int64,
+                    )
+                    ub = (
+                        np.float32(q_weight[qi]) * seg["bfac"][ids]
+                    ).astype(np.float32)
+                    gblocks = ids + seg["block_off"]
+                    gbase = (
+                        dfp.blk_base[ids].astype(np.int64)
+                        + seg["global_base"]
+                    )
+                    pick = np.zeros(len(ids), dtype=bool)
+                    if len(ids) <= M1:
+                        pick[:] = True
+                    else:
+                        pick[np.argpartition(-ub, M1 - 1)[:M1]] = True
+                    cand.append((s, qi, si, leader, gblocks, ub, gbase, pick))
+
+        # pw rung from the batch's max in-doc tf
+        pw = next(p for p, _ in _PW_LADDER if max_tf <= p)
+        doc_off = np.zeros(D, dtype=np.uint32)
+        for s in range(D):
+            if self.shard_seg_ords[s]:
+                doc_off[s] = np.uint32(
+                    self.seg_bases[self.shard_seg_ords[s][0]]
+                )
+        n_iters = max(int(np.ceil(np.log2(max(max_nblk, 2)))) + 1, 4)
+        step = make_sharded_phrase_topk(
+            self.mesh, k, Q, T, S, n_iters, pw, MAX_P
+        )
+
+        def launch(selector):
+            per_shard = {s: [] for s in range(D)}
+            total = 0
+            for entry in cand:
+                s, qi, si, leader, gblocks, ub, gbase, pick = entry
+                m = selector(entry)
+                if m.any():
+                    per_shard[s].append((gblocks[m], qi, leader, si))
+                    total += int(m.sum())
+            W = max(
+                (sum(len(x[0]) for x in lst) for lst in per_shard.values()),
+                default=1,
+            )
+            Wp = 1
+            while Wp < max(W, 1):
+                Wp *= 2
+            block_sel = np.zeros((D, Wp), dtype=np.int32)
+            lane_q = np.full((D, Wp), Q, dtype=np.int32)
+            lane_t = np.zeros((D, Wp), dtype=np.int32)
+            lane_seg = np.zeros((D, Wp), dtype=np.int32)
+            valid = np.zeros((D, Wp), dtype=bool)
+            for s, lst in per_shard.items():
+                off = 0
+                for gblocks, qi, leader, si in lst:
+                    n = len(gblocks)
+                    block_sel[s, off : off + n] = gblocks
+                    lane_q[s, off : off + n] = qi
+                    lane_t[s, off : off + n] = leader
+                    lane_seg[s, off : off + n] = si
+                    valid[s, off : off + n] = True
+                    off += n
+            vals, gdocs = step(
+                data["doc_store"], data["tf_store"], data["blk_last"],
+                data["pos_cum"], data["positions"],
+                block_sel, lane_q, lane_t, lane_seg, valid,
+                data["norm_ids"], data["alive"], doc_off,
+                q_weight, cl_start, cl_len, cl_pstart, cl_shift,
+                jnp.asarray(cache),
+            )
+            return np.asarray(vals), np.asarray(gdocs).astype(np.int64), total
+
+        v1, d1, n1 = launch(lambda e: e[7])
+        th = np.full(Q, NEG_INF, dtype=np.float32)
+        th_doc = np.full(Q, 1 << 62, dtype=np.int64)
+        for qi in range(Q):
+            finite = np.isfinite(v1[qi])
+            if int(finite.sum()) == k:
+                th[qi] = v1[qi][finite][-1]
+                th_doc[qi] = d1[qi][finite][-1]
+
+        def survivors(e):
+            s, qi, si, leader, gblocks, ub, gbase, pick = e
+            rest = ~pick
+            if th[qi] == NEG_INF:
+                return rest
+            later = gbase > th_doc[qi]
+            return rest & ((ub > th[qi]) | ((ub == th[qi]) & ~later))
+
+        v2, d2, n2 = launch(survivors)
+        self.last_shipped = {
+            "candidates": int(sum(len(e[4]) for e in cand)),
+            "phase1": n1,
+            "phase2": n2,
+        }
+
+        out = []
+        for qi in range(Q):
+            if qi in host_queries:
+                hits = self.searcher.search(queries[qi], TopDocs(k))
+                out.append([(np.float32(s), a) for s, a in hits])
+                continue
+            merged: dict[int, np.float32] = {}
+            for vals, gdocs in ((v1, d1), (v2, d2)):
+                for j in range(k):
+                    sc = vals[qi, j]
+                    if not np.isfinite(sc):
+                        continue
+                    g = int(gdocs[qi, j])
+                    if g not in merged or merged[g] < sc:
+                        merged[g] = np.float32(sc)
+            hits = sorted(
+                ((sc, g) for g, sc in merged.items()),
+                key=lambda x: (-float(x[0]), x[1]),
+            )[:k]
+            qout = []
+            for sc, g in hits:
+                seg = int(
+                    np.searchsorted(self.seg_bases, g, side="right")
+                ) - 1
+                qout.append(
+                    (np.float32(sc),
+                     DocAddress(seg, g - int(self.seg_bases[seg])))
+                )
+            out.append(qout)
         return out
 
 

@@ -75,3 +75,45 @@ def test_sharded_with_deletes():
     for term, device_hits in zip(terms, results):
         host_hits = searcher.search(tt.TermQuery(term), tt.TopDocs(10))
         assert_hits_match(device_hits, host_hits, context=str(term))
+
+
+def test_sharded_boolean_prunes(sharded_setup):
+    """Two-phase WAND on the mesh: phase-1 + phase-2 shipped blocks must be
+    strictly fewer than the full candidate list, results exact. Needs a
+    corpus dense enough that terms span many blocks per segment."""
+    _, _, mesh = sharded_setup
+    index, words = build_random_index(num_docs=4000, vocab=12, num_commits=2)
+    searcher = index.reader().searcher()
+    sharded = ShardedSearcher(searcher, mesh)
+
+    def t(w):
+        return tt.TermQuery(tt.Term.from_field_text("body", w))
+
+    queries = [
+        tt.BooleanQuery.union([t(words[i]), t(words[i + 1])])
+        for i in range(0, 10, 2)
+    ]
+    results = sharded.search_boolean_batch(queries, k=3)
+    for q, device_hits in zip(queries, results):
+        host_hits = searcher.search(q, tt.TopDocs(3))
+        assert_hits_match(device_hits, host_hits, context=repr(q))
+    ls = sharded.last_shipped
+    assert ls["phase1"] + ls["phase2"] < ls["candidates"], ls
+
+
+def test_sharded_phrase_matches_host(sharded_setup):
+    searcher, words, mesh = sharded_setup
+    sharded = ShardedSearcher(searcher, mesh)
+    # real bigrams: pull adjacent pairs out of stored corpus order by
+    # re-deriving them from the index's own positions via host search
+    rng = np.random.default_rng(5)
+    pairs = [(words[i], words[j]) for i in range(6) for j in range(6) if i != j]
+    rng.shuffle(pairs)
+    queries = [tt.PhraseQuery("body", [a, b]) for a, b in pairs[:12]]
+    results = sharded.search_phrase_batch(queries, k=10)
+    n_any = 0
+    for q, device_hits in zip(queries, results):
+        host_hits = searcher.search(q, tt.TopDocs(10))
+        n_any += bool(host_hits)
+        assert_hits_match(device_hits, host_hits, context=repr(q))
+    assert n_any >= 3  # the corpus must actually contain phrase matches
