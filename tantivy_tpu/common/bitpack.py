@@ -97,6 +97,22 @@ def pack_rows(values: np.ndarray, bits: int) -> np.ndarray:
     return np.bitwise_or.reduce(lanes << shifts, axis=2, dtype=np.uint32)
 
 
+def unpack_rows(words: np.ndarray, bits: int, count: int = 128) -> np.ndarray:
+    """Unpack [n, words] uint32 rows at width `bits` -> [n, count] uint32
+    (the vectorized many-blocks form of `unpack`)."""
+    n = words.shape[0]
+    if bits == 0:
+        return np.zeros((n, count), dtype=np.uint32)
+    words = np.ascontiguousarray(words, dtype=np.uint32)
+    if bits == 32:
+        return words[:, :count].copy()
+    per = 32 // bits
+    shifts = (np.arange(per, dtype=np.uint32) * bits).astype(np.uint32)
+    mask = np.uint32((1 << bits) - 1)
+    vals = ((words[:, :, None] >> shifts[None, None, :]) & mask)
+    return vals.reshape(n, -1)[:, :count]
+
+
 def unpack(words: np.ndarray, bits: int, count: int) -> np.ndarray:
     """Unpack `count` uint32 values of width `bits` from `words`."""
     if bits == 0:

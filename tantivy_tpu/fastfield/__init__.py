@@ -32,12 +32,96 @@ CARD_OPTIONAL = 1
 CARD_MULTI = 2
 
 #: value codecs (reference `columnar/src/column_values/u64_based/mod.rs`
-#: auto-selects Bitpacked / Linear / BlockwiseLinear; we implement the first
-#: two — blockwise-linear's win case, huge mostly-linear columns, is covered
-#: well enough by Linear at our segment sizes)
+#: auto-selects Bitpacked / Linear / BlockwiseLinear by estimated size; we
+#: implement all three — BlockwiseLinear fits a line per 512-value block
+#: (reference `blockwise_linear.rs`), winning on locally-linear columns
+#: with global kinks (monotonic timestamps with rate changes)
 CODEC_RAW = 0
 CODEC_BITPACKED = 1
 CODEC_LINEAR = 2
+CODEC_BLOCKWISE = 3
+_BW_BLOCK = 512
+
+
+def _blockwise_encode(vals: np.ndarray):
+    """Per-512-block line fit + bitpacked residuals. Returns
+    (total_bits_estimate, arrays) or (inf, None) when inapplicable."""
+    from ..common import bitpack
+
+    n = len(vals)
+    if n < 2 * _BW_BLOCK or int(vals.max()) >= (1 << 62):
+        return float("inf"), None
+    nblk = -(-n // _BW_BLOCK)
+    meta = np.zeros((nblk, 4), dtype=np.uint64)  # v0, slope, rmin+bias, bits
+    packed_parts = []
+    total_bits = nblk * 4 * 64
+    resids = []
+    for b in range(nblk):
+        v = vals[b * _BW_BLOCK : (b + 1) * _BW_BLOCK]
+        m = len(v)
+        slope = (float(v[-1]) - float(v[0])) / (m - 1) if m > 1 else 0.0
+        pred = (
+            float(v[0]) + slope * np.arange(m, dtype=np.float64)
+        ).astype(np.int64)
+        resid = v.astype(np.int64) - pred
+        rmin = int(resid.min())
+        rspan = int(resid.max()) - rmin
+        if not 0 <= rspan < (1 << 32):
+            return float("inf"), None
+        bits = bitpack.bits_required(rspan)
+        meta[b] = (
+            np.uint64(v[0]),
+            np.float64(slope).view(np.uint64),
+            np.uint64(rmin + (1 << 63)),
+            np.uint64(bits),
+        )
+        resids.append((resid - rmin).astype(np.uint32))
+        total_bits += m * bits + 32  # + word-alignment slack
+    for b in range(nblk):
+        packed_parts.append(
+            bitpack.pack(resids[b], int(meta[b, 3])) if int(meta[b, 3])
+            else np.zeros(0, dtype=np.uint32)
+        )
+    lens = np.array([len(p) for p in packed_parts], dtype=np.uint64)
+    arrays = {
+        "vmeta": np.asarray([CODEC_BLOCKWISE, 0, 0, n], dtype=np.uint64),
+        "values": (
+            np.concatenate(packed_parts)
+            if packed_parts else np.zeros(0, dtype=np.uint32)
+        ),
+        "vblk": meta.reshape(-1),
+        "vblkoff": np.concatenate([[0], np.cumsum(lens)]).astype(np.uint64),
+    }
+    return total_bits, arrays
+
+
+def _blockwise_decode(arrays: dict, prefix: str, n: int) -> np.ndarray:
+    from ..common import bitpack
+
+    meta = arrays[prefix + "vblk"].reshape(-1, 4)
+    offs = arrays[prefix + "vblkoff"]
+    words = arrays[prefix + "values"]
+    nblk = meta.shape[0]
+    out = np.zeros(n, dtype=np.uint64)
+    for b in range(nblk):
+        lo = b * _BW_BLOCK
+        m = min(_BW_BLOCK, n - lo)
+        v0, slope_bits, rbias, bits = (int(x) for x in meta[b])
+        slope = np.uint64(slope_bits).view(np.float64)
+        pred = (
+            float(np.uint64(v0)) + slope * np.arange(m, dtype=np.float64)
+        ).astype(np.int64)
+        rmin = rbias - (1 << 63)
+        resid = (
+            bitpack.unpack(
+                words[int(offs[b]) : int(offs[b + 1])], bits, m
+            ).astype(np.int64)
+            + rmin
+            if bits
+            else np.full(m, rmin, dtype=np.int64)
+        )
+        out[lo : lo + m] = (pred + resid).astype(np.uint64)
+    return out
 
 
 def _codec_encode(vals: np.ndarray) -> dict[str, np.ndarray]:
@@ -67,9 +151,13 @@ def _codec_encode(vals: np.ndarray) -> dict[str, np.ndarray]:
         rspan = int(resid.max()) - rmin
         if 0 <= rspan < (1 << 32):
             lin_bits = bitpack.bits_required(rspan)
-    best = min(bp_bits, lin_bits, 64)
+    bw_bits, bw_arrays = _blockwise_encode(vals)
+    bw_bits_per_val = bw_bits / n
+    best = min(bp_bits, lin_bits, bw_bits_per_val, 64)
     if best >= 64:
         return raw
+    if bw_bits_per_val < min(bp_bits, lin_bits):
+        return bw_arrays
     if bp_bits <= lin_bits:
         packed = bitpack.pack((vals - vmin).astype(np.uint32), bp_bits)
         return {
@@ -103,6 +191,8 @@ def _codec_decode(arrays: dict, prefix: str) -> np.ndarray:
     codec, bits, p0, n = (int(x) for x in vmeta)
     if codec == CODEC_BITPACKED:
         return bitpack.unpack(vals, bits, n).astype(np.uint64) + np.uint64(p0)
+    if codec == CODEC_BLOCKWISE:
+        return _blockwise_decode(arrays, prefix, n)
     # CODEC_LINEAR
     v0, slope_bits = (int(x) for x in arrays[prefix + "vline"])
     slope = np.uint64(slope_bits).view(np.float64)

@@ -111,6 +111,51 @@ def _intersection_count_with_carrying_slop(
     return count, new_pos, new_slops
 
 
+def _slop2_counts_vectorized(
+    lpad: np.ndarray, llen: np.ndarray, rpad: np.ndarray, rlen: np.ndarray,
+    slop: int,
+) -> np.ndarray:
+    """Two-term sloppy intersection counts for MANY docs at once: the exact
+    `_intersection_count_with_slop` cursor automaton (reference
+    `phrase_scorer.rs:145-190`), advanced in lockstep across docs with
+    numpy `where` steps instead of a per-doc Python loop. Every iteration
+    advances each active doc's state by one transition, so the iteration
+    count is bounded by max(llen) + max(rlen) + max(llen) (matches, skips,
+    and best-match advancements), while each iteration is a handful of
+    vector ops over all docs — the batched-host-tail analogue of the device
+    kernels' lane parallelism.
+
+    lpad/rpad: [D, Lmax]/[D, Rmax] i64 position arrays (aligned/shifted),
+    llen/rlen: [D] real lengths. Returns counts [D]."""
+    D, Lmax = lpad.shape
+    Rmax = rpad.shape[1]
+    li = np.zeros(D, dtype=np.int64)
+    ri = np.zeros(D, dtype=np.int64)
+    cnt = np.zeros(D, dtype=np.int64)
+    active = (llen > 0) & (rlen > 0)
+    rows = np.arange(D)
+    for _ in range(2 * Lmax + Rmax + 2):
+        if not active.any():
+            break
+        lv = lpad[rows, np.minimum(li, Lmax - 1)]
+        rv = rpad[rows, np.minimum(ri, Rmax - 1)]
+        close = np.abs(lv - rv) <= slop
+        # best-match advancement: a later left value may be closer
+        nxt = lpad[rows, np.minimum(li + 1, Lmax - 1)]
+        adv = active & close & (li + 1 < llen) & (nxt <= rv)
+        li = np.where(adv, li + 1, li)
+        match = active & close & ~adv
+        cnt += match
+        li = np.where(match, li + 1, li)
+        ri = np.where(match, ri + 1, ri)
+        lt = active & ~close & (lv < rv)
+        li = np.where(lt, li + 1, li)
+        gt = active & ~close & ~(lv < rv)
+        ri = np.where(gt, ri + 1, ri)
+        active &= (li < llen) & (ri < rlen)
+    return cnt
+
+
 def _phrase_count_for_doc(pos_lists: list[np.ndarray], offsets: list[int],
                           slop: int) -> int:
     """Count phrase matches given per-term in-doc position arrays.
@@ -218,6 +263,24 @@ class PhraseWeight(Weight):
         idx_per_term = [member_lookup(docs, cand)[1] for docs, _, _, _ in data]
         if self.q.slop == 0:
             counts = self._counts_exact_vectorized(data, cand, idx_per_term)
+        elif len(data) == 2:
+            # vectorize the two-pointer automaton across all candidate docs
+            mx = max(self.q.offsets)
+            pads = []
+            lens = []
+            for t, (docs, tfs, pos, cum) in enumerate(data):
+                idx = idx_per_term[t]
+                ln = tfs[idx].astype(np.int64)
+                lmax = max(int(ln.max(initial=1)), 1)
+                base = cum[idx].astype(np.int64)
+                gath = base[:, None] + np.arange(lmax, dtype=np.int64)
+                gath = np.minimum(gath, max(len(pos) - 1, 0))
+                pad = pos[gath].astype(np.int64) + (mx - self.q.offsets[t])
+                pads.append(pad)
+                lens.append(ln)
+            counts = _slop2_counts_vectorized(
+                pads[0], lens[0], pads[1], lens[1], self.q.slop
+            )
         else:
             counts = np.zeros(len(cand), dtype=np.int64)
             for j in range(len(cand)):
@@ -235,11 +298,7 @@ class PhraseWeight(Weight):
         if self.bm25 is not None:
             norm_ids = segment_reader.fieldnorms(self.q.field)[out_docs]
             out_scores = np.asarray(
-                [
-                    self.bm25.score(int(n), int(c))
-                    for n, c in zip(norm_ids, counts[hit])
-                ],
-                dtype=np.float32,
+                self.bm25.score(norm_ids, counts[hit]), dtype=np.float32
             )
         else:
             out_scores = np.ones(len(out_docs), dtype=np.float32)

@@ -120,3 +120,51 @@ class TestColumnCodecs:
             i * 7 + 100 for i in range(300)
         ]
         assert s.search(tt.RangeQuery("n", 100, 121), tt.Count()) == 4
+
+
+class TestBlockwiseLinear:
+    """Reference `columnar/src/column_values/u64_based/blockwise_linear.rs`:
+    per-512-block line fits win on locally-linear columns with kinks."""
+
+    def test_roundtrip_and_selection(self):
+        import numpy as np
+
+        from tantivy_tpu.fastfield import (
+            CODEC_BLOCKWISE,
+            _codec_decode,
+            _codec_encode,
+        )
+
+        rng = np.random.default_rng(8)
+        # monotonic with a rate change halfway + small jitter: globally
+        # non-linear (huge Linear residuals), locally near-linear
+        n = 4096
+        a = np.arange(n // 2, dtype=np.uint64) * 10
+        b = a[-1] + np.arange(n // 2, dtype=np.uint64) * 1000
+        vals = np.concatenate([a, b])
+        vals += rng.integers(0, 3, n).astype(np.uint64)
+        vals = np.sort(vals)
+        enc = _codec_encode(vals)
+        assert int(enc["vmeta"][0]) == CODEC_BLOCKWISE
+        dec = _codec_decode({"x" + k: v for k, v in enc.items()}, "x")
+        assert np.array_equal(dec, vals)
+
+    def test_column_roundtrip_through_index(self):
+        import numpy as np
+
+        import tantivy_tpu as tt
+
+        b = tt.Schema.builder()
+        b.add_u64_field("ts", tt.FAST)
+        index = tt.Index.create_in_ram(b.build())
+        w = index.writer_for_tests()
+        vals = []
+        for i in range(3000):
+            v = i * 7 + (i // 1500) * 100000 + (i % 3)
+            vals.append(v)
+            w.add_document(tt.Document(ts=v))
+        w.commit()
+        w.close()
+        s = index.reader().searcher()
+        col = s.segment_readers()[0].fast_fields().column("ts")
+        assert np.array_equal(col.values, np.array(vals, dtype=np.uint64))

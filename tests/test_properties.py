@@ -269,3 +269,95 @@ class TestTermDictProperty:
                 got = td.term_ord(probe)
                 want = keys.index(probe) if probe in keys else None
                 assert got == want
+
+
+def test_slop2_vectorized_matches_scalar():
+    """The batched two-pointer slop automaton must agree with the scalar
+    reference implementation on random position lists."""
+    import numpy as np
+
+    from tantivy_tpu.query.phrase_query import (
+        _intersection_count_with_slop,
+        _slop2_counts_vectorized,
+    )
+
+    rng = np.random.default_rng(99)
+    D = 300
+    lpads, rpads, llens, rlens = [], [], [], []
+    Lmax = Rmax = 12
+    expected = []
+    for _ in range(D):
+        ll = int(rng.integers(1, Lmax + 1))
+        rl = int(rng.integers(1, Rmax + 1))
+        left = np.sort(rng.choice(60, ll, replace=False)).astype(np.int64)
+        right = np.sort(rng.choice(60, rl, replace=False)).astype(np.int64)
+        lp = np.zeros(Lmax, dtype=np.int64)
+        rp = np.zeros(Rmax, dtype=np.int64)
+        lp[:ll] = left
+        rp[:rl] = right
+        lpads.append(lp)
+        rpads.append(rp)
+        llens.append(ll)
+        rlens.append(rl)
+    for slop in (1, 2, 5):
+        for i in range(D):
+            c, _ = _intersection_count_with_slop(
+                list(lpads[i][: llens[i]]), list(rpads[i][: rlens[i]]),
+                slop, False,
+            )
+            expected.append(c)
+        got = _slop2_counts_vectorized(
+            np.stack(lpads), np.array(llens), np.stack(rpads),
+            np.array(rlens), slop,
+        )
+        assert list(got) == expected, slop
+        expected = []
+
+
+def test_slop_phrase_end_to_end_matches_bruteforce():
+    import numpy as np
+
+    import tantivy_tpu as tt
+
+    rng = np.random.default_rng(4)
+    b = tt.Schema.builder()
+    b.add_text_field("body", tt.TEXT)
+    index = tt.Index.create_in_ram(b.build())
+    w = index.writer_for_tests()
+    words = ["aa", "bb", "cc"]
+    for _ in range(300):
+        w.add_document(
+            tt.Document(body=" ".join(rng.choice(words, 12)))
+        )
+    w.commit()
+    w.close()
+    s = index.reader().searcher()
+    for slop in (1, 3):
+        q = tt.PhraseQuery("body", ["aa", "bb"], slop=slop)
+        hits = s.search(q, tt.TopDocs(300))
+        # per-doc scalar recomputation via the reference algorithm
+        from tantivy_tpu.query.phrase_query import (
+            _intersection_count_with_slop,
+        )
+
+        reader = s.segment_readers()[0]
+        inv = reader.inverted_index("body")
+        store = reader  # doc text via positions
+        got = {a.doc_id for _, a in hits}
+        oa = inv.term_ord(b"aa")
+        ob = inv.term_ord(b"bb")
+        da, ta, pa = inv.positions_for_term(oa)[:3]
+        db, tb_, pb = inv.positions_for_term(ob)[:3]
+        ca = np.concatenate([[0], np.cumsum(ta)])
+        cb = np.concatenate([[0], np.cumsum(tb_)])
+        expect = set()
+        for i, d in enumerate(da):
+            j = np.searchsorted(db, d)
+            if j >= len(db) or db[j] != d:
+                continue
+            la = list(pa[int(ca[i]) : int(ca[i + 1])].astype(np.int64) + 1)
+            lb = list(pb[int(cb[j]) : int(cb[j + 1])].astype(np.int64))
+            c, _ = _intersection_count_with_slop(la, lb, slop, False)
+            if c > 0:
+                expect.add(int(d))
+        assert got == expect, (slop, got ^ expect)
