@@ -37,6 +37,7 @@ from dataclasses import dataclass, field
 import numpy as np
 
 from ..collector import Collector, _alive_filter
+from ..schema.term import u64_to_f64_array
 
 BUCKET_TYPES = (
     "terms", "histogram", "date_histogram", "range", "filter", "composite",
@@ -130,9 +131,7 @@ def _column_values(reader, field_name: str, docs: np.ndarray):
             .astype(np.float64)
         )
     elif tname == "f64":
-        from ..schema.term import u64_to_f64
-
-        vals = np.array([u64_to_f64(int(v)) for v in raw], dtype=np.float64)
+        vals = u64_to_f64_array(raw)
     elif tname == "bool":
         vals = raw.astype(np.float64)
     else:  # str/bytes dict columns: value = term ordinal

@@ -26,6 +26,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..postings.format import TERMINATED
+from .fmath import exact_div
 
 NEG_INF = np.float32(-np.inf)
 
@@ -59,7 +60,7 @@ def flat_topk_kernel(
     nid = norm_ids[safe].astype(jnp.int32)                       # [W, 128]
     norm = caches[qid[:, None], nid]                             # [W, 128]
     tf = tfs.astype(jnp.float32)
-    scores = weights[qid][:, None] * (tf / (tf + norm))
+    scores = weights[qid][:, None] * exact_div(tf, tf + norm)
     mask = (docs != jnp.uint32(TERMINATED)) & valid[:, None] & alive[safe]
     scores = jnp.where(mask, scores, NEG_INF)
 

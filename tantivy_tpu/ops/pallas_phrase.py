@@ -34,6 +34,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..postings.format import TERMINATED
 from .probe_scorer import pack_results_seg, per_query_topk_rows_seg
+from .fmath import exact_div
 
 NEG_INF = np.float32(-np.inf)
 
@@ -218,7 +219,7 @@ def _phrase_kernel_body(n_partners: int, crows: int, num_prows: int, G: int,
                 ).reshape(1, 128)
 
             tf = count.astype(jnp.float32)
-            score = qw_ref[q] * (tf / (tf + cachev))
+            score = qw_ref[q] * exact_div(tf, tf + cachev)
             ok = lane_ok & (count > 0)
             scores_ref[pl.ds(g, 1), :] = jnp.where(ok, score, NEG_INF)
             docs_ref[pl.ds(g, 1), :] = docs_row

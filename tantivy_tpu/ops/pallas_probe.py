@@ -32,6 +32,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..postings.format import TERMINATED
+from .fmath import exact_div
 from .probe_scorer import (
     KIND_MUST,
     KIND_MUST_NOT,
@@ -206,7 +207,7 @@ def _bool_kernel_body(n_clauses: int, kw: int, num_queries: int, G: int):
                     own, tfs_row.astype(jnp.int32), tf_probe
                 ).astype(jnp.float32)
                 kind = cl_kind_ref[q * n_clauses + t]
-                contrib = cl_w_ref[q * n_clauses + t] * (tf_t / (tf_t + cachev))
+                contrib = cl_w_ref[q * n_clauses + t] * exact_div(tf_t, tf_t + cachev)
                 positive = presence & (
                     (kind == KIND_MUST) | (kind == KIND_SHOULD)
                 )

@@ -32,6 +32,7 @@ import functools
 import jax
 import jax.numpy as jnp
 import numpy as np
+from .fmath import exact_div
 
 from ..postings.format import TERMINATED
 from .probe_scorer import (
@@ -158,7 +159,7 @@ def probe_phrase_topk(
         count = count + match.astype(jnp.int32)
 
     tf = count.astype(jnp.float32)
-    score = q_weight[qid][:, None] * (tf / (tf + norm))
+    score = q_weight[qid][:, None] * exact_div(tf, tf + norm)
     ok = all_found & (count > 0)
     lane_scores = jnp.where(ok, score, NEG_INF)
 

@@ -40,6 +40,7 @@ import functools
 import jax
 import jax.numpy as jnp
 import numpy as np
+from .fmath import exact_div
 
 from ..postings.format import TERMINATED
 from .flat_scorer import _sortable_desc
@@ -284,7 +285,7 @@ def probe_bool_topk_window(
         presence = jnp.where(own, True, found)
         tf_t = jnp.where(own, tfs, tf_probe).astype(jnp.float32)
         kind_t = cl_kind[qid, t][:, None]
-        contrib = cl_weight[qid, t][:, None] * (tf_t / (tf_t + norm))
+        contrib = cl_weight[qid, t][:, None] * exact_div(tf_t, tf_t + norm)
         positive = presence & (
             (kind_t == KIND_MUST) | (kind_t == KIND_SHOULD)
         )
@@ -377,7 +378,7 @@ def probe_bool_topk(
         presence = jnp.where(own, True, found)
         tf_t = jnp.where(own, ftf, tf_probe).astype(jnp.float32)
         kind_t = cl_kind[fq, t]
-        contrib = cl_weight[fq, t] * (tf_t / (tf_t + norm))
+        contrib = cl_weight[fq, t] * exact_div(tf_t, tf_t + norm)
         positive = presence & (
             (kind_t == KIND_MUST) | (kind_t == KIND_SHOULD)
         )

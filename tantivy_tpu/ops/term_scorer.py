@@ -16,6 +16,7 @@ import functools
 import jax
 import jax.numpy as jnp
 import numpy as np
+from .fmath import exact_div
 
 from ..postings.format import TERMINATED
 NEG_INF = np.float32(-np.inf)
@@ -34,7 +35,7 @@ def _topk_kernel(docs, tfs, valid, norm_ids, weights, caches, alive, k: int):
         caches[:, None, :], nid.reshape(q, b * 128)[:, None, :], axis=2
     ).reshape(q, b, 128)
     tf = tfs.astype(jnp.float32)
-    scores = weights[:, None, None] * (tf / (tf + norm))
+    scores = weights[:, None, None] * exact_div(tf, tf + norm)
     mask = (docs != jnp.uint32(TERMINATED)) & valid[:, :, None]
     if alive is not None:
         mask = mask & alive[safe]

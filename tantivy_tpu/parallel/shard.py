@@ -21,6 +21,7 @@ import functools
 import jax
 import jax.numpy as jnp
 import numpy as np
+from ..ops.fmath import exact_div
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..postings.format import TERMINATED
@@ -40,7 +41,7 @@ def _local_topk(docs, tfs, valid, norm_ids, alive, doc_off, weights, caches, k):
         caches[:, None, :], nid.reshape(q, b * 128)[:, None, :], axis=2
     ).reshape(q, b, 128)
     tf = tfs.astype(jnp.float32)
-    scores = weights[:, None, None] * (tf / (tf + norm))
+    scores = weights[:, None, None] * exact_div(tf, tf + norm)
     mask = (docs != jnp.uint32(TERMINATED)) & valid[:, :, None] & alive[safe]
     scores = jnp.where(mask, scores, NEG_INF)
     vals, idx = jax.lax.top_k(scores.reshape(q, b * 128), k)
@@ -182,7 +183,7 @@ def make_sharded_bool_topk(mesh: Mesh, k: int, num_queries: int,
                 presence = jnp.where(own, True, found)
                 tf_t = jnp.where(own, ftf, tf_probe).astype(jnp.float32)
                 kind_t = c_kind[fq, t]
-                contrib = c_w[fq, t] * (tf_t / (tf_t + norm))
+                contrib = c_w[fq, t] * exact_div(tf_t, tf_t + norm)
                 positive = presence & (
                     (kind_t == KIND_MUST) | (kind_t == KIND_SHOULD)
                 )
@@ -320,7 +321,7 @@ def make_sharded_phrase_topk(mesh: Mesh, k: int, num_queries: int,
                 count = count + match.astype(jnp.int32)
 
             tf = count.astype(jnp.float32)
-            score = q_weight[fq] * (tf / (tf + norm))
+            score = q_weight[fq] * exact_div(tf, tf + norm)
             ok = all_found & (count > 0)
             lane_scores = jnp.where(ok, score, NEG_INF).reshape(w, lanes)
             kk = min(k, lanes)

@@ -41,6 +41,19 @@ def u64_to_f64(v: int) -> float:
     return struct.unpack(">d", struct.pack(">Q", bits))[0]
 
 
+def u64_to_f64_array(raw) -> "np.ndarray":
+    """Vectorized `u64_to_f64` over a u64 array (the aggregation read path
+    decodes whole 1M-row columns per request)."""
+    import numpy as np
+
+    raw = np.asarray(raw, dtype=np.uint64)
+    neg_bit = raw >> np.uint64(63)
+    bits = np.where(
+        neg_bit.astype(bool), raw & ~np.uint64(1 << 63), ~raw
+    ).astype(np.uint64)
+    return bits.view(np.float64)
+
+
 def ip_to_bytes(value) -> bytes:
     """IP (str / ipaddress / int) -> order-preserving 16-byte big-endian key;
     IPv4 maps into the IPv6 space (::ffff:a.b.c.d), as the reference does."""

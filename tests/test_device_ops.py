@@ -131,3 +131,48 @@ class TestBatchedTermSearch:
             [tt.Term.from_field_text("body", "doesnotexist")], k=5
         )
         assert res == [[]]
+
+
+class TestExactDiv:
+    """`ops/fmath.exact_div` must equal IEEE round-to-nearest f32 division
+    bit-for-bit. TPU hardware divide is only faithfully rounded (~45% of
+    operand pairs 1 ulp off, measured); the Dekker-refined rebuild is what
+    keeps device BM25 scores identical to the host engine's numpy scores.
+    On CPU (this suite) hardware division is already IEEE, so this pins the
+    algorithm itself: the refinement must never *break* a correct quotient.
+    """
+
+    def test_dense_realistic_grid(self):
+        import jax.numpy as jnp
+        import numpy as np
+
+        from tantivy_tpu.ops.fmath import exact_div
+        from tantivy_tpu.query.bm25 import compute_tf_cache
+
+        # every (tf <= 512, cache entry) pair for several average fieldnorms
+        tfs = np.arange(1, 513, dtype=np.float32)
+        for avg in (1.0, 7.3, 24.0, 199.5):
+            cache = compute_tf_cache(np.float32(avg))
+            tf = np.repeat(tfs, len(cache))
+            c = np.tile(cache, len(tfs))
+            want = (tf / (tf + c)).astype(np.float32)
+            got = np.asarray(exact_div(jnp.asarray(tf), jnp.asarray(tf + c)))
+            assert np.array_equal(got.view(np.int32), want.view(np.int32))
+
+    def test_random_pairs_and_nan(self):
+        import jax.numpy as jnp
+        import numpy as np
+
+        from tantivy_tpu.ops.fmath import exact_div
+
+        rng = np.random.default_rng(3)
+        n = rng.integers(1, 1 << 24, 200_000).astype(np.float32)
+        d = n + rng.uniform(1e-3, 1e4, len(n)).astype(np.float32)
+        want = (n / d).astype(np.float32)
+        got = np.asarray(exact_div(jnp.asarray(n), jnp.asarray(d)))
+        assert np.array_equal(got.view(np.int32), want.view(np.int32))
+        # NaN propagates (deleted/pad lanes are NaN-marked denominators)
+        out = np.asarray(
+            exact_div(jnp.float32(3.0), jnp.asarray(np.float32(np.nan)))
+        )
+        assert np.isnan(out)
