@@ -723,21 +723,36 @@ def _collect_node(node, reader, seg_ord, docs, scores, limits) -> Intermediate:
             if col.dictionary is not None:
                 ords, idx, dic = _column_ords(reader, fld, docs)
                 uniq, inv = np.unique(ords, return_inverse=True)
-                limits.check_buckets(len(uniq))
-                for u_i, o in enumerate(uniq):
-                    key = dic.term(int(o)).decode("utf-8", "replace")
-                    if not key_ok(key):
-                        continue
-                    add_bucket(key, docs[idx[inv == u_i]])
+                keys = [
+                    dic.term(int(o)).decode("utf-8", "replace") for o in uniq
+                ]
             else:
                 vals, idx = _column_values(reader, fld, docs)
                 uniq, inv = np.unique(vals, return_inverse=True)
-                limits.check_buckets(len(uniq))
-                for u_i, v in enumerate(uniq):
-                    key = int(v) if float(v).is_integer() else float(v)
+                keys = [
+                    int(v) if float(v).is_integer() else float(v)
+                    for v in uniq
+                ]
+            limits.check_buckets(len(uniq))
+            if sub:
+                # one sort-group pass: per-bucket doc slices come from
+                # boundaries, not an O(n_docs) mask per bucket
+                order = np.argsort(inv, kind="stable")
+                bounds = np.searchsorted(
+                    inv[order], np.arange(len(uniq) + 1)
+                )
+                for u_i, key in enumerate(keys):
                     if not key_ok(key):
                         continue
-                    add_bucket(key, docs[idx[inv == u_i]])
+                    add_bucket(
+                        key, docs[idx[order[bounds[u_i]:bounds[u_i + 1]]]]
+                    )
+            else:
+                # metric-free buckets need only counts: one bincount pass
+                counts = np.bincount(inv, minlength=len(uniq))
+                for u_i, key in enumerate(keys):
+                    if key_ok(key):
+                        b.buckets[key] = [int(counts[u_i]), {}]
         # `missing`: docs with no value bucket under the given key
         # (reference `term_agg/mod.rs:251-272`)
         miss = body.get("missing")
@@ -781,17 +796,26 @@ def _collect_node(node, reader, seg_ord, docs, scores, limits) -> Intermediate:
             keys = np.floor((vals - offset) / interval) * interval + offset
             uniq, inv = np.unique(keys, return_inverse=True)
             limits.check_buckets(len(uniq))
-            for u_i, kv in enumerate(uniq):
-                sel = inv == u_i
-                sub_docs = docs[idx[sel]]
-                b.buckets[float(kv)] = [
-                    int(sel.sum()),
-                    {
-                        n: _collect_node(nd, reader, seg_ord, sub_docs, None,
-                                         limits)
-                        for n, nd in sub.items()
-                    },
-                ]
+            counts = np.bincount(inv, minlength=len(uniq))
+            if sub:
+                # sort-group boundaries, not an O(n) mask per bucket
+                order = np.argsort(inv, kind="stable")
+                bounds = np.searchsorted(
+                    inv[order], np.arange(len(uniq) + 1)
+                )
+                for u_i, kv in enumerate(uniq):
+                    sub_docs = docs[idx[order[bounds[u_i]:bounds[u_i + 1]]]]
+                    b.buckets[float(kv)] = [
+                        int(counts[u_i]),
+                        {
+                            n: _collect_node(nd, reader, seg_ord, sub_docs,
+                                             None, limits)
+                            for n, nd in sub.items()
+                        },
+                    ]
+            else:
+                for u_i, kv in enumerate(uniq):
+                    b.buckets[float(kv)] = [int(counts[u_i]), {}]
         return b
     if kind == "range":
         b = InterBuckets("range", body)

@@ -161,8 +161,6 @@ def _phrase_kernel_body(n_partners: int, crows: int, num_prows: int, G: int,
 
         jax.lax.fori_loop(0, G, start_g, 0)
 
-        C = crows * 128
-
         def compute_g(g, _):
             for d in dmas(g):
                 d.wait()
@@ -181,42 +179,82 @@ def _phrase_kernel_body(n_partners: int, crows: int, num_prows: int, G: int,
 
             loff = f_lpos(g) - lrow0(g) * 128
             llen = f_llen(g)
+            # The hot loops run over only the anchor/partner rows that hold
+            # REAL data (dynamic fori_loop bounds driven by the slab
+            # lengths), not the full static rung: a typical anchor block has
+            # 1-3 position rows and a typical partner span a handful, while
+            # the rungs pad to 24/136 rows — unrolled static loops burned
+            # ~10-60x the necessary VPU compares. DMAs still fetch the full
+            # static rung (DMA lengths must be static); only compute is
+            # length-bounded.
+            lrows_used = jnp.minimum((loff + llen + 127) // 128, LROWS)
 
-            # partner slabs, flattened with invalid owners masked to -1
-            # (no real doc id is -1, so masked entries can never match)
-            pp_m, po_m = [], []
-            for s in range(S):
-                coff = f_cpos(g, s) - crow0(g, s) * 128
-                ciota = jax.lax.broadcasted_iota(jnp.int32, (1, C), 1)
-                vp = (ciota >= coff) & (ciota < coff + f_clen(g, s))
-                pp = ppos_buf[g, s].astype(jnp.int32).reshape(1, C)
-                po = pown_buf[g, s].astype(jnp.int32).reshape(1, C)
-                pp_m.append(pp)
-                po_m.append(jnp.where(vp, po, jnp.int32(-1)))
+            coffs = [f_cpos(g, s) - crow0(g, s) * 128 for s in range(S)]
+            clens = [f_clen(g, s) for s in range(S)]
+            crows_used = [
+                jnp.minimum((coffs[s] + clens[s] + 127) // 128, crows)
+                for s in range(S)
+            ]
 
-            count = jnp.zeros((1, 128), dtype=jnp.int32)
-            for r in range(LROWS):
-                lp = lpos_buf[g, pl.ds(r, 1), :].astype(jnp.int32)  # [1,128]
-                lo = lown_buf[g, pl.ds(r, 1), :].astype(jnp.int32)
-                riota = jax.lax.broadcasted_iota(
-                    jnp.int32, (1, 128), 1
-                ) + (r * 128)
-                m = (riota >= loff) & (riota < loff + llen)
-                lp_c = lp.reshape(128, 1)
-                lo_c = lo.reshape(128, 1)
-                for s in range(S):
-                    hit = jnp.any(
-                        (po_m[s] == lo_c)
-                        & (pp_m[s] == lp_c + f_delta(g, s)),
-                        axis=1,
+            # Mosaic constraints shape the loop nest: dynamic VMEM loads
+            # must start at 8-aligned sublanes, so the dynamic loops step in
+            # 8-row chunks (pl.multiple_of marks the alignment), and loop
+            # carries are i32 (scf.for with vector<i1> carries fails to
+            # legalize). Rows inside a chunk are processed by a static
+            # 8-iteration loop.
+            C8 = 8 * 128
+
+            def anchor_chunk(ac, count):
+                a0 = pl.multiple_of(ac * 8, 8)
+                lp8 = lpos_buf[g, pl.ds(a0, 8), :].astype(jnp.int32)
+                lo8 = lown_buf[g, pl.ds(a0, 8), :].astype(jnp.int32)
+                for r8 in range(8):
+                    lp = lp8[r8:r8 + 1, :]
+                    lo = lo8[r8:r8 + 1, :]
+                    riota = jax.lax.broadcasted_iota(
+                        jnp.int32, (1, 128), 1
+                    ) + (ac * 8 + r8) * 128
+                    m = (riota >= loff) & (riota < loff + llen)
+                    lp_c = lp.reshape(128, 1)
+                    lo_c = lo.reshape(128, 1)
+                    for s in range(S):
+                        tgt = lp_c + f_delta(g, s)
+
+                        def partner_chunk(pc, hit, s=s, lo_c=lo_c, tgt=tgt):
+                            c0 = pl.multiple_of(pc * 8, 8)
+                            po = pown_buf[
+                                g, s, pl.ds(c0, 8), :
+                            ].astype(jnp.int32).reshape(1, C8)
+                            pp = ppos_buf[
+                                g, s, pl.ds(c0, 8), :
+                            ].astype(jnp.int32).reshape(1, C8)
+                            citer = jax.lax.broadcasted_iota(
+                                jnp.int32, (1, C8), 1
+                            ) + pc * C8
+                            vp = (citer >= coffs[s]) & (
+                                citer < coffs[s] + clens[s]
+                            )
+                            return hit | jnp.any(
+                                vp & (po == lo_c) & (pp == tgt), axis=1
+                            ).reshape(1, 128).astype(jnp.int32)
+
+                        hit = jax.lax.fori_loop(
+                            0, (crows_used[s] + 7) // 8, partner_chunk,
+                            jnp.zeros((1, 128), dtype=jnp.int32),
+                        )
+                        m = m & ((hit > 0) | (clens[s] <= 0))
+                    # attribute matched anchor positions to their lanes:
+                    # [lanes, positions] eq matrix masked by the
+                    # per-position match vector, summed over positions
+                    count = count + jnp.sum(
+                        (docs_col == lo) & m, axis=1
                     ).reshape(1, 128)
-                    m = m & (hit | (f_clen(g, s) <= 0))
-                # attribute matched anchor positions to their lanes:
-                # [lanes, positions] eq matrix masked by the per-position
-                # match vector, summed over positions
-                count = count + jnp.sum(
-                    (docs_col == lo) & m, axis=1
-                ).reshape(1, 128)
+                return count
+
+            count = jax.lax.fori_loop(
+                0, (lrows_used + 7) // 8, anchor_chunk,
+                jnp.zeros((1, 128), dtype=jnp.int32),
+            )
 
             tf = count.astype(jnp.float32)
             score = qw_ref[q] * exact_div(tf, tf + cachev)

@@ -101,7 +101,7 @@ def _bool_kernel_body(n_clauses: int, kw: int, num_queries: int, G: int):
         req_s_ref,     # [Qp] i32
         scal_hbm,      # [P, 8, 128] i32 (HBM) — per-program packed scalars:
                        #   bids [0,G) | qid [G,2G) | lcl [2G,3G) |
-                       #   jlo [3G + gi*T + t]
+                       #   jlo [3G + gi*T + t] | wid [3G + G*T + gi*T + t]
         cstore_ref,    # [NB, 384] u32 (HBM)
         scores_ref,    # out [G, 128] f32 (VMEM)
         docs_ref,      # out [G, 128] u32 (VMEM)
@@ -183,24 +183,61 @@ def _bool_kernel_body(n_clauses: int, kw: int, num_queries: int, G: int):
                 s = cl_start_ref[q * n_clauses + t]
                 n = cl_len_ref[q * n_clauses + t]
                 j = sc(3 * G + g * n_clauses + t)
-                wrow = win_buf[g, t]                   # [kw8, 384]
-                wdocs = wrow[:, 0:128]
-                wtfs = wrow[:, 128:256]
-                roff = jax.lax.broadcasted_iota(jnp.int32, (kw8, 1), 0)
-                # j < 0 = skipped probe (see win_dma): mask the whole window
-                row_ok = (j >= 0) & ((j + roff) >= s) & ((j + roff) < s + n)
-                wd = jnp.where(
-                    row_ok, wdocs, jnp.uint32(0xFFFFFFFF)
-                ).reshape(1, kw8 * 128)
-                # i32 throughout: Mosaic lacks unsigned reductions
-                wt = wtfs.reshape(1, kw8 * 128).astype(jnp.int32)
-                eq = wd == docs_col                    # [128, kw8*128]
-                found = jnp.any(eq, axis=1).reshape(1, 128)
-                tf_probe = jnp.sum(
-                    jnp.where(eq, jnp.broadcast_to(wt, (128, kw8 * 128)),
-                              jnp.int32(0)),
-                    axis=1,
-                ).reshape(1, 128)
+                wid = sc(3 * G + G * n_clauses + g * n_clauses + t)
+                # probe only the window rows that can overlap the lane
+                # block: a dynamic fori_loop bound from the planner's
+                # per-(item, clause) overlap width (blocks past it have
+                # base > the lane block's last doc, so they cannot match)
+                # and the region end; j < 0 = skipped probe, no rows.
+                # Typical overlaps span 2-8 rows while the rung pads to
+                # kw8, so the static full-window compare burned several
+                # times the needed VPU work. The DMA still fetches the
+                # full static window.
+                rows_used = jnp.where(
+                    j >= 0,
+                    jnp.clip(jnp.minimum(s + n - j, wid), 0, kw8),
+                    0,
+                )
+
+                # Mosaic constraints: dynamic VMEM loads need 8-aligned
+                # sublane starts (so the loop steps in 8-row chunks) and
+                # scf.for cannot carry vector<i1> (so carries are i32;
+                # unsigned reductions are also unsupported).
+                def win_chunk(cc, carry, t=t, s=s, n=n, j=j):
+                    found, tf_probe = carry
+                    c0 = pl.multiple_of(cc * 8, 8)
+                    wd_c = win_buf[g, t, pl.ds(c0, 8), 0:128]   # [8, 128]
+                    wt_c = win_buf[g, t, pl.ds(c0, 8), 128:256]
+                    roff = jax.lax.broadcasted_iota(
+                        jnp.int32, (8, 1), 0
+                    ) + (j + cc * 8)
+                    row_ok = (roff >= s) & (roff < s + n)
+                    wd = jnp.where(
+                        row_ok, wd_c, jnp.uint32(0xFFFFFFFF)
+                    ).reshape(1, 8 * 128)
+                    wt = wt_c.reshape(1, 8 * 128).astype(jnp.int32)
+                    eq = wd == docs_col                # [128, 8*128]
+                    found = found | jnp.any(eq, axis=1).reshape(
+                        1, 128
+                    ).astype(jnp.int32)
+                    tf_probe = tf_probe + jnp.sum(
+                        jnp.where(
+                            eq,
+                            jnp.broadcast_to(wt, (128, 8 * 128)),
+                            jnp.int32(0),
+                        ),
+                        axis=1,
+                    ).reshape(1, 128)
+                    return found, tf_probe
+
+                found_i, tf_probe = jax.lax.fori_loop(
+                    0, (rows_used + 7) // 8, win_chunk,
+                    (
+                        jnp.zeros((1, 128), dtype=jnp.int32),
+                        jnp.zeros((1, 128), dtype=jnp.int32),
+                    ),
+                )
+                found = found_i > 0
                 own = cl == t
                 presence = found | own  # own lane: presence by construction
                 tf_t = jnp.where(
@@ -312,6 +349,7 @@ def pallas_bool_topk(
     qid,         # [W] i32
     lcl,         # [W] i32
     jlo,         # [W, T] i32 — host-computed window starts (clamped)
+    wid,         # [W, T] i32 — per-clause overlap widths (rows to probe)
     cl_weight,   # [Qp, T] f32
     cl_kind,     # [Qp, T] i32
     cl_start,    # [Qp, T] i32
@@ -336,6 +374,7 @@ def pallas_bool_topk(
             qid.reshape(P, G),
             lcl.reshape(P, G),
             jlo.reshape(P, G * n_clauses),
+            wid.reshape(P, G * n_clauses),
         ],
         axis=1,
     ).astype(jnp.int32)
@@ -459,15 +498,16 @@ def launch_fused_bool(
     ONE fused launch.
 
     `work` = (blocks [N], prow [N], clause [N], width [N], qid [N], seg [N],
-    jlo [N, T]) numpy arrays — the planner supplies each item's per-clause
-    window start directly (8-aligned; -1 = skip that clause's probe), which
+    jlo [N, T], wid [N, T]) numpy arrays — the planner supplies each item's
+    per-clause window start (and per-clause overlap width, the kernel's
+    dynamic probe bound) directly (8-aligned; -1 = skip that clause's probe), which
     is how window SLICING works: sliced items share a block but carry
     different window starts. `tables` = dict of plan-row tables
     (cl_* [P+1, T], req_*). `k` may be inflated by the planner (k_eff) when
     skipped probes / slice overlap can double-report docs.
     Returns [packed [3, Q, k]] (a one-element pending list) or [] if empty.
     """
-    blocks, prow, clause, width, qid, seg, jlo_all = work
+    blocks, prow, clause, width, qid, seg, jlo_all, wid_all = work
     n_items = len(blocks)
     if n_items == 0:
         return []
@@ -487,13 +527,19 @@ def launch_fused_bool(
         )
         kw8 = ((kw + 7) & ~7) + 8
         hi = (max(nbp - kw8, 0) // 8) * 8
-        j_s = jlo_all[sel].astype(np.int32)
-        j_s = np.where(j_s < 0, np.int32(-1), np.minimum(j_s, hi))
-        per_rung.append([kw, b_s, p_s, c_s, q_s, s_s, j_s, 0])
+        j_orig = jlo_all[sel].astype(np.int32)
+        j_s = np.where(j_orig < 0, np.int32(-1), np.minimum(j_orig, hi))
+        # when the bounds clamp moves a window start earlier, the overlap
+        # sits deeper into the fetched window — extend the probe bound by
+        # the shift so the dynamic row loop still covers it
+        w_s = wid_all[sel].astype(np.int32) + np.where(
+            j_orig < 0, np.int32(0), j_orig - j_s
+        )
+        per_rung.append([kw, b_s, p_s, c_s, q_s, s_s, j_s, w_s, 0])
     assert sum(len(r[1]) for r in per_rung) == n_items, \
         "work item wider than the widest rung reached the launcher"
 
-    def make_chunk(kw, b_s, p_s, c_s, q_s, s_s, jlo, lo):
+    def make_chunk(kw, b_s, p_s, c_s, q_s, s_s, jlo, wid, lo):
         hi = min(lo + _FUSED_W_TIERS[kw][-1], len(b_s))
         n = hi - lo
         W = fused_w_tier(kw, max(n, 1))
@@ -504,12 +550,14 @@ def launch_fused_bool(
         q_pad = np.full(W, num_queries, dtype=np.int32)
         s_pad = np.zeros(W, dtype=np.int32)
         j_pad = np.zeros((W, T), dtype=np.int32)
+        w_pad = np.zeros((W, T), dtype=np.int32)
         b_pad[:n] = b_s[lo:hi]
         p_pad[:n] = p_s[lo:hi]
         c_pad[:n] = c_s[lo:hi]
         q_pad[:n] = q_s[lo:hi]
         s_pad[:n] = s_s[lo:hi]
         j_pad[:n] = jlo[lo:hi]
+        w_pad[:n] = wid[lo:hi]
         P = W // G
         scal = np.concatenate(
             [
@@ -517,6 +565,7 @@ def launch_fused_bool(
                 p_pad.reshape(P, G),
                 c_pad.reshape(P, G),
                 j_pad.reshape(P, G * T),
+                w_pad.reshape(P, G * T),
             ],
             axis=1,
         ).astype(np.int32)
@@ -555,16 +604,15 @@ def launch_fused_bool(
     outs = []
     first = []
     for r in per_rung:
-        kw, b_s = r[0], r[1]
-        chunk = make_chunk(*r[:7], 0)
-        r[7] = chunk[4]
+        chunk = make_chunk(*r[:8], 0)
+        r[8] = chunk[4]
         first.append(chunk)
     outs.append(launch(first))
     for r in per_rung:
-        kw, b_s = r[0], r[1]
-        while r[7] < len(b_s):
-            chunk = make_chunk(*r[:7], r[7])
-            r[7] = chunk[4]
+        b_s = r[1]
+        while r[8] < len(b_s):
+            chunk = make_chunk(*r[:8], r[8])
+            r[8] = chunk[4]
             outs.append(launch([chunk]))
     return outs
 

@@ -543,11 +543,15 @@ def dispatch_probe(
                     tables["cl_start"], tables["cl_len"], kw,
                 )
                 cstore = ensure_cstore(dfp, alive, cache)
+                kw8 = ((kw + 7) & ~7) + 8
                 outs.append(
                     pallas_bool_topk(
                         jnp.asarray(b_pad.astype(np.int32)),
                         jnp.asarray(q_pad), jnp.asarray(c_pad),
                         jnp.asarray(jlo),
+                        # this legacy path has no per-clause widths; the
+                        # full window preserves its old behavior
+                        jnp.full((W, T), kw8, dtype=jnp.int32),
                         targs[0], targs[1], targs[2], targs[3],
                         jnp.asarray(
                             tables["cl_shipped"].astype(np.int32)

@@ -22,6 +22,14 @@ from ..utils.trace import debug_time
 NEG_INF = np.float32(-np.inf)
 
 
+#: phase-2 threshold-ratchet tuning (per-query units): ratchet when more
+#: than _RATCHET_MIN_PER_Q * Q work items survive phase 1, shipping the
+#: best-UB _RATCHET_TOP_PER_Q * Q items first (tests shrink these to force
+#: the two-round path on tiny corpora)
+_RATCHET_MIN_PER_Q = 16
+_RATCHET_TOP_PER_Q = 8
+
+
 def _m1() -> int:
     """Phase-1 candidate blocks per (query, segment): more phase-1 work
     buys tighter thresholds and a smaller phase 2 (overridable for
@@ -730,7 +738,7 @@ class BatchExecutor:
                 KWMAX = pp.fused_kw_max(Tb)
                 stride = max(8, (KWMAX // 8) * 8)
                 stride_cov = stride + 8  # kw8 slack rows a slice DMA fetches
-                staged = []  # (clause, ids, ub, eff_width, jlo [n, Tb])
+                staged = []  # (clause, ids, ub, eff_width, jlo, wid [n, Tb])
                 fallback = False
                 any_skip_row = False
                 any_slice_row = False
@@ -748,11 +756,16 @@ class BatchExecutor:
                     if not n_it:
                         continue
                     jlo = np.zeros((n_it, Tb), dtype=np.int64)
+                    # per-clause probe row counts for the kernel's dynamic
+                    # window bound; the own-clause column stays 0 (its lane
+                    # IS the clause — presence by construction, no probe)
+                    wid = np.zeros((n_it, Tb), dtype=np.int64)
                     eff = np.zeros(n_it, dtype=np.int64)
                     slice_cols = []  # (oi, c2, wide mask) — wide MUST probes
                     for oi, (_, _, _, n2, c2) in enumerate(oth):
                         wcol = det["widths"][:, oi]
                         jlo[:, c2] = det["jlo"][:, oi]
+                        wid[:, c2] = wcol
                         wide = wcol > KWMAX
                         if not wide.any():
                             eff = np.maximum(eff, wcol)
@@ -802,6 +815,8 @@ class BatchExecutor:
                             starts = np.repeat(i0a, nsl) + off * stride
                             jlo_sl = jlo[rep].copy()
                             jlo_sl[:, c2] = starts
+                            wid_sl = wid[rep].copy()
+                            wid_sl[:, c2] = stride_cov
                             # per-slice UB: same ordered f32 sum, with this
                             # clause's range-max taken over the slice's
                             # fetched rows only (tighter, still a bound)
@@ -822,13 +837,14 @@ class BatchExecutor:
                                 ub_sl = (ub_sl + term).astype(np.float32)
                             eff_sl = np.maximum(eff[rep], stride)
                             staged.append(
-                                (ci, ids[rep], ub_sl, eff_sl, jlo_sl)
+                                (ci, ids[rep], ub_sl, eff_sl, jlo_sl, wid_sl)
                             )
                         if not base_keep.all():
                             ids, ub = ids[base_keep], ub[base_keep]
                             eff, jlo = eff[base_keep], jlo[base_keep]
+                            wid = wid[base_keep]
                     if len(ids):
-                        staged.append((ci, ids, ub, eff, jlo))
+                        staged.append((ci, ids, ub, eff, jlo, wid))
                 if fallback:
                     per_query[qi].extend(
                         self._host_segment_topk(queries[qi], seg_ord, reader, k)
@@ -891,7 +907,7 @@ class BatchExecutor:
                         len(all_ub) - M1
                     ]
                 taken = 0
-                for ci, ids, ub, eff, jlo in staged:
+                for ci, ids, ub, eff, jlo, wid in staged:
                     pick = ub >= cut
                     extra = int(pick.sum()) - (M1 - taken)
                     if extra > 0:
@@ -901,12 +917,12 @@ class BatchExecutor:
                     if pick.any():
                         g["p1"].append(
                             (prow, qi, seg_ord, ci, ids[pick], eff[pick],
-                             jlo[pick])
+                             jlo[pick], wid[pick])
                         )
                     if (~pick).any():
                         g["rest"].append(
                             (prow, qi, seg_ord, ci, ids[~pick], ub[~pick],
-                             eff[~pick], jlo[~pick])
+                             eff[~pick], jlo[~pick], wid[~pick])
                         )
         _dt1.__exit__(None, None, None)
 
@@ -941,15 +957,16 @@ class BatchExecutor:
             clause = np.concatenate(
                 [np.full(len(it[4]), it[3], np.int32) for it in items]
             )
-            width = np.concatenate([it[-2] for it in items])
+            width = np.concatenate([it[-3] for it in items])
             qid = np.concatenate(
                 [np.full(len(it[4]), it[1], np.int32) for it in items]
             )
             seg = np.concatenate(
                 [np.full(len(it[4]), it[2], np.int32) for it in items]
             )
-            jlo = np.vstack([it[-1] for it in items])
-            return blocks, prow, clause, width, qid, seg, jlo
+            jlo = np.vstack([it[-2] for it in items])
+            wid = np.vstack([it[-1] for it in items])
+            return blocks, prow, clause, width, qid, seg, jlo, wid
 
         # ---- phase 1: one fused launch per T-bucket ----------------------
         pending1 = []
@@ -972,32 +989,91 @@ class BatchExecutor:
             self._collect_flat(pending1, per_query, k)
         th, th_seg, th_doc = _topk_thresholds(per_query, k)
 
-        # ---- phase 2: survivors only --------------------------------------
-        pending2 = []
-        for Tb, g in per_tb.items():
-            if not g["rest"]:
-                continue
-            survivors = []
-            for prow, qi, seg_ord, ci, ids, ub, eff, jlo in g["rest"]:
+        # ---- phase 2: survivors only, in up to two UB-ordered rounds ------
+        # Threshold RATCHET: phase-1 thresholds sit a median ~9% (p90 ~20%)
+        # below the final k-th scores at 1M-doc scale, so when many blocks
+        # survive, ship only the best-UB slice first, re-tighten thresholds
+        # from its exact results, and prune the bulk with the tighter bar.
+        # Both rounds prune with `_phase2_keep` against thresholds that only
+        # ever rise, so exactness is preserved (pruning stays conservative).
+        def _keep_tb(g, th, th_seg, th_doc):
+            out = []
+            for prow, qi, seg_ord, ci, ids, ub, eff, jlo, wid in g["rest"]:
                 keep = _phase2_keep(
                     ub, fused.blk_base[ids], seg_ord,
                     th[qi], th_seg[qi], th_doc[qi],
                 )
                 if keep.any():
-                    survivors.append(
-                        (prow, qi, seg_ord, ci, ids[keep], eff[keep],
-                         jlo[keep])
+                    out.append(
+                        (prow, qi, seg_ord, ci, ids[keep], ub[keep],
+                         eff[keep], jlo[keep], wid[keep])
                     )
-            if not survivors:
-                continue
+            return out
+
+        def _k_eff(g, Tb):
             mult = Tb if g["any_skip"] else 1
             if g["any_dup"]:
                 mult = max(mult, 2)  # slice/skip dual reports
-            k_eff = min(k * mult, 128)
+            return min(k * mult, 128)
+
+        surv = {
+            Tb: _keep_tb(g, th, th_seg, th_doc)
+            for Tb, g in per_tb.items() if g["rest"]
+        }
+        total_surv = sum(
+            len(it[4]) for items in surv.values() for it in items
+        )
+        ratchet = total_surv > _RATCHET_MIN_PER_Q * Q
+        if ratchet:
+            all_ub = np.concatenate(
+                [it[5] for items in surv.values() for it in items]
+            )
+            top = min(max(_RATCHET_TOP_PER_Q * Q, 1), len(all_ub))
+            cut_a = np.partition(all_ub, len(all_ub) - top)[len(all_ub) - top]
+            pending_a = []
+            for Tb, items in surv.items():
+                round_a = []
+                for it in items:
+                    sel = it[5] >= cut_a
+                    if sel.any():
+                        round_a.append(
+                            it[:4] + tuple(v[sel] for v in it[4:])
+                        )
+                if not round_a:
+                    continue
+                with debug_time("bool.fused_dispatch2a"):
+                    for out in pp.launch_fused_bool(
+                        fused, build_work(round_a), tb_tables[Tb],
+                        _k_eff(per_tb[Tb], Tb), Q, interpret,
+                    ):
+                        pending_a.append((None, out))
+            with debug_time("bool.collect2a", n=len(pending_a)):
+                self._collect_flat(pending_a, per_query, k)
+            th, th_seg, th_doc = _topk_thresholds(per_query, k)
+            # remainder, re-pruned against the ratcheted thresholds
+            remainder = {}
+            for Tb, items in surv.items():
+                rest = []
+                for it in items:
+                    sel = it[5] < cut_a
+                    if sel.any():
+                        rest.append(
+                            it[:4] + tuple(v[sel] for v in it[4:])
+                        )
+                remainder[Tb] = rest
+            surv = {
+                Tb: _keep_tb({"rest": rest}, th, th_seg, th_doc)
+                for Tb, rest in remainder.items()
+            }
+
+        pending2 = []
+        for Tb, items in surv.items():
+            if not items:
+                continue
             with debug_time("bool.fused_dispatch2"):
                 for out in pp.launch_fused_bool(
-                    fused, build_work(survivors), tb_tables[Tb], k_eff, Q,
-                    interpret,
+                    fused, build_work(items), tb_tables[Tb],
+                    _k_eff(per_tb[Tb], Tb), Q, interpret,
                 ):
                     pending2.append((None, out))
         with debug_time("bool.collect2", n=len(pending2)):
@@ -1262,6 +1338,8 @@ class BatchExecutor:
                 "bad": bad[keep],
             }
 
+        _dtp = debug_time("phrase.plan")
+        _dtp.__enter__()
         for seg_ord, reader in enumerate(readers):
             for qi, q in enumerate(queries):
                 field = q.field
@@ -1375,8 +1453,11 @@ class BatchExecutor:
                 cols["cpos"], cols["clen"], cols["delta"], cols["span"],
             )
 
+        _dtp.__exit__(None, None, None)
         pending1 = []
         tb_qw = {}
+        _dt1 = debug_time("phrase.dispatch1")
+        _dt1.__enter__()
         for Sb, g in groups.items():
             qw_table = np.zeros(len(g["qw_rows"]) + 1, dtype=np.float32)
             qw_table[: len(g["qw_rows"])] = g["qw_rows"]
@@ -1389,33 +1470,91 @@ class BatchExecutor:
                 interpret,
             ):
                 pending1.append((None, out))
-        self._collect_flat(pending1, per_query, k)
+        _dt1.__exit__(None, None, None)
+        with debug_time("phrase.collect1", n=len(pending1)):
+            self._collect_flat(pending1, per_query, k)
         th, th_seg, th_doc = _topk_thresholds(per_query, k)
 
-        pending2 = []
-        for Sb, g in groups.items():
-            if not g["rest"]:
-                continue
-            survivors = []
-            for prow, qi, seg_ord, p in g["rest"]:
-                keep = _phase2_keep(
-                    p["ub"], fused.blk_base[p["ids"]], seg_ord,
-                    th[qi], th_seg[qi], th_doc[qi],
-                )
-                if keep.any():
-                    survivors.append(
-                        (prow, qi, seg_ord,
-                         {kk_: vv[keep] for kk_, vv in p.items()})
+        # phase 2 with the same threshold RATCHET as the boolean path: when
+        # many anchor blocks survive (phrase UBs are loose — UB assumes
+        # phrase tf = leader tf), ship the best-UB slice, re-tighten, then
+        # prune the bulk. Thresholds only rise, so pruning stays exact.
+        def _keep_groups(groups_rest, th, th_seg, th_doc):
+            out = {}
+            for Sb, rest in groups_rest.items():
+                kept = []
+                for prow, qi, seg_ord, p in rest:
+                    keep = _phase2_keep(
+                        p["ub"], fused.blk_base[p["ids"]], seg_ord,
+                        th[qi], th_seg[qi], th_doc[qi],
                     )
-            if not survivors:
+                    if keep.any():
+                        kept.append(
+                            (prow, qi, seg_ord,
+                             {kk_: vv[keep] for kk_, vv in p.items()})
+                        )
+                out[Sb] = kept
+            return out
+
+        surv = _keep_groups(
+            {Sb: g["rest"] for Sb, g in groups.items()}, th, th_seg, th_doc
+        )
+        total_surv = sum(
+            len(p["ids"]) for items in surv.values() for _, _, _, p in items
+        )
+        if total_surv > _RATCHET_MIN_PER_Q * Q:
+            all_ub = np.concatenate(
+                [p["ub"] for items in surv.values() for _, _, _, p in items]
+            )
+            top = min(max(_RATCHET_TOP_PER_Q * Q, 1), len(all_ub))
+            cut_a = np.partition(all_ub, len(all_ub) - top)[len(all_ub) - top]
+            pending_a = []
+            remainder = {}
+            _dta = debug_time("phrase.dispatch2a")
+            _dta.__enter__()
+            for Sb, items in surv.items():
+                round_a, rest = [], []
+                for prow, qi, seg_ord, p in items:
+                    sel = p["ub"] >= cut_a
+                    if sel.any():
+                        round_a.append(
+                            (prow, qi, seg_ord,
+                             {kk_: vv[sel] for kk_, vv in p.items()})
+                        )
+                    if (~sel).any():
+                        rest.append(
+                            (prow, qi, seg_ord,
+                             {kk_: vv[~sel] for kk_, vv in p.items()})
+                        )
+                remainder[Sb] = rest
+                if round_a:
+                    k_eff = min(2 * k, 128) if groups[Sb]["any_dup"] else k
+                    for out in php.launch_fused_phrase(
+                        fused, build_work(round_a), tb_qw[Sb], Sb, k_eff, Q,
+                        interpret,
+                    ):
+                        pending_a.append((None, out))
+            _dta.__exit__(None, None, None)
+            with debug_time("phrase.collect2a", n=len(pending_a)):
+                self._collect_flat(pending_a, per_query, k)
+            th, th_seg, th_doc = _topk_thresholds(per_query, k)
+            surv = _keep_groups(remainder, th, th_seg, th_doc)
+
+        pending2 = []
+        _dt2 = debug_time("phrase.dispatch2")
+        _dt2.__enter__()
+        for Sb, items in surv.items():
+            if not items:
                 continue
-            k_eff = min(2 * k, 128) if g["any_dup"] else k
+            k_eff = min(2 * k, 128) if groups[Sb]["any_dup"] else k
             for out in php.launch_fused_phrase(
-                fused, build_work(survivors), tb_qw[Sb], Sb, k_eff, Q,
+                fused, build_work(items), tb_qw[Sb], Sb, k_eff, Q,
                 interpret,
             ):
                 pending2.append((None, out))
-        self._collect_flat(pending2, per_query, k)
+        _dt2.__exit__(None, None, None)
+        with debug_time("phrase.collect2", n=len(pending2)):
+            self._collect_flat(pending2, per_query, k)
 
         out = []
         for qi in range(Q):

@@ -207,3 +207,49 @@ def test_fused_partial_explosion_exact(monkeypatch):
     check(searcher, [q], k=10)
     # also top-k deep enough to need hits from both coverage regions
     check(searcher, [q], k=60)
+
+
+def test_ratchet_two_round_phase2_exact(monkeypatch):
+    """Force the phase-2 threshold ratchet (two UB-ordered device rounds)
+    and check device-vs-host exactness — on big corpora the ratchet prunes
+    the bulk with thresholds tightened by the best-UB slice."""
+    import numpy as np
+
+    import tantivy_tpu as tt
+    import tantivy_tpu.parallel as par
+    from tantivy_tpu.parallel import BatchExecutor
+
+    monkeypatch.setattr(par, "_RATCHET_MIN_PER_Q", 0)
+    monkeypatch.setattr(par, "_RATCHET_TOP_PER_Q", 1)
+
+    rng = np.random.default_rng(17)
+    b = tt.Schema.builder()
+    b.add_text_field("body", tt.TEXT)
+    index = tt.Index.create_in_ram(b.build())
+    w = index.writer_for_tests()
+    words = [f"w{i}" for i in range(12)]
+    for _ in range(900):
+        n = int(rng.integers(3, 25))
+        w.add_document(tt.Document(body=" ".join(rng.choice(words, n))))
+    w.commit()
+    w.close()
+    searcher = index.reader().searcher()
+    executor = BatchExecutor(searcher, mode="dense")
+
+    def t(x):
+        return tt.TermQuery(tt.Term.from_field_text("body", str(x)))
+
+    queries = []
+    for i in range(12):
+        a, bb = words[i % 12], words[(i + 5) % 12]
+        if i % 3 == 0:
+            queries.append(tt.BooleanQuery.union([t(a), t(bb)]))
+        elif i % 3 == 1:
+            queries.append(tt.BooleanQuery.intersection([t(a), t(bb)]))
+        else:
+            queries.append(tt.PhraseQuery("body", [a, bb]))
+    res = executor.search_batch(queries, 5)
+    for q, d in zip(queries, res):
+        h = searcher.search(q, tt.TopDocs(5))
+        assert [(float(s), a) for s, a in d] == \
+            [(float(s), a) for s, a in h], q
