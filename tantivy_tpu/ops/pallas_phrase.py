@@ -59,13 +59,27 @@ def phrase_w_tier(tiers, n: int) -> int:
     return tiers[-1]
 
 
+def _phrase_scal_layout(n_partners: int, G: int):
+    """Per-item contiguous scalar slots (pow2 stride: addressing lowers to
+    shifts/masks — see `pallas_probe._bool_scal_layout` for why). Slots:
+    0=b, 1=prow, 2=lpos, 3=llen, then (cpos, clen, delta) per partner."""
+    slots = 4 + 3 * n_partners
+    stride = 8
+    while stride < slots:
+        stride *= 2
+    spr = 128 // stride
+    rows = -(-G // spr)
+    return stride, spr, rows
+
+
 def _phrase_kernel_body(n_partners: int, crows: int, num_prows: int, G: int,
                         npr: int):
     S = n_partners
+    STRIDE, SPR, R = _phrase_scal_layout(S, G)
 
     def kernel(
         qw_ref,       # [Pp] f32 — phrase BM25 weight per plan row
-        scal_hbm,     # [P, 8, 128] i32 — per-item scalars (see launch)
+        scal_hbm,     # [P, R, 128] i32 — per-item scalars (see layout)
         cstore_ref,   # [NB, 384] u32 (HBM)
         pstore_ref,   # [NPr, 128] u32 positions (HBM)
         ostore_ref,   # [NPr, 128] u32 owner docs (HBM)
@@ -76,7 +90,7 @@ def _phrase_kernel_body(n_partners: int, crows: int, num_prows: int, G: int,
         lown_buf,     # scratch VMEM [G, LROWS, 128] u32
         ppos_buf,     # scratch VMEM [G, S, crows, 128] u32
         pown_buf,     # scratch VMEM [G, S, crows, 128] u32
-        scal_ref,     # scratch SMEM [1, 8, 128] i32
+        scal_ref,     # scratch SMEM [1, R, 128] i32
         sems,         # DMA sems [G, 3 + 2*S]
         scal_sem,
     ):
@@ -86,30 +100,29 @@ def _phrase_kernel_body(n_partners: int, crows: int, num_prows: int, G: int,
         cp.start()
         cp.wait()
 
-        def sc(idx):
-            return scal_ref[0, idx // 128, idx % 128]
+        def it(g, k):
+            return scal_ref[0, g // SPR, (g % SPR) * STRIDE + k]
 
-        # scalar layout: b | prow | lpos | llen | (cpos, clen, delta) x S
         def f_b(g):
-            return sc(g)
+            return it(g, 0)
 
         def f_prow(g):
-            return sc(G + g)
+            return it(g, 1)
 
         def f_lpos(g):
-            return sc(2 * G + g)
+            return it(g, 2)
 
         def f_llen(g):
-            return sc(3 * G + g)
+            return it(g, 3)
 
         def f_cpos(g, s):
-            return sc((4 + 3 * s) * G + g)
+            return it(g, 4 + 3 * s)
 
         def f_clen(g, s):
-            return sc((5 + 3 * s) * G + g)
+            return it(g, 5 + 3 * s)
 
         def f_delta(g, s):
-            return sc((6 + 3 * s) * G + g)
+            return it(g, 6 + 3 * s)
 
         def lrow0(g):
             r = (f_lpos(g) // 128) & ~7
@@ -294,7 +307,9 @@ def _phrase_rows(scal, qw, cstore, pstore, ostore, *, n_partners, crows,
             pltpu.VMEM((G, LROWS, 128), jnp.uint32),
             pltpu.VMEM((G, n_partners, crows, 128), jnp.uint32),
             pltpu.VMEM((G, n_partners, crows, 128), jnp.uint32),
-            pltpu.SMEM((1, 8, 128), jnp.int32),
+            pltpu.SMEM(
+                (1, _phrase_scal_layout(n_partners, G)[2], 128), jnp.int32
+            ),
             pltpu.SemaphoreType.DMA((G, 3 + 2 * n_partners)),
             pltpu.SemaphoreType.DMA,
         ],
@@ -398,20 +413,19 @@ def launch_fused_phrase(
         dl_pad[:n] = delta[idx]
         G_ = G
         P = W // G_
-        cols = [
-            b_pad.reshape(P, G_),
-            p_pad.reshape(P, G_),
-            lp_pad.reshape(P, G_),
-            ll_pad.reshape(P, G_),
-        ]
+        STRIDE, SPR, R = _phrase_scal_layout(S, G_)
+        rows = np.zeros((W, STRIDE), dtype=np.int32)
+        rows[:, 0] = b_pad
+        rows[:, 1] = p_pad
+        rows[:, 2] = lp_pad
+        rows[:, 3] = ll_pad
         for s in range(S):
-            cols.append(cp_pad[:, s].reshape(P, G_))
-            cols.append(cl_pad[:, s].reshape(P, G_))
-            cols.append(dl_pad[:, s].reshape(P, G_))
-        scal = np.concatenate(cols, axis=1).astype(np.int32)
-        scal = np.pad(
-            scal, ((0, 0), (0, 8 * 128 - scal.shape[1]))
-        ).reshape(P, 8, 128)
+            rows[:, 4 + 3 * s] = cp_pad[:, s]
+            rows[:, 5 + 3 * s] = cl_pad[:, s]
+            rows[:, 6 + 3 * s] = dl_pad[:, s]
+        flat = rows.reshape(P, G_ * STRIDE)
+        flat = np.pad(flat, ((0, 0), (0, R * 128 - G_ * STRIDE)))
+        scal = flat.reshape(P, R, 128)
         return (W, crows, G_), jnp.asarray(scal), jnp.asarray(q_pad), \
             jnp.asarray(s_pad), hi
 

@@ -47,10 +47,21 @@ from .probe_scorer import (
 NEG_INF = np.float32(-np.inf)
 
 
+def _kw8(kw: int) -> int:
+    """Fetched window rows for rung kw: rounded to the 8-row DMA
+    granularity, plus 8 slack rows on wide rungs only (slice plans overlap
+    adjacent slices by 8 rows — `stride_cov` in the planner; narrow rungs
+    measure width from the 8-aligned window start, so the roundup alone
+    covers the whole overlap and fetching 16 rows where 8 suffice doubled
+    both window DMA traffic and the per-item compare loop)."""
+    r = (kw + 7) & ~7
+    return r + 8 if kw > 8 else max(r, 8)
+
+
 def _g_items(kw: int, n_clauses: int = 2) -> int:
     """Work items per grid program, sized to a ~3.5MB VMEM window budget:
     win_buf = G * n_clauses * kw8 * 384 * 4 bytes."""
-    kw8 = ((kw + 7) & ~7) + 8
+    kw8 = _kw8(kw)
     budget = 3_500_000
     g = budget // (max(n_clauses, 1) * kw8 * 384 * 4)
     for cand in (64, 32, 16):
@@ -90,7 +101,25 @@ def ensure_cstore(dfp, alive, cache):
     return dfp._cstore
 
 
+def _bool_scal_layout(n_clauses: int, G: int):
+    """Per-item contiguous scalar layout: item g's slots live at
+    [g // SPR, (g % SPR) * STRIDE + k] of the [R, 128] page — pow2 STRIDE
+    makes the addressing shifts/masks instead of the per-read div/mod the
+    old column-major pack needed (~40 dynamic div/mods per item dominated
+    the scalar core at ~1M items/batch). Slots: 0=bid, 1=qid, 2=lcl,
+    3+t=jlo_t, 3+T+t=wid_t."""
+    slots = 3 + 2 * n_clauses
+    stride = 8
+    while stride < slots:
+        stride *= 2
+    spr = 128 // stride
+    rows = -(-G // spr)
+    return stride, spr, rows
+
+
 def _bool_kernel_body(n_clauses: int, kw: int, num_queries: int, G: int):
+    STRIDE, SPR, R = _bool_scal_layout(n_clauses, G)
+
     def kernel(
         cl_w_ref,      # [Qp * T] f32 (scalar prefetch, FLATTENED — SMEM
         cl_kind_ref,   # [Qp * T] i32  tiles 2D arrays to (8,128) pages, a
@@ -99,19 +128,18 @@ def _bool_kernel_body(n_clauses: int, kw: int, num_queries: int, G: int):
         cl_ship_ref,   # [Qp * T] i32  program from HBM)
         req_m_ref,     # [Qp] i32
         req_s_ref,     # [Qp] i32
-        scal_hbm,      # [P, 8, 128] i32 (HBM) — per-program packed scalars:
-                       #   bids [0,G) | qid [G,2G) | lcl [2G,3G) |
-                       #   jlo [3G + gi*T + t] | wid [3G + G*T + gi*T + t]
+        scal_hbm,      # [P, R, 128] i32 (HBM) — per-item packed scalars,
+                       #   see _bool_scal_layout
         cstore_ref,    # [NB, 384] u32 (HBM)
         scores_ref,    # out [G, 128] f32 (VMEM)
         docs_ref,      # out [G, 128] u32 (VMEM)
         lane_buf,      # scratch VMEM [G, 8, 384] u32
         win_buf,       # scratch VMEM [G, T, kw8, 384] u32
-        scal_ref,      # scratch SMEM [1, 8, 128] i32 — this program's page
+        scal_ref,      # scratch SMEM [1, R, 128] i32 — this program's page
         sems,          # DMA sems [G, 1 + T]
         scal_sem,      # DMA sem for the scalar page
     ):
-        kw8 = ((kw + 7) & ~7) + 8  # 8-aligned super-window size
+        kw8 = _kw8(kw)  # fetched window rows
 
         # per-item scalars would blow the ~1MB SMEM budget as a prefetched
         # operand at big work-list sizes (P pages x 4KB, x2 buffers, x rungs
@@ -122,24 +150,25 @@ def _bool_kernel_body(n_clauses: int, kw: int, num_queries: int, G: int):
         cp.start()
         cp.wait()
 
-        def sc(idx):
-            return scal_ref[0, idx // 128, idx % 128]
+        def it(g, k):
+            return scal_ref[0, g // SPR, (g % SPR) * STRIDE + k]
 
-        def lane_dma(g):
+        def lane_dma(g, b):
             # 8-aligned super-row fetch; the target row selects in VMEM
-            b8 = pl.multiple_of((sc(g) // 8) * 8, 8)
+            b8 = pl.multiple_of((b // 8) * 8, 8)
             return pltpu.make_async_copy(
                 cstore_ref.at[pl.ds(b8, 8)],
                 lane_buf.at[g],
                 sems.at[g, 0],
             )
 
-        def win_dma(g, t):
+        def win_dma(g, t, j):
             # jlo is pre-aligned host-side; extra leading rows only add
             # smaller docs of the same region (harmless for presence/tf).
-            # jlo < 0 marks a SKIPPED clause probe (wide-window dual-report
-            # plan): DMA row 0 harmlessly; row_ok masks the result away.
-            j = sc(3 * G + g * n_clauses + t)
+            # jlo < 0 marks a probe with no window — a SKIPPED clause
+            # (wide-window dual-report plan), the item's OWN clause
+            # (presence by construction), an absent clause, or list
+            # padding — and its DMA is elided entirely.
             j8 = pl.multiple_of(jnp.maximum(j, 0), 8)
             return pltpu.make_async_copy(
                 cstore_ref.at[pl.ds(j8, kw8)],
@@ -148,25 +177,34 @@ def _bool_kernel_body(n_clauses: int, kw: int, num_queries: int, G: int):
             )
 
         def start_g(g, _):
-            lane_dma(g).start()
+            lane_dma(g, it(g, 0)).start()
             for t in range(n_clauses):
-                win_dma(g, t).start()
+                j = it(g, 3 + t)
+
+                @pl.when(j >= 0)
+                def _(j=j):
+                    win_dma(g, t, j).start()
             return 0
 
         jax.lax.fori_loop(0, G, start_g, 0)
 
         def compute_g(g, _):
-            lane_dma(g).wait()
+            b = it(g, 0)
+            q = it(g, 1)
+            cl = it(g, 2)
+            js = [it(g, 3 + t) for t in range(n_clauses)]
+            wids = [it(g, 3 + n_clauses + t) for t in range(n_clauses)]
+            lane_dma(g, b).wait()
             for t in range(n_clauses):
-                win_dma(g, t).wait()
+                @pl.when(js[t] >= 0)
+                def _(t=t):
+                    win_dma(g, t, js[t]).wait()
 
-            b_off = sc(g) % 8
+            b_off = b % 8
             row = lane_buf[g, pl.ds(b_off, 1), :]      # [1, 384] u32
             docs_row = row[:, 0:128]                   # [1, 128]
             tfs_row = row[:, 128:256]
             cachev = pltpu.bitcast(row[:, 256:384], jnp.float32)
-            q = sc(G + g)
-            cl = sc(2 * G + g)
             lane_ok = (
                 (docs_row != jnp.uint32(TERMINATED))
                 & jnp.logical_not(jnp.isnan(cachev))
@@ -182,62 +220,90 @@ def _bool_kernel_body(n_clauses: int, kw: int, num_queries: int, G: int):
             for t in range(n_clauses):
                 s = cl_start_ref[q * n_clauses + t]
                 n = cl_len_ref[q * n_clauses + t]
-                j = sc(3 * G + g * n_clauses + t)
-                wid = sc(3 * G + G * n_clauses + g * n_clauses + t)
-                # probe only the window rows that can overlap the lane
-                # block: a dynamic fori_loop bound from the planner's
-                # per-(item, clause) overlap width (blocks past it have
-                # base > the lane block's last doc, so they cannot match)
-                # and the region end; j < 0 = skipped probe, no rows.
-                # Typical overlaps span 2-8 rows while the rung pads to
-                # kw8, so the static full-window compare burned several
-                # times the needed VPU work. The DMA still fetches the
-                # full static window.
-                rows_used = jnp.where(
-                    j >= 0,
-                    jnp.clip(jnp.minimum(s + n - j, wid), 0, kw8),
-                    0,
-                )
-
-                # Mosaic constraints: dynamic VMEM loads need 8-aligned
-                # sublane starts (so the loop steps in 8-row chunks) and
-                # scf.for cannot carry vector<i1> (so carries are i32;
-                # unsigned reductions are also unsupported).
-                def win_chunk(cc, carry, t=t, s=s, n=n, j=j):
-                    found, tf_probe = carry
-                    c0 = pl.multiple_of(cc * 8, 8)
-                    wd_c = win_buf[g, t, pl.ds(c0, 8), 0:128]   # [8, 128]
-                    wt_c = win_buf[g, t, pl.ds(c0, 8), 128:256]
+                j = js[t]
+                if kw <= 8:
+                    # narrow rung: width <= kw is measured from the
+                    # 8-aligned window start, which IS buffer row 0 (the
+                    # bounds clamp can never shift a narrow window: jlo is
+                    # an in-store aligned row <= nbp - 8 = hi), so the
+                    # whole overlap sits statically in rows [0, kw) — one
+                    # branchless [128, kw*128] compare, no loop machinery.
+                    # Rows past the overlap hold same-region blocks with
+                    # strictly larger docs (never equal) or are masked by
+                    # the region bounds.
+                    RW = kw if kw >= 2 else 2
+                    wd_c = win_buf[g, t, 0:RW, 0:128]       # [RW, 128]
+                    wt_c = win_buf[g, t, 0:RW, 128:256]
                     roff = jax.lax.broadcasted_iota(
-                        jnp.int32, (8, 1), 0
-                    ) + (j + cc * 8)
-                    row_ok = (roff >= s) & (roff < s + n)
+                        jnp.int32, (RW, 1), 0
+                    ) + j
+                    row_ok = (j >= 0) & (roff >= s) & (roff < s + n)
                     wd = jnp.where(
                         row_ok, wd_c, jnp.uint32(0xFFFFFFFF)
-                    ).reshape(1, 8 * 128)
-                    wt = wt_c.reshape(1, 8 * 128).astype(jnp.int32)
-                    eq = wd == docs_col                # [128, 8*128]
-                    found = found | jnp.any(eq, axis=1).reshape(
-                        1, 128
-                    ).astype(jnp.int32)
-                    tf_probe = tf_probe + jnp.sum(
+                    ).reshape(1, RW * 128)
+                    wt = wt_c.reshape(1, RW * 128).astype(jnp.int32)
+                    eq = wd == docs_col                # [128, RW*128]
+                    found = jnp.any(eq, axis=1).reshape(1, 128)
+                    tf_probe = jnp.sum(
                         jnp.where(
                             eq,
-                            jnp.broadcast_to(wt, (128, 8 * 128)),
+                            jnp.broadcast_to(wt, (128, RW * 128)),
                             jnp.int32(0),
                         ),
                         axis=1,
                     ).reshape(1, 128)
-                    return found, tf_probe
+                else:
+                    # wide rung: probe only the window rows that can
+                    # overlap the lane block — a dynamic fori_loop bound
+                    # from the planner's per-(item, clause) overlap width
+                    # (blocks past it have base > the lane block's last
+                    # doc, so they cannot match) and the region end;
+                    # j < 0 = no probe, zero rows. Typical overlaps span
+                    # a few rows while the rung pads to kw8. Mosaic
+                    # constraints: dynamic VMEM loads need 8-aligned
+                    # sublane starts (the loop steps in 8-row chunks) and
+                    # scf.for cannot carry vector<i1> (carries are i32).
+                    rows_used = jnp.where(
+                        j >= 0,
+                        jnp.clip(jnp.minimum(s + n - j, wids[t]), 0, kw8),
+                        0,
+                    )
 
-                found_i, tf_probe = jax.lax.fori_loop(
-                    0, (rows_used + 7) // 8, win_chunk,
-                    (
-                        jnp.zeros((1, 128), dtype=jnp.int32),
-                        jnp.zeros((1, 128), dtype=jnp.int32),
-                    ),
-                )
-                found = found_i > 0
+                    def win_chunk(cc, carry, t=t, s=s, n=n, j=j):
+                        found, tf_probe = carry
+                        c0 = pl.multiple_of(cc * 8, 8)
+                        wd_c = win_buf[g, t, pl.ds(c0, 8), 0:128]
+                        wt_c = win_buf[g, t, pl.ds(c0, 8), 128:256]
+                        roff = jax.lax.broadcasted_iota(
+                            jnp.int32, (8, 1), 0
+                        ) + (j + cc * 8)
+                        row_ok = (roff >= s) & (roff < s + n)
+                        wd = jnp.where(
+                            row_ok, wd_c, jnp.uint32(0xFFFFFFFF)
+                        ).reshape(1, 8 * 128)
+                        wt = wt_c.reshape(1, 8 * 128).astype(jnp.int32)
+                        eq = wd == docs_col            # [128, 8*128]
+                        found = found | jnp.any(eq, axis=1).reshape(
+                            1, 128
+                        ).astype(jnp.int32)
+                        tf_probe = tf_probe + jnp.sum(
+                            jnp.where(
+                                eq,
+                                jnp.broadcast_to(wt, (128, 8 * 128)),
+                                jnp.int32(0),
+                            ),
+                            axis=1,
+                        ).reshape(1, 128)
+                        return found, tf_probe
+
+                    found_i, tf_probe = jax.lax.fori_loop(
+                        0, (rows_used + 7) // 8, win_chunk,
+                        (
+                            jnp.zeros((1, 128), dtype=jnp.int32),
+                            jnp.zeros((1, 128), dtype=jnp.int32),
+                        ),
+                    )
+                    found = found_i > 0
                 own = cl == t
                 presence = found | own  # own lane: presence by construction
                 tf_t = jnp.where(
@@ -319,9 +385,11 @@ def _probe_rows(
         scratch_shapes=[
             pltpu.VMEM((G, 8, 384), jnp.uint32),
             pltpu.VMEM(
-                (G, n_clauses, ((kw + 7) & ~7) + 8, 384), jnp.uint32
+                (G, n_clauses, _kw8(kw), 384), jnp.uint32
             ),
-            pltpu.SMEM((1, 8, 128), jnp.int32),
+            pltpu.SMEM(
+                (1, _bool_scal_layout(n_clauses, G)[2], 128), jnp.int32
+            ),
             pltpu.SemaphoreType.DMA((G, 1 + n_clauses)),
             pltpu.SemaphoreType.DMA,
         ],
@@ -366,20 +434,23 @@ def pallas_bool_topk(
 ):
     w = bids.shape[0]
     G = _g_items(kw, n_clauses)
-    # pack the per-item scalars into (8, 128)-tiled SMEM blocks
     P = w // G
-    scal = jnp.concatenate(
+    STRIDE, SPR, R = _bool_scal_layout(n_clauses, G)
+    # per-item contiguous slot pack (see _bool_scal_layout)
+    rows = jnp.concatenate(
         [
-            bids.reshape(P, G),
-            qid.reshape(P, G),
-            lcl.reshape(P, G),
-            jlo.reshape(P, G * n_clauses),
-            wid.reshape(P, G * n_clauses),
+            bids[:, None],
+            qid[:, None],
+            lcl[:, None],
+            jlo,
+            wid,
         ],
         axis=1,
     ).astype(jnp.int32)
-    pad_cols = 8 * 128 - scal.shape[1]
-    scal = jnp.pad(scal, ((0, 0), (0, pad_cols))).reshape(P, 8, 128)
+    rows = jnp.pad(rows, ((0, 0), (0, STRIDE - rows.shape[1])))
+    flat = rows.reshape(P, G * STRIDE)
+    flat = jnp.pad(flat, ((0, 0), (0, R * 128 - G * STRIDE)))
+    scal = flat.reshape(P, R, 128)
     scores, docs = _probe_rows(
         scal, cl_weight, cl_kind, cl_start, cl_len, cl_shipped, req_must,
         req_should, cstore, n_clauses=n_clauses, kw=kw,
@@ -525,7 +596,7 @@ def launch_fused_bool(
         b_s, p_s, c_s, q_s, s_s = (
             blocks[sel], prow[sel], clause[sel], qid[sel], seg[sel],
         )
-        kw8 = ((kw + 7) & ~7) + 8
+        kw8 = _kw8(kw)
         hi = (max(nbp - kw8, 0) // 8) * 8
         j_orig = jlo_all[sel].astype(np.int32)
         j_s = np.where(j_orig < 0, np.int32(-1), np.minimum(j_orig, hi))
@@ -549,7 +620,8 @@ def launch_fused_bool(
         c_pad = np.zeros(W, dtype=np.int32)
         q_pad = np.full(W, num_queries, dtype=np.int32)
         s_pad = np.zeros(W, dtype=np.int32)
-        j_pad = np.zeros((W, T), dtype=np.int32)
+        # padded items carry jlo -1 so their window DMAs are elided
+        j_pad = np.full((W, T), -1, dtype=np.int32)
         w_pad = np.zeros((W, T), dtype=np.int32)
         b_pad[:n] = b_s[lo:hi]
         p_pad[:n] = p_s[lo:hi]
@@ -559,19 +631,16 @@ def launch_fused_bool(
         j_pad[:n] = jlo[lo:hi]
         w_pad[:n] = wid[lo:hi]
         P = W // G
-        scal = np.concatenate(
-            [
-                b_pad.reshape(P, G),
-                p_pad.reshape(P, G),
-                c_pad.reshape(P, G),
-                j_pad.reshape(P, G * T),
-                w_pad.reshape(P, G * T),
-            ],
-            axis=1,
-        ).astype(np.int32)
-        scal = np.pad(
-            scal, ((0, 0), (0, 8 * 128 - scal.shape[1]))
-        ).reshape(P, 8, 128)
+        STRIDE, SPR, R = _bool_scal_layout(T, G)
+        rows = np.zeros((W, STRIDE), dtype=np.int32)
+        rows[:, 0] = b_pad
+        rows[:, 1] = p_pad
+        rows[:, 2] = c_pad
+        rows[:, 3:3 + T] = j_pad
+        rows[:, 3 + T:3 + 2 * T] = w_pad
+        flat = rows.reshape(P, G * STRIDE)
+        flat = np.pad(flat, ((0, 0), (0, R * 128 - G * STRIDE)))
+        scal = flat.reshape(P, R, 128)
         return (W, kw, G), jnp.asarray(scal), jnp.asarray(q_pad), \
             jnp.asarray(s_pad), hi
 
@@ -624,7 +693,7 @@ def compute_jlo(dfp, work_blocks, work_qid, cl_start, cl_len, kw: int):
     kw-row DMA stays in bounds."""
     n = len(work_blocks)
     T = cl_start.shape[1]
-    kw8 = ((kw + 7) & ~7) + 8
+    kw8 = _kw8(kw)
     nbp = -(-dfp.num_blocks // 8) * 8  # cstore rows are padded to 8
     out = np.zeros((n, T), dtype=np.int32)
     base = dfp.blk_base[work_blocks]

@@ -755,10 +755,11 @@ class BatchExecutor:
                     n_it = len(ids)
                     if not n_it:
                         continue
-                    jlo = np.zeros((n_it, Tb), dtype=np.int64)
-                    # per-clause probe row counts for the kernel's dynamic
-                    # window bound; the own-clause column stays 0 (its lane
-                    # IS the clause — presence by construction, no probe)
+                    # -1 jlo = no window: clause columns with no probe
+                    # (absent clauses, and the OWN clause — its lane IS the
+                    # clause, presence by construction) skip their window
+                    # DMA entirely in the kernel
+                    jlo = np.full((n_it, Tb), -1, dtype=np.int64)
                     wid = np.zeros((n_it, Tb), dtype=np.int64)
                     eff = np.zeros(n_it, dtype=np.int64)
                     slice_cols = []  # (oi, c2, wide mask) — wide MUST probes
@@ -1312,6 +1313,12 @@ class BatchExecutor:
             delta = np.zeros((n, S), dtype=np.int64)
             drop = np.zeros(n, dtype=bool)
             span = np.zeros(n, dtype=np.int64)
+            # UB factor: phrase tf <= every term's tf in the doc, so the
+            # anchor's block-max tf-factor AND each partner's windowed
+            # block-max both dominate the phrase factor — take the min
+            # (all f32, rounding monotone, so `ub >= score` stays
+            # bit-exact; see FieldWand.clause_blocks_ub)
+            fac = fused.bfac[ids].copy()
             slot = 0
             for t in range(T):
                 if t == anchor:
@@ -1319,6 +1326,7 @@ class BatchExecutor:
                 s2, n2 = regions[t]
                 i0, i1 = overlaps(ids, s2, n2)
                 drop |= i1 <= i0  # a phrase term is a MUST
+                fac = np.minimum(fac, fused.rmax.query(i0, i1))
                 p0 = blk_pos[i0]
                 p1 = blk_pos[i1]
                 cpos[:, slot] = p0
@@ -1327,9 +1335,7 @@ class BatchExecutor:
                 span = np.maximum(span, p1 - p0)
                 slot += 1
             bad = (llen > php.ANCHOR_POS_CAP) | (span > php.PARTNER_POS_CAP)
-            ub = (
-                np.float32(qweight[qi]) * fused.bfac[ids]
-            ).astype(np.float32)
+            ub = (np.float32(qweight[qi]) * fac).astype(np.float32)
             keep = ~drop
             return {
                 "ids": ids[keep], "lpos": lpos[keep], "llen": llen[keep],
