@@ -46,7 +46,7 @@ ANCHOR_POS_CAP = (LROWS - 8) * 128
 
 #: partner slab rungs: (position cap, partner slab rows, W tiers, G)
 _PHRASE_RUNGS = (
-    (2048, 24, (256, 4096, 32768), 16),
+    (2048, 24, (256, 4096, 32768), 32),
     (16384, 136, (256, 2048), 8),
 )
 PARTNER_POS_CAP = _PHRASE_RUNGS[-1][0]
