@@ -79,8 +79,9 @@ class TopDocs(Collector):
     def requires_scoring(self) -> bool:
         return True
 
-    def collect_segment(self, weight, segment_ord: int, reader):
-        res = weight.execute(reader)
+    def collect_segment(self, weight, segment_ord: int, reader,
+                        threshold=np.float32(-np.inf)):
+        res = weight.topk(reader, self.limit + self.offset, threshold)
         docs, scores = _alive_filter(res, reader)
         k = self.limit + self.offset
         docs, scores = top_k_by_score(docs, scores, k)
@@ -88,6 +89,27 @@ class TopDocs(Collector):
             (np.float32(s), DocAddress(segment_ord, int(d)))
             for d, s in zip(docs, scores)
         ]
+
+    def collect_segments_pruned(self, weight, readers):
+        """Sequential per-segment collection carrying a rising threshold —
+        the host analogue of the reference's for_each_pruning drive
+        (`sort_key_top_collector.rs:62-73`): segment N is pruned with the
+        kth score accumulated over segments < N (all strictly-earlier
+        DocAddresses, so equal scores lose the tie-break and `topk` may
+        drop score <= threshold)."""
+        k = self.limit + self.offset
+        fruits = []
+        hits: list = []
+        th = np.float32(-np.inf)
+        for ord_, reader in enumerate(readers):
+            fruit = self.collect_segment(weight, ord_, reader, threshold=th)
+            fruits.append(fruit)
+            hits.extend(fruit)
+            if len(hits) >= k:
+                hits.sort(key=lambda x: (-float(x[0]), x[1]))
+                del hits[k:]
+                th = np.float32(hits[-1][0])
+        return self.merge_fruits(fruits)
 
     def merge_fruits(self, fruits):
         all_hits = [hit for fruit in fruits for hit in fruit]

@@ -45,10 +45,9 @@ class FusedStore:
         self.num_blocks = 0
         self.cstore = None  # device [NB, 384] u32
         self._rmax = None
-        # phrase extension (built on demand): positions / owners as 2D
-        # row-DMA-able stores + per-block position offsets
-        self.pstore = None          # device [NPr, 128] u32 positions
-        self.ostore = None          # device [NPr, 128] u32 owner doc ids
+        # phrase extension (built on demand): positions / owners interleaved
+        # in ONE 2D row-DMA-able store + per-block position offsets
+        self.postore = None         # device [NPr, 256] u32: pos | owner doc
         self.blk_pos = None         # host [NB + 1] i64 position offset per block
         self._pos_dirty = False
 
@@ -177,15 +176,16 @@ class FusedStore:
     # -- phrase position stores -------------------------------------------
 
     def ensure_positions(self):
-        """Build the fused 2D position/owner stores + per-block position
-        offsets. Positions are re-laid out [ceil(NPOS/128), 128] so the
-        phrase kernel can DMA contiguous row ranges; `ostore` holds the
-        owning DOC id of every position (so aligned-count membership tests
-        are dense compares, no per-lane gathers); `blk_pos[b]` is the global
+        """Build the fused 2D position/owner store + per-block position
+        offsets. Positions are re-laid out [ceil(NPOS/128), 256] with row r
+        holding positions 128r..128r+127 in columns 0:128 and each
+        position's OWNER DOC id in columns 128:256 — interleaving halves the
+        phrase kernel's DMA count (one slab fetch serves both membership and
+        alignment compares, no per-lane gathers); `blk_pos[b]` is the global
         position offset of block b's first posting (from the device pos_cum,
         fetched once)."""
         self.ready()
-        if self.pstore is not None and not self._pos_dirty:
+        if self.postore is not None and not self._pos_dirty:
             return
         import jax.numpy as jnp
 
@@ -227,20 +227,19 @@ class FusedStore:
         rows = max(-(-total // 128), 1)
         # keep at least the widest phrase-kernel slab DMA in bounds even on
         # tiny stores
-        from .pallas_phrase import _PHRASE_RUNGS
+        from .pallas_phrase import max_slab_rows
 
-        rows = max(rows, _PHRASE_RUNGS[-1][1])
+        rows = max(rows, max_slab_rows())
         rows_p = -(-rows // 8) * 8
         padlen = rows_p * 128 - total
         padv = jnp.full(padlen, jnp.uint32(0xFFFFFFFF), dtype=jnp.uint32)
         flat_pos = jnp.concatenate(
             [p.astype(jnp.uint32) for p in pos_parts] + [padv]
-        )
+        ).reshape(rows_p, 128)
         flat_own = jnp.concatenate(
             [o.astype(jnp.uint32) for o in own_parts] + [padv]
-        )
-        self.pstore = flat_pos.reshape(rows_p, 128)
-        self.ostore = flat_own.reshape(rows_p, 128)
+        ).reshape(rows_p, 128)
+        self.postore = jnp.concatenate([flat_pos, flat_own], axis=1)
         self.blk_pos = np.concatenate(blk_pos_parts + [[total]]) if \
             blk_pos_parts else np.zeros(1, dtype=np.int64)
         self.num_pos = total

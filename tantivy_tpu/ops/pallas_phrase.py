@@ -1,22 +1,28 @@
-"""Pallas TPU phrase (slop=0) kernel — position-slab design.
+"""Pallas TPU phrase (slop=0) kernel — masked 8-run GROUP position-slab
+design.
 
 The XLA phrase kernel (`ops/phrase_scorer.py`) gathers [W, 128, pw]
 position windows per term through XLA gathers that execute at ~0.5 GB/s on
-this backend — the round-2 bench's dominant cost (phrase ~63 QPS). This
-kernel never gathers positions:
+this backend. This kernel never gathers positions, and amortizes every DMA
+across up to 8 anchor blocks:
 
-* positions are re-laid out once per store as 2D row-DMA-able arrays
-  `pstore [NPr, 128]` plus `ostore [NPr, 128]` holding each position's
-  OWNER DOC id (`fused_store.ensure_positions`);
-* a work item = one candidate block of the item's ANCHOR term. Its whole
-  position slab (<= 2048 positions, host-checked via `blk_pos`) is one
-  contiguous DMA, and each partner term's slab covering the anchor block's
-  doc range (host-computed span) is another;
+* positions are re-laid out once per store as ONE 2D row-DMA-able array
+  `postore [NPr, 256]` — row r holds positions 128r..128r+127 in columns
+  0:128 and each position's OWNER DOC id in columns 128:256
+  (`fused_store.ensure_positions`), so a single DMA serves both the
+  alignment compare and the doc-membership compare;
+* a work item = up to 8 consecutive blocks (one cstore super-row) of the
+  item's ANCHOR term, gated by an 8-bit member mask. The members' position
+  slabs are CONTIGUOUS in the postore (positions are serialized in
+  (term, block) order), so one slab DMA covers all of them; each partner
+  term's slab covering the union of the members' doc ranges is one more
+  DMA. Per-member sub-ranges ride per-row scalars, so the compare loops
+  scan exactly the rows a single-block item would have scanned — grouping
+  divides DMA issue/wait and scalar-setup overhead by up to 8 at equal
+  compute;
 * the aligned-position count is a dense VPU compare: anchor position u
   (owner d) matches partner s iff the partner slab contains
-  (owner == d, pos == pos_u + delta_s). No per-lane gathers, no in-doc tf
-  caps — the round-2 MAX_P / MAX_OTHER_TF host-fallback cliffs are gone
-  (replaced by exact host-computed slab-size rungs).
+  (owner == d, pos == pos_u + delta_s).
 
 Scores are `q_weight * tf/(tf + norm)` with tf = aligned count, exactly the
 host engine's phrase BM25 (reference `phrase_scorer.rs:46-120`).
@@ -33,65 +39,77 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..postings.format import TERMINATED
-from .probe_scorer import pack_results_seg, per_query_topk_rows_seg
 from .fmath import exact_div
+from .probe_scorer import pack_results_seg, per_query_topk_rows_seg
 
 NEG_INF = np.float32(-np.inf)
 
-#: anchor slab rows: covers <= 2048 positions per anchor block (+ 8-align
-#: slack). Blocks with more positions are re-anchored through a partner
-#: term by the planner.
-LROWS = 24
-ANCHOR_POS_CAP = (LROWS - 8) * 128
-
-#: partner slab rungs: (position cap, partner slab rows, W tiers, G)
+#: slab rungs: (rows, W tiers in GROUP items). `rows` bounds BOTH the anchor
+#: slab and each partner slab fetched per item; a rung admits a group when
+#: every slab's aligned row need fits. Oversized groups split into singleton
+#: groups, which always fit the widest rung (see the per-block caps below).
 _PHRASE_RUNGS = (
-    (2048, 24, (256, 4096, 32768), 32),
-    (16384, 136, (256, 2048), 8),
+    (24, (256, 2048, 16384)),
+    (136, (256, 2048, 8192)),
 )
-PARTNER_POS_CAP = _PHRASE_RUNGS[-1][0]
+
+#: per-BLOCK caps enforced by the planner's bad-check: a single block's
+#: anchor slab / partner span must fit the widest rung even after the 8-row
+#: DMA alignment slack, so singleton-group fallback is always possible.
+ANCHOR_POS_CAP = (_PHRASE_RUNGS[-1][0] - 8) * 128
+PARTNER_POS_CAP = (_PHRASE_RUNGS[-1][0] - 8) * 128
 
 
-def phrase_w_tier(tiers, n: int) -> int:
-    for w in tiers:
-        if n <= w:
-            return w
-    return tiers[-1]
+def max_slab_rows() -> int:
+    return _PHRASE_RUNGS[-1][0]
+
+
+def _g_items_phrase(rows: int, n_partners: int) -> int:
+    """Group items per grid program under a ~3.5MB VMEM budget: per item
+    lane_buf 8x384 + (1 + S) slabs of rows x 256 u32 words."""
+    words = 8 * 384 + rows * 256 * (1 + n_partners)
+    budget = 3_500_000
+    g = budget // (words * 4)
+    for cand in (32, 16, 8, 4, 2):
+        if cand <= g:
+            return cand
+    return 1
 
 
 def _phrase_scal_layout(n_partners: int, G: int):
-    """Per-item contiguous scalar slots (pow2 stride: addressing lowers to
-    shifts/masks — see `pallas_probe._bool_scal_layout` for why). Slots:
-    0=b, 1=prow, 2=lpos, 3=llen, then (cpos, clen, delta) per partner."""
-    slots = 4 + 3 * n_partners
+    """Per-item contiguous scalar slots (pow2 stride; slot k of item g lives
+    at flat index g*STRIDE + k of the [R, 128] page). Shared slots:
+    0=row_base (8-aligned cstore row), 1=prow, 2=member mask, 3=arow0
+    (anchor slab DMA row, host-clamped), then per partner s:
+    4+2s=crow0_s, 5+2s=delta_s. Per-row slots (r in 0..8): A+r=loff_r,
+    A+8+r=llen_r, then per partner s: A+16+16s+r=off_rs, A+24+16s+r=len_rs,
+    where A = 4 + 2*n_partners."""
+    slots = 20 + 18 * n_partners
     stride = 8
     while stride < slots:
         stride *= 2
-    spr = 128 // stride
-    rows = -(-G // spr)
-    return stride, spr, rows
+    rows = -(-(G * stride) // 128)
+    return stride, rows
 
 
-def _phrase_kernel_body(n_partners: int, crows: int, num_prows: int, G: int,
-                        npr: int):
+def _phrase_kernel_body(n_partners: int, rows: int, num_prows: int, G: int):
     S = n_partners
-    STRIDE, SPR, R = _phrase_scal_layout(S, G)
+    RR = rows
+    STRIDE, R = _phrase_scal_layout(S, G)
+    A = 4 + 2 * S
 
     def kernel(
         qw_ref,       # [Pp] f32 — phrase BM25 weight per plan row
         scal_hbm,     # [P, R, 128] i32 — per-item scalars (see layout)
         cstore_ref,   # [NB, 384] u32 (HBM)
-        pstore_ref,   # [NPr, 128] u32 positions (HBM)
-        ostore_ref,   # [NPr, 128] u32 owner docs (HBM)
-        scores_ref,   # out [G, 128] f32
-        docs_ref,     # out [G, 128] u32
+        postore_ref,  # [NPr, 256] u32 positions | owner docs (HBM)
+        scores_ref,   # out [G*8, 128] f32
+        docs_ref,     # out [G*8, 128] u32
         lane_buf,     # scratch VMEM [G, 8, 384] u32
-        lpos_buf,     # scratch VMEM [G, LROWS, 128] u32
-        lown_buf,     # scratch VMEM [G, LROWS, 128] u32
-        ppos_buf,     # scratch VMEM [G, S, crows, 128] u32
-        pown_buf,     # scratch VMEM [G, S, crows, 128] u32
+        apos_buf,     # scratch VMEM [G, RR, 256] u32
+        ppos_buf,     # scratch VMEM [G, S, RR, 256] u32
         scal_ref,     # scratch SMEM [1, R, 128] i32
-        sems,         # DMA sems [G, 3 + 2*S]
+        sems,         # DMA sems [G, 2 + S]
         scal_sem,
     ):
         cp = pltpu.make_async_copy(
@@ -101,179 +119,157 @@ def _phrase_kernel_body(n_partners: int, crows: int, num_prows: int, G: int,
         cp.wait()
 
         def it(g, k):
-            return scal_ref[0, g // SPR, (g % SPR) * STRIDE + k]
-
-        def f_b(g):
-            return it(g, 0)
-
-        def f_prow(g):
-            return it(g, 1)
-
-        def f_lpos(g):
-            return it(g, 2)
-
-        def f_llen(g):
-            return it(g, 3)
-
-        def f_cpos(g, s):
-            return it(g, 4 + 3 * s)
-
-        def f_clen(g, s):
-            return it(g, 5 + 3 * s)
-
-        def f_delta(g, s):
-            return it(g, 6 + 3 * s)
-
-        def lrow0(g):
-            r = (f_lpos(g) // 128) & ~7
-            return jnp.minimum(r, npr - LROWS)
-
-        def crow0(g, s):
-            r = (f_cpos(g, s) // 128) & ~7
-            return jnp.minimum(r, npr - crows)
+            flat = g * STRIDE + k
+            return scal_ref[0, flat // 128, flat % 128]
 
         def dmas(g):
-            b8 = pl.multiple_of((f_b(g) // 8) * 8, 8)
+            b8 = pl.multiple_of(it(g, 0), 8)
+            a0 = pl.multiple_of(it(g, 3), 8)
             out = [
                 pltpu.make_async_copy(
                     cstore_ref.at[pl.ds(b8, 8)], lane_buf.at[g], sems.at[g, 0]
                 ),
                 pltpu.make_async_copy(
-                    pstore_ref.at[pl.ds(pl.multiple_of(lrow0(g), 8), LROWS)],
-                    lpos_buf.at[g],
+                    postore_ref.at[pl.ds(a0, RR)],
+                    apos_buf.at[g],
                     sems.at[g, 1],
-                ),
-                pltpu.make_async_copy(
-                    ostore_ref.at[pl.ds(pl.multiple_of(lrow0(g), 8), LROWS)],
-                    lown_buf.at[g],
-                    sems.at[g, 2],
                 ),
             ]
             for s in range(S):
-                c8 = pl.multiple_of(crow0(g, s), 8)
+                c8 = pl.multiple_of(it(g, 4 + 2 * s), 8)
                 out.append(
                     pltpu.make_async_copy(
-                        pstore_ref.at[pl.ds(c8, crows)],
+                        postore_ref.at[pl.ds(c8, RR)],
                         ppos_buf.at[g, s],
-                        sems.at[g, 3 + 2 * s],
-                    )
-                )
-                out.append(
-                    pltpu.make_async_copy(
-                        ostore_ref.at[pl.ds(c8, crows)],
-                        pown_buf.at[g, s],
-                        sems.at[g, 4 + 2 * s],
+                        sems.at[g, 2 + s],
                     )
                 )
             return out
 
         def start_g(g, _):
-            for d in dmas(g):
-                d.start()
+            @pl.when(it(g, 2) != 0)  # fully-masked items are list padding
+            def _():
+                for d in dmas(g):
+                    d.start()
             return 0
 
         jax.lax.fori_loop(0, G, start_g, 0)
 
+        C8 = 8 * 128
+
         def compute_g(g, _):
-            for d in dmas(g):
-                d.wait()
+            q = it(g, 1)
+            mask = it(g, 2)
+            deltas = [it(g, 5 + 2 * s) for s in range(S)]
 
-            b_off = f_b(g) % 8
-            row = lane_buf[g, pl.ds(b_off, 1), :]       # [1, 384]
-            docs_row = row[:, 0:128]
-            cachev = pltpu.bitcast(row[:, 256:384], jnp.float32)
-            q = f_prow(g)
-            lane_ok = (
-                (docs_row != jnp.uint32(TERMINATED))
-                & jnp.logical_not(jnp.isnan(cachev))
-                & (q < num_prows)
-            )
-            docs_col = docs_row.astype(jnp.int32).reshape(128, 1)
+            @pl.when(mask != 0)
+            def _():
+                for d in dmas(g):
+                    d.wait()
 
-            loff = f_lpos(g) - lrow0(g) * 128
-            llen = f_llen(g)
-            # The hot loops run over only the anchor/partner rows that hold
-            # REAL data (dynamic fori_loop bounds driven by the slab
-            # lengths), not the full static rung: a typical anchor block has
-            # 1-3 position rows and a typical partner span a handful, while
-            # the rungs pad to 24/136 rows — unrolled static loops burned
-            # ~10-60x the necessary VPU compares. DMAs still fetch the full
-            # static rung (DMA lengths must be static); only compute is
-            # length-bounded.
-            lrows_used = jnp.minimum((loff + llen + 127) // 128, LROWS)
+            for r8 in range(8):
+                bit = (mask >> r8) & 1
 
-            coffs = [f_cpos(g, s) - crow0(g, s) * 128 for s in range(S)]
-            clens = [f_clen(g, s) for s in range(S)]
-            crows_used = [
-                jnp.minimum((coffs[s] + clens[s] + 127) // 128, crows)
-                for s in range(S)
-            ]
+                @pl.when(bit == 0)
+                def _(g=g, r8=r8):
+                    scores_ref[pl.ds(g * 8 + r8, 1), :] = jnp.full(
+                        (1, 128), NEG_INF, dtype=jnp.float32
+                    )
+                    docs_ref[pl.ds(g * 8 + r8, 1), :] = jnp.full(
+                        (1, 128), jnp.uint32(TERMINATED), dtype=jnp.uint32
+                    )
 
-            # Mosaic constraints shape the loop nest: dynamic VMEM loads
-            # must start at 8-aligned sublanes, so the dynamic loops step in
-            # 8-row chunks (pl.multiple_of marks the alignment), and loop
-            # carries are i32 (scf.for with vector<i1> carries fails to
-            # legalize). Rows inside a chunk are processed by a static
-            # 8-iteration loop.
-            C8 = 8 * 128
+                @pl.when(bit != 0)
+                def _(g=g, r8=r8):
+                    row = lane_buf[g, pl.ds(r8, 1), :]       # [1, 384]
+                    docs_row = row[:, 0:128]
+                    cachev = pltpu.bitcast(row[:, 256:384], jnp.float32)
+                    lane_ok = (
+                        (docs_row != jnp.uint32(TERMINATED))
+                        & jnp.logical_not(jnp.isnan(cachev))
+                        & (q < num_prows)
+                    )
+                    docs_col = docs_row.astype(jnp.int32).reshape(128, 1)
 
-            def anchor_chunk(ac, count):
-                a0 = pl.multiple_of(ac * 8, 8)
-                lp8 = lpos_buf[g, pl.ds(a0, 8), :].astype(jnp.int32)
-                lo8 = lown_buf[g, pl.ds(a0, 8), :].astype(jnp.int32)
-                for r8 in range(8):
-                    lp = lp8[r8:r8 + 1, :]
-                    lo = lo8[r8:r8 + 1, :]
-                    riota = jax.lax.broadcasted_iota(
-                        jnp.int32, (1, 128), 1
-                    ) + (ac * 8 + r8) * 128
-                    m = (riota >= loff) & (riota < loff + llen)
-                    lp_c = lp.reshape(128, 1)
-                    lo_c = lo.reshape(128, 1)
-                    for s in range(S):
-                        tgt = lp_c + f_delta(g, s)
+                    loff = it(g, A + r8)
+                    llen = it(g, A + 8 + r8)
+                    poffs = [it(g, A + 16 + 16 * s + r8) for s in range(S)]
+                    plens = [it(g, A + 24 + 16 * s + r8) for s in range(S)]
 
-                        def partner_chunk(pc, hit, s=s, lo_c=lo_c, tgt=tgt):
-                            c0 = pl.multiple_of(pc * 8, 8)
-                            po = pown_buf[
-                                g, s, pl.ds(c0, 8), :
-                            ].astype(jnp.int32).reshape(1, C8)
-                            pp = ppos_buf[
-                                g, s, pl.ds(c0, 8), :
-                            ].astype(jnp.int32).reshape(1, C8)
-                            citer = jax.lax.broadcasted_iota(
-                                jnp.int32, (1, C8), 1
-                            ) + pc * C8
-                            vp = (citer >= coffs[s]) & (
-                                citer < coffs[s] + clens[s]
-                            )
-                            return hit | jnp.any(
-                                vp & (po == lo_c) & (pp == tgt), axis=1
-                            ).reshape(1, 128).astype(jnp.int32)
+                    # The hot loops run over only the slab rows holding THIS
+                    # member block's data (dynamic fori_loop start AND end
+                    # from the per-row scalars): grouping fetches a bigger
+                    # slab but scans exactly what a single-block item would.
+                    # Mosaic constraints: dynamic VMEM loads step in 8-row
+                    # chunks from 8-aligned starts; loop carries are i32.
+                    ac_lo = loff // C8
+                    ac_hi = (loff + llen + C8 - 1) // C8
 
-                        hit = jax.lax.fori_loop(
-                            0, (crows_used[s] + 7) // 8, partner_chunk,
-                            jnp.zeros((1, 128), dtype=jnp.int32),
+                    def anchor_chunk(ac, count, g=g):
+                        a0 = pl.multiple_of(ac * 8, 8)
+                        lp8 = apos_buf[g, pl.ds(a0, 8), 0:128].astype(
+                            jnp.int32
                         )
-                        m = m & ((hit > 0) | (clens[s] <= 0))
-                    # attribute matched anchor positions to their lanes:
-                    # [lanes, positions] eq matrix masked by the
-                    # per-position match vector, summed over positions
-                    count = count + jnp.sum(
-                        (docs_col == lo) & m, axis=1
-                    ).reshape(1, 128)
-                return count
+                        lo8 = apos_buf[g, pl.ds(a0, 8), 128:256].astype(
+                            jnp.int32
+                        )
+                        for rr in range(8):
+                            lp = lp8[rr:rr + 1, :]
+                            lo = lo8[rr:rr + 1, :]
+                            riota = jax.lax.broadcasted_iota(
+                                jnp.int32, (1, 128), 1
+                            ) + (ac * 8 + rr) * 128
+                            m = (riota >= loff) & (riota < loff + llen)
+                            lp_c = lp.reshape(128, 1)
+                            lo_c = lo.reshape(128, 1)
+                            for s in range(S):
+                                tgt = lp_c + deltas[s]
+                                pc_lo = poffs[s] // C8
+                                pc_hi = (poffs[s] + plens[s] + C8 - 1) // C8
 
-            count = jax.lax.fori_loop(
-                0, (lrows_used + 7) // 8, anchor_chunk,
-                jnp.zeros((1, 128), dtype=jnp.int32),
-            )
+                                def partner_chunk(
+                                    pc, hit, s=s, lo_c=lo_c, tgt=tgt
+                                ):
+                                    c0 = pl.multiple_of(pc * 8, 8)
+                                    po = ppos_buf[
+                                        g, s, pl.ds(c0, 8), 128:256
+                                    ].astype(jnp.int32).reshape(1, C8)
+                                    pp = ppos_buf[
+                                        g, s, pl.ds(c0, 8), 0:128
+                                    ].astype(jnp.int32).reshape(1, C8)
+                                    citer = jax.lax.broadcasted_iota(
+                                        jnp.int32, (1, C8), 1
+                                    ) + pc * C8
+                                    vp = (citer >= poffs[s]) & (
+                                        citer < poffs[s] + plens[s]
+                                    )
+                                    return hit | jnp.any(
+                                        vp & (po == lo_c) & (pp == tgt),
+                                        axis=1,
+                                    ).reshape(1, 128).astype(jnp.int32)
 
-            tf = count.astype(jnp.float32)
-            score = qw_ref[q] * exact_div(tf, tf + cachev)
-            ok = lane_ok & (count > 0)
-            scores_ref[pl.ds(g, 1), :] = jnp.where(ok, score, NEG_INF)
-            docs_ref[pl.ds(g, 1), :] = docs_row
+                                hit = jax.lax.fori_loop(
+                                    pc_lo, pc_hi, partner_chunk,
+                                    jnp.zeros((1, 128), dtype=jnp.int32),
+                                )
+                                m = m & ((hit > 0) | (plens[s] <= 0))
+                            count = count + jnp.sum(
+                                (docs_col == lo) & m, axis=1
+                            ).reshape(1, 128)
+                        return count
+
+                    count = jax.lax.fori_loop(
+                        ac_lo, ac_hi, anchor_chunk,
+                        jnp.zeros((1, 128), dtype=jnp.int32),
+                    )
+
+                    tf = count.astype(jnp.float32)
+                    score = qw_ref[q] * exact_div(tf, tf + cachev)
+                    ok = lane_ok & (count > 0)
+                    scores_ref[pl.ds(g * 8 + r8, 1), :] = jnp.where(
+                        ok, score, NEG_INF
+                    )
+                    docs_ref[pl.ds(g * 8 + r8, 1), :] = docs_row
             return 0
 
         jax.lax.fori_loop(0, G, compute_g, 0)
@@ -281,10 +277,9 @@ def _phrase_kernel_body(n_partners: int, crows: int, num_prows: int, G: int,
     return kernel
 
 
-def _phrase_rows(scal, qw, cstore, pstore, ostore, *, n_partners, crows,
-                 num_prows, G, W, interpret):
-    npr = pstore.shape[0]
-    kernel = _phrase_kernel_body(n_partners, crows, num_prows, G, npr)
+def _phrase_rows(scal, qw, cstore, postore, *, n_partners, rows, num_prows,
+                 G, W, interpret):
+    kernel = _phrase_kernel_body(n_partners, rows, num_prows, G)
     P = W // G
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -293,24 +288,21 @@ def _phrase_rows(scal, qw, cstore, pstore, ostore, *, n_partners, crows,
             pl.BlockSpec(memory_space=pltpu.HBM),
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=[
-            pl.BlockSpec((G, 128), lambda i, *_: (i, 0),
+            pl.BlockSpec((G * 8, 128), lambda i, *_: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((G, 128), lambda i, *_: (i, 0),
+            pl.BlockSpec((G * 8, 128), lambda i, *_: (i, 0),
                          memory_space=pltpu.VMEM),
         ],
         scratch_shapes=[
             pltpu.VMEM((G, 8, 384), jnp.uint32),
-            pltpu.VMEM((G, LROWS, 128), jnp.uint32),
-            pltpu.VMEM((G, LROWS, 128), jnp.uint32),
-            pltpu.VMEM((G, n_partners, crows, 128), jnp.uint32),
-            pltpu.VMEM((G, n_partners, crows, 128), jnp.uint32),
+            pltpu.VMEM((G, rows, 256), jnp.uint32),
+            pltpu.VMEM((G, n_partners, rows, 256), jnp.uint32),
             pltpu.SMEM(
-                (1, _phrase_scal_layout(n_partners, G)[2], 128), jnp.int32
+                (1, _phrase_scal_layout(n_partners, G)[1], 128), jnp.int32
             ),
-            pltpu.SemaphoreType.DMA((G, 3 + 2 * n_partners)),
+            pltpu.SemaphoreType.DMA((G, 2 + n_partners)),
             pltpu.SemaphoreType.DMA,
         ],
     )
@@ -318,11 +310,11 @@ def _phrase_rows(scal, qw, cstore, pstore, ostore, *, n_partners, crows,
         kernel,
         grid_spec=grid_spec,
         out_shape=[
-            jax.ShapeDtypeStruct((W, 128), jnp.float32),
-            jax.ShapeDtypeStruct((W, 128), jnp.uint32),
+            jax.ShapeDtypeStruct((W * 8, 128), jnp.float32),
+            jax.ShapeDtypeStruct((W * 8, 128), jnp.uint32),
         ],
         interpret=interpret,
-    )(qw, scal, cstore, pstore, ostore)
+    )(qw, scal, cstore, postore)
 
 
 @functools.partial(
@@ -334,33 +326,33 @@ def _phrase_rows(scal, qw, cstore, pstore, ostore, *, n_partners, crows,
 def fused_phrase_topk(
     rung_scal, rung_qid, rung_seg,
     qw,         # [Pp] f32
-    cstore, pstore, ostore,
+    cstore, postore,
     k: int,
     num_queries: int,
     num_prows: int,
     n_partners: int,
-    rungs: tuple,   # ((W, crows, G), ...)
+    rungs: tuple,   # ((W, rows, G), ...)
     interpret: bool = False,
 ):
     """One launch for a phrase batch phase; packed [3, Q, k] result."""
     row_sc, row_doc, row_qid, row_seg = [], [], [], []
     kk = min(k, 128)
     token = None
-    for (W, crows, G), scal, qid, seg in zip(
+    for (W, rows, G), scal, qid, seg in zip(
         rungs, rung_scal, rung_qid, rung_seg
     ):
         if token is not None:
             scal = scal + token
         scores, docs = _phrase_rows(
-            scal, qw, cstore, pstore, ostore, n_partners=n_partners,
-            crows=crows, num_prows=num_prows, G=G, W=W, interpret=interpret,
+            scal, qw, cstore, postore, n_partners=n_partners,
+            rows=rows, num_prows=num_prows, G=G, W=W, interpret=interpret,
         )
         token = (docs[0, 0] & jnp.uint32(0)).astype(jnp.int32)
         sc, idx = jax.lax.top_k(scores, kk)
         row_sc.append(sc)
         row_doc.append(jnp.take_along_axis(docs, idx, axis=1))
-        row_qid.append(qid)
-        row_seg.append(seg)
+        row_qid.append(jnp.repeat(qid, 8))
+        row_seg.append(jnp.repeat(seg, 8))
     return pack_results_seg(
         *per_query_topk_rows_seg(
             jnp.concatenate(row_sc),
@@ -373,60 +365,178 @@ def fused_phrase_topk(
     )
 
 
+def _phrase_groups(ids, prow, anchor, lpos, llen, cpos, clen, npr: int):
+    """Collapse per-block phrase work into masked 8-run groups keyed by
+    (prow, anchor term, block//8). Returns per-group arrays:
+    base, mask, prow_g, row-major member scatter (lpos8/llen8 [n,8],
+    cpos8/clen8 [n,8,S]), slab spans, and the member->group index map."""
+    S = cpos.shape[1]
+    key = (prow.astype(np.int64) * 64 + anchor) * (1 << 28) + ids // 8
+    order = np.argsort(key, kind="stable")
+    ukey, starts, counts = np.unique(
+        key[order], return_index=True, return_counts=True
+    )
+    n_g = len(starts)
+    io = order[starts]
+    gidx = np.repeat(np.arange(n_g), counts)
+    r = (ids[order] % 8).astype(np.int64)
+    base = (ids[io] // 8) * 8
+    mask = np.bitwise_or.reduceat(np.int64(1) << r, starts)
+    lpos8 = np.zeros((n_g, 8), dtype=np.int64)
+    llen8 = np.zeros((n_g, 8), dtype=np.int64)
+    lpos8[gidx, r] = lpos[order]
+    llen8[gidx, r] = llen[order]
+    cpos8 = np.zeros((n_g, 8, S), dtype=np.int64)
+    clen8 = np.zeros((n_g, 8, S), dtype=np.int64)
+    cpos8[gidx, r] = cpos[order]
+    clen8[gidx, r] = clen[order]
+    amin = np.minimum.reduceat(lpos[order], starts)
+    amax = np.maximum.reduceat(lpos[order] + llen[order], starts)
+    i64max = np.iinfo(np.int64).max
+    cmin = np.empty((n_g, S), dtype=np.int64)
+    cmax = np.empty((n_g, S), dtype=np.int64)
+    for s in range(S):
+        cs, ce = cpos[order, s], cpos[order, s] + clen[order, s]
+        has = clen[order, s] > 0
+        cmin[:, s] = np.minimum.reduceat(np.where(has, cs, i64max), starts)
+        cmax[:, s] = np.maximum.reduceat(np.where(has, ce, -1), starts)
+    cmin = np.where(cmin == i64max, 0, cmin)
+    cmax = np.maximum(cmax, cmin)
+    return base, mask, prow[io], amin, amax, cmin, cmax, \
+        lpos8, llen8, cpos8, clen8, io, order, starts, gidx
+
+
 def launch_fused_phrase(
     fused, work, qw_table, n_partners: int, k: int, num_queries: int,
     interpret: bool,
 ) -> list:
-    """Assemble rung chunks and launch. `work` columns (numpy):
-    blocks [N], prow [N], qid [N], seg [N], lpos [N], llen [N],
-    cpos [N, S], clen [N, S], delta [N, S], span [N] (max partner slab
-    positions, picks the rung)."""
-    blocks, prow, qid, seg, lpos, llen, cpos, clen, delta, span = work
+    """Group per-block phrase work items into masked 8-runs, assemble rung
+    chunks, and launch. `work` columns (numpy, per BLOCK): blocks [N],
+    prow [N], qid [N], seg [N], lpos [N], llen [N], cpos [N, S], clen [N, S],
+    delta [N, S], anchor [N] (anchor term index, group key only)."""
+    blocks, prow, qid, seg, lpos, llen, cpos, clen, delta, anchor = work
     if len(blocks) == 0:
         return []
     num_prows = len(qw_table) - 1
     S = n_partners
+    npr = fused.pos_rows
 
-    def make_chunk(rung, sel_idx, lo):
-        cap_pos, crows, tiers, G = rung
-        hi = min(lo + tiers[-1], len(sel_idx))
+    (base, mask, prow_g, amin, amax, cmin, cmax, lpos8, llen8, cpos8,
+     clen8, io, order, starts, gidx) = _phrase_groups(
+        blocks, prow, anchor, lpos, llen, cpos, clen, npr
+    )
+    qid_g, seg_g = qid[io], seg[io]
+    delta_g = delta[io]  # same query per group => same deltas
+
+    # rung need: aligned slab rows for the anchor span and each partner span
+    def rows_needed(lo, hi):
+        r0 = (lo // 128) & ~7
+        return -(-(hi - r0 * 128) // 128)
+
+    need = rows_needed(amin, amax)
+    for s in range(S):
+        need = np.maximum(need, rows_needed(cmin[:, s], cmax[:, s]))
+
+    # groups too fat for the widest rung split into singleton groups (each
+    # block fits the widest rung by the planner's per-block caps)
+    max_rows = _PHRASE_RUNGS[-1][0]
+    fat = need > max_rows
+    if fat.any():
+        fat_members = fat[gidx]  # in `order` order
+        sel = order[fat_members]
+        s_base = (blocks[sel] // 8) * 8
+        s_mask = np.int64(1) << (blocks[sel] % 8)
+        keep = ~fat
+        base = np.concatenate([base[keep], s_base])
+        mask = np.concatenate([mask[keep], s_mask])
+        prow_g = np.concatenate([prow_g[keep], prow[sel]])
+        qid_g = np.concatenate([qid_g[keep], qid[sel]])
+        seg_g = np.concatenate([seg_g[keep], seg[sel]])
+        delta_g = np.concatenate([delta_g[keep], delta[sel]])
+        r = (blocks[sel] % 8).astype(np.int64)
+        n_s = len(sel)
+        sl_lpos8 = np.zeros((n_s, 8), dtype=np.int64)
+        sl_llen8 = np.zeros((n_s, 8), dtype=np.int64)
+        sl_lpos8[np.arange(n_s), r] = lpos[sel]
+        sl_llen8[np.arange(n_s), r] = llen[sel]
+        sl_cpos8 = np.zeros((n_s, 8, S), dtype=np.int64)
+        sl_clen8 = np.zeros((n_s, 8, S), dtype=np.int64)
+        sl_cpos8[np.arange(n_s), r] = cpos[sel]
+        sl_clen8[np.arange(n_s), r] = clen[sel]
+        lpos8 = np.concatenate([lpos8[keep], sl_lpos8])
+        llen8 = np.concatenate([llen8[keep], sl_llen8])
+        cpos8 = np.concatenate([cpos8[keep], sl_cpos8])
+        clen8 = np.concatenate([clen8[keep], sl_clen8])
+        amin = np.concatenate([amin[keep], lpos[sel]])
+        amax = np.concatenate([amax[keep], lpos[sel] + llen[sel]])
+        cmin = np.concatenate([cmin[keep], cpos[sel]])
+        cmax = np.concatenate([cmax[keep], cpos[sel] + clen[sel]])
+        need = np.concatenate(
+            [need[keep],
+         np.maximum(
+                rows_needed(lpos[sel], lpos[sel] + llen[sel]),
+                np.max(
+                    rows_needed(cpos[sel], cpos[sel] + clen[sel]),
+                    axis=1, initial=1,
+                ),
+            )]
+        )
+
+    # canonical tier level across rungs (see pallas_probe.launch_fused_bool)
+    per_rung = []
+    prev = 0
+    for rows, tiers in _PHRASE_RUNGS:
+        sel = np.nonzero((need > prev) & (need <= rows))[0]
+        prev = rows
+        per_rung.append([rows, tiers, sel, 0])
+    n_levels = max(len(t) for _, t in _PHRASE_RUNGS)
+    level = 0
+    for rows, tiers, sel, _ in per_rung:
+        nsel = len(sel)
+        needl = next((i for i, w in enumerate(tiers) if nsel <= w),
+                     len(tiers) - 1)
+        level = max(level, needl)
+    level = min(level, n_levels - 1)
+
+    def make_chunk(rows, tiers, sel_idx, lo):
+        RR = rows
+        W = tiers[min(level, len(tiers) - 1)]
+        hi = min(lo + W, len(sel_idx))
         n = hi - lo
-        W = phrase_w_tier(tiers, max(n, 1))
         idx = sel_idx[lo:hi]
-        b_pad = np.zeros(W, dtype=np.int32)
-        p_pad = np.full(W, num_prows, dtype=np.int32)
+        G = _g_items_phrase(RR, S)
+        STRIDE, R = _phrase_scal_layout(S, G)
+        A = 4 + 2 * S
+        rows_sc = np.zeros((W, STRIDE), dtype=np.int64)
+        rows_sc[:, 1] = num_prows
+        if n:
+            arow0 = np.clip((amin[idx] // 128) & ~7, 0, npr - RR)
+            rows_sc[:n, 0] = base[idx]
+            rows_sc[:n, 1] = prow_g[idx]
+            rows_sc[:n, 2] = mask[idx]
+            rows_sc[:n, 3] = arow0
+            loff = lpos8[idx] - arow0[:, None] * 128
+            rows_sc[:n, A:A + 8] = np.where(llen8[idx] > 0, loff, 0)
+            rows_sc[:n, A + 8:A + 16] = llen8[idx]
+            for s in range(S):
+                crow0 = np.clip((cmin[idx, s] // 128) & ~7, 0, npr - RR)
+                rows_sc[:n, 4 + 2 * s] = crow0
+                rows_sc[:n, 5 + 2 * s] = delta_g[idx, s]
+                poff = cpos8[idx, :, s] - crow0[:, None] * 128
+                rows_sc[:n, A + 16 + 16 * s:A + 24 + 16 * s] = np.where(
+                    clen8[idx, :, s] > 0, poff, 0
+                )
+                rows_sc[:n, A + 24 + 16 * s:A + 32 + 16 * s] = \
+                    clen8[idx, :, s]
         q_pad = np.full(W, num_queries, dtype=np.int32)
         s_pad = np.zeros(W, dtype=np.int32)
-        lp_pad = np.zeros(W, dtype=np.int32)
-        ll_pad = np.zeros(W, dtype=np.int32)
-        cp_pad = np.zeros((W, S), dtype=np.int32)
-        cl_pad = np.zeros((W, S), dtype=np.int32)
-        dl_pad = np.zeros((W, S), dtype=np.int32)
-        b_pad[:n] = blocks[idx]
-        p_pad[:n] = prow[idx]
-        q_pad[:n] = qid[idx]
-        s_pad[:n] = seg[idx]
-        lp_pad[:n] = lpos[idx]
-        ll_pad[:n] = llen[idx]
-        cp_pad[:n] = cpos[idx]
-        cl_pad[:n] = clen[idx]
-        dl_pad[:n] = delta[idx]
-        G_ = G
-        P = W // G_
-        STRIDE, SPR, R = _phrase_scal_layout(S, G_)
-        rows = np.zeros((W, STRIDE), dtype=np.int32)
-        rows[:, 0] = b_pad
-        rows[:, 1] = p_pad
-        rows[:, 2] = lp_pad
-        rows[:, 3] = ll_pad
-        for s in range(S):
-            rows[:, 4 + 3 * s] = cp_pad[:, s]
-            rows[:, 5 + 3 * s] = cl_pad[:, s]
-            rows[:, 6 + 3 * s] = dl_pad[:, s]
-        flat = rows.reshape(P, G_ * STRIDE)
-        flat = np.pad(flat, ((0, 0), (0, R * 128 - G_ * STRIDE)))
+        q_pad[:n] = qid_g[idx]
+        s_pad[:n] = seg_g[idx]
+        P = W // G
+        flat = rows_sc.astype(np.int32).reshape(P, G * STRIDE)
+        flat = np.pad(flat, ((0, 0), (0, R * 128 - G * STRIDE)))
         scal = flat.reshape(P, R, 128)
-        return (W, crows, G_), jnp.asarray(scal), jnp.asarray(q_pad), \
+        return (W, RR, G), jnp.asarray(scal), jnp.asarray(q_pad), \
             jnp.asarray(s_pad), hi
 
     qw_dev = jnp.asarray(qw_table)
@@ -436,7 +546,7 @@ def launch_fused_phrase(
             tuple(c[1] for c in chunks),
             tuple(c[2] for c in chunks),
             tuple(c[3] for c in chunks),
-            qw_dev, fused.cstore, fused.pstore, fused.ostore,
+            qw_dev, fused.cstore, fused.postore,
             k=k, num_queries=num_queries, num_prows=num_prows,
             n_partners=S, rungs=tuple(c[0] for c in chunks),
             interpret=interpret,
@@ -444,18 +554,14 @@ def launch_fused_phrase(
 
     outs = []
     first = []
-    leftovers = []
-    prev_cap = -1
-    for rung in _PHRASE_RUNGS:
-        sel = np.nonzero((span > prev_cap) & (span <= rung[0]))[0]
-        prev_cap = rung[0]
-        chunk = make_chunk(rung, sel, 0)
+    for r in per_rung:
+        chunk = make_chunk(r[0], r[1], r[2], 0)
+        r[3] = chunk[4]
         first.append(chunk)
-        leftovers.append((rung, sel, chunk[4]))
     outs.append(launch(first))
-    for rung, sel, done in leftovers:
-        while done < len(sel):
-            chunk = make_chunk(rung, sel, done)
-            done = chunk[4]
+    for r in per_rung:
+        while r[3] < len(r[2]):
+            chunk = make_chunk(r[0], r[1], r[2], r[3])
+            r[3] = chunk[4]
             outs.append(launch([chunk]))
     return outs

@@ -465,28 +465,360 @@ def pallas_bool_topk(
 
 
 # ---------------------------------------------------------------------------
+# masked 8-run GROUP kernel: one work item covers up to 8 consecutive cstore
+# rows (the lane DMA's natural granularity) of ONE clause region, with an
+# 8-bit member mask gating which rows may report. One lane DMA + one unioned
+# window DMA per clause serves all members, cutting the fixed per-item cost
+# (DMA issue/wait + scalar setup, ~2us/item on this backend) by up to 8x —
+# the round-3 OR/phrase bottleneck was ~900k single-block items/batch.
+#
+# Exactness: a group's per-clause window is the UNION of its members' planned
+# windows, so every member row probes a superset of its single-item window
+# (probe windows only need to COVER the member's overlap — extra leading or
+# trailing rows hold same-region blocks with disjoint doc ranges that can
+# never spuriously match). Masked-off rows are never reported, so grouping
+# introduces no new duplicate-report sources and k_eff accounting is
+# unchanged from the single-block plan.
+
+
+def _grp_scal_layout(n_clauses: int, G: int):
+    """Per-item contiguous scalar slots for the group kernel (pow2 stride so
+    addressing lowers to shifts): 0=row_base (8-aligned), 1=prow, 2=lcl,
+    3=member mask, 4+t=jlo_t, 4+T+t=wid_t."""
+    slots = 4 + 2 * n_clauses
+    stride = 8
+    while stride < slots:
+        stride *= 2
+    spr = 128 // stride
+    rows = -(-G // spr)
+    return stride, spr, rows
+
+
+def _grp_kw8(kw: int) -> int:
+    """Fetched window rows for a group rung: exactly kw (no +8 slack —
+    group widths are measured from the 8-aligned unioned window start, and
+    the store-end clamp keeps width' = i1 - j_clamped <= kw because region
+    ends never exceed the padded store: i1 <= nbp and j_clamped = nbp - kw)."""
+    return max((kw + 7) & ~7, 8)
+
+
+def _g_items_grp(kw: int, n_clauses: int) -> int:
+    """Group items per grid program under a ~3.5MB VMEM window budget
+    (win_buf = G * T * kw8 * 256 * 4 bytes — windows fetch docs|tfs only)."""
+    kw8 = _grp_kw8(kw)
+    budget = 3_500_000
+    g = budget // (max(n_clauses, 1) * kw8 * 256 * 4)
+    for cand in (64, 32, 16, 8):
+        if cand <= g:
+            return cand
+    return 4
+
+
+def _grp_kernel_body(n_clauses: int, kw: int, num_prows: int, G: int):
+    STRIDE, SPR, R = _grp_scal_layout(n_clauses, G)
+    kw8 = _grp_kw8(kw)
+
+    def kernel(
+        cl_w_ref,      # [Pp * T] f32 (scalar prefetch, flattened)
+        cl_kind_ref,   # [Pp * T] i32
+        cl_start_ref,  # [Pp * T] i32
+        cl_len_ref,    # [Pp * T] i32
+        cl_ship_ref,   # [Pp * T] i32
+        req_m_ref,     # [Pp] i32
+        req_s_ref,     # [Pp] i32
+        scal_hbm,      # [P, R, 128] i32 (HBM) per-item packed scalars
+        cstore_ref,    # [NB, 384] u32 (HBM)
+        scores_ref,    # out [G*8, 128] f32 (VMEM)
+        docs_ref,      # out [G*8, 128] u32 (VMEM)
+        lane_buf,      # scratch VMEM [G, 8, 384] u32
+        win_buf,       # scratch VMEM [G, T, kw8, 256] u32
+        scal_ref,      # scratch SMEM [1, R, 128] i32
+        sems,          # DMA sems [G, 1 + T]
+        scal_sem,
+    ):
+        cp = pltpu.make_async_copy(
+            scal_hbm.at[pl.ds(pl.program_id(0), 1)], scal_ref, scal_sem
+        )
+        cp.start()
+        cp.wait()
+
+        def it(g, k):
+            return scal_ref[0, g // SPR, (g % SPR) * STRIDE + k]
+
+        def lane_dma(g):
+            b8 = pl.multiple_of(it(g, 0), 8)
+            return pltpu.make_async_copy(
+                cstore_ref.at[pl.ds(b8, 8)], lane_buf.at[g], sems.at[g, 0]
+            )
+
+        def win_dma(g, t, j):
+            j8 = pl.multiple_of(jnp.maximum(j, 0), 8)
+            return pltpu.make_async_copy(
+                cstore_ref.at[pl.ds(j8, kw8), pl.ds(0, 256)],
+                win_buf.at[g, t],
+                sems.at[g, 1 + t],
+            )
+
+        def start_g(g, _):
+            mask = it(g, 3)
+
+            @pl.when(mask != 0)  # fully-masked items are list padding
+            def _():
+                lane_dma(g).start()
+                for t in range(n_clauses):
+                    j = it(g, 4 + t)
+
+                    @pl.when(j >= 0)
+                    def _(j=j):
+                        win_dma(g, t, j).start()
+            return 0
+
+        jax.lax.fori_loop(0, G, start_g, 0)
+
+        def compute_g(g, _):
+            q = it(g, 1)
+            cl = it(g, 2)
+            mask = it(g, 3)
+            js = [it(g, 4 + t) for t in range(n_clauses)]
+            wids = [it(g, 4 + n_clauses + t) for t in range(n_clauses)]
+
+            @pl.when(mask != 0)
+            def _():
+                lane_dma(g).wait()
+                for t in range(n_clauses):
+                    @pl.when(js[t] >= 0)
+                    def _(t=t):
+                        win_dma(g, t, js[t]).wait()
+
+            req_m = req_m_ref[q]
+            req_s = req_s_ref[q]
+
+            for r8 in range(8):
+                bit = (mask >> r8) & 1
+
+                @pl.when(bit == 0)
+                def _(g=g, r8=r8):
+                    scores_ref[pl.ds(g * 8 + r8, 1), :] = jnp.full(
+                        (1, 128), NEG_INF, dtype=jnp.float32
+                    )
+                    docs_ref[pl.ds(g * 8 + r8, 1), :] = jnp.full(
+                        (1, 128), jnp.uint32(TERMINATED), dtype=jnp.uint32
+                    )
+
+                @pl.when(bit != 0)
+                def _(g=g, r8=r8):
+                    row = lane_buf[g, pl.ds(r8, 1), :]     # [1, 384] u32
+                    docs_row = row[:, 0:128]
+                    tfs_row = row[:, 128:256]
+                    cachev = pltpu.bitcast(row[:, 256:384], jnp.float32)
+                    lane_ok = (
+                        (docs_row != jnp.uint32(TERMINATED))
+                        & jnp.logical_not(jnp.isnan(cachev))
+                        & (q < num_prows)
+                    )
+                    score = jnp.zeros((1, 128), dtype=jnp.float32)
+                    cnt_must = jnp.zeros((1, 128), dtype=jnp.int32)
+                    cnt_should = jnp.zeros((1, 128), dtype=jnp.int32)
+                    has_not = jnp.zeros((1, 128), dtype=jnp.bool_)
+                    primary = jnp.full((1, 128), T_MAX + 1, dtype=jnp.int32)
+                    docs_col = docs_row.reshape(128, 1)
+                    for t in range(n_clauses):
+                        s = cl_start_ref[q * n_clauses + t]
+                        n = cl_len_ref[q * n_clauses + t]
+                        j = js[t]
+                        if kw <= 8:
+                            # narrow rung: the whole unioned overlap sits
+                            # statically in rows [0, kw) of the window (see
+                            # _bool_kernel_body's narrow-path comment)
+                            RW = kw if kw >= 2 else 2
+                            wd_c = win_buf[g, t, 0:RW, 0:128]
+                            wt_c = win_buf[g, t, 0:RW, 128:256]
+                            roff = jax.lax.broadcasted_iota(
+                                jnp.int32, (RW, 1), 0
+                            ) + j
+                            row_ok = (j >= 0) & (roff >= s) & (roff < s + n)
+                            wd = jnp.where(
+                                row_ok, wd_c, jnp.uint32(0xFFFFFFFF)
+                            ).reshape(1, RW * 128)
+                            wt = wt_c.reshape(1, RW * 128).astype(jnp.int32)
+                            eq = wd == docs_col
+                            found = jnp.any(eq, axis=1).reshape(1, 128)
+                            tf_probe = jnp.sum(
+                                jnp.where(
+                                    eq,
+                                    jnp.broadcast_to(wt, (128, RW * 128)),
+                                    jnp.int32(0),
+                                ),
+                                axis=1,
+                            ).reshape(1, 128)
+                        else:
+                            rows_used = jnp.where(
+                                j >= 0,
+                                jnp.clip(
+                                    jnp.minimum(s + n - j, wids[t]), 0, kw8
+                                ),
+                                0,
+                            )
+
+                            def win_chunk(cc, carry, t=t, s=s, n=n, j=j):
+                                found, tf_probe = carry
+                                c0 = pl.multiple_of(cc * 8, 8)
+                                wd_c = win_buf[g, t, pl.ds(c0, 8), 0:128]
+                                wt_c = win_buf[g, t, pl.ds(c0, 8), 128:256]
+                                roff = jax.lax.broadcasted_iota(
+                                    jnp.int32, (8, 1), 0
+                                ) + (j + cc * 8)
+                                row_ok = (roff >= s) & (roff < s + n)
+                                wd = jnp.where(
+                                    row_ok, wd_c, jnp.uint32(0xFFFFFFFF)
+                                ).reshape(1, 8 * 128)
+                                wt = wt_c.reshape(1, 8 * 128).astype(
+                                    jnp.int32
+                                )
+                                eq = wd == docs_col
+                                found = found | jnp.any(
+                                    eq, axis=1
+                                ).reshape(1, 128).astype(jnp.int32)
+                                tf_probe = tf_probe + jnp.sum(
+                                    jnp.where(
+                                        eq,
+                                        jnp.broadcast_to(wt, (128, 8 * 128)),
+                                        jnp.int32(0),
+                                    ),
+                                    axis=1,
+                                ).reshape(1, 128)
+                                return found, tf_probe
+
+                            found_i, tf_probe = jax.lax.fori_loop(
+                                0, (rows_used + 7) // 8, win_chunk,
+                                (
+                                    jnp.zeros((1, 128), dtype=jnp.int32),
+                                    jnp.zeros((1, 128), dtype=jnp.int32),
+                                ),
+                            )
+                            found = found_i > 0
+                        own = cl == t
+                        presence = found | own
+                        tf_t = jnp.where(
+                            own, tfs_row.astype(jnp.int32), tf_probe
+                        ).astype(jnp.float32)
+                        kind = cl_kind_ref[q * n_clauses + t]
+                        contrib = cl_w_ref[q * n_clauses + t] * exact_div(
+                            tf_t, tf_t + cachev
+                        )
+                        positive = presence & (
+                            (kind == KIND_MUST) | (kind == KIND_SHOULD)
+                        )
+                        score = score + jnp.where(
+                            positive, contrib, jnp.float32(0.0)
+                        )
+                        cnt_must = cnt_must + (
+                            presence & (kind == KIND_MUST)
+                        ).astype(jnp.int32)
+                        cnt_should = cnt_should + (
+                            presence & (kind == KIND_SHOULD)
+                        ).astype(jnp.int32)
+                        has_not = has_not | (
+                            presence & (kind == KIND_MUST_NOT)
+                        )
+                        is_prim = (
+                            presence
+                            & (cl_ship_ref[q * n_clauses + t] > 0)
+                            & (primary > T_MAX)
+                        )
+                        primary = jnp.where(is_prim, jnp.int32(t), primary)
+
+                    ok = (
+                        lane_ok
+                        & (cl <= primary)
+                        & (cnt_must >= req_m)
+                        & (cnt_should >= req_s)
+                        & jnp.logical_not(has_not)
+                    )
+                    scores_ref[pl.ds(g * 8 + r8, 1), :] = jnp.where(
+                        ok, score, NEG_INF
+                    )
+                    docs_ref[pl.ds(g * 8 + r8, 1), :] = docs_row
+            return 0
+
+        jax.lax.fori_loop(0, G, compute_g, 0)
+
+    return kernel
+
+
+def _grp_rows(
+    scal, cl_weight, cl_kind, cl_start, cl_len, cl_shipped, req_must,
+    req_should, cstore, *, n_clauses: int, kw: int, num_prows: int, G: int,
+    W: int, interpret: bool,
+):
+    """Run the GROUP probe kernel over one rung's packed scalars; returns
+    raw (scores [W*8, 128], docs [W*8, 128])."""
+    kernel = _grp_kernel_body(n_clauses, kw, num_prows, G)
+    cl_weight = cl_weight.reshape(-1)
+    cl_kind = cl_kind.reshape(-1)
+    cl_start = cl_start.reshape(-1)
+    cl_len = cl_len.reshape(-1)
+    cl_shipped = cl_shipped.reshape(-1)
+    P = W // G
+    kw8 = _grp_kw8(kw)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=7,
+        grid=(P,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.HBM),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=[
+            pl.BlockSpec((G * 8, 128), lambda i, *_: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((G * 8, 128), lambda i, *_: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((G, 8, 384), jnp.uint32),
+            pltpu.VMEM((G, n_clauses, kw8, 256), jnp.uint32),
+            pltpu.SMEM(
+                (1, _grp_scal_layout(n_clauses, G)[2], 128), jnp.int32
+            ),
+            pltpu.SemaphoreType.DMA((G, 1 + n_clauses)),
+            pltpu.SemaphoreType.DMA,
+        ],
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((W * 8, 128), jnp.float32),
+            jax.ShapeDtypeStruct((W * 8, 128), jnp.uint32),
+        ],
+        interpret=interpret,
+    )(
+        cl_weight, cl_kind, cl_start, cl_len, cl_shipped, req_must,
+        req_should, scal, cstore,
+    )
+
+
+# ---------------------------------------------------------------------------
 # fused multi-rung launch: every (segment, field) x every window rung of a
 # batch phase in ONE jit program -> one launch + one fetch (the remoted
 # backend charges ~26ms/launch + ~28ms/fetch regardless of size)
 
-#: (kw, max chunk) rungs for the fused path; per-rung W tiers keep the
-#: compiled shape set small while letting small batches ride small shapes.
-#: (G must stay >= 8 — pallas output blocks need 8-divisible rows — and the
-#: win_buf scratch is G x T x kw8 x 384 x 4 bytes, so the widest rung shrinks
-#: as the clause bucket grows; wider windows are handled by the planner's
-#: explosion / probe-skip plans, or counted host fallbacks.)
-_FUSED_RUNGS = (2, 8, 64)        # T <= 8: up to 14MB win_buf at kw=64,T=8
-_FUSED_RUNGS_WIDE = (8, 32)      # T <= 16: kw=32 -> kw8=40 -> 7.9MB win_buf
-_FUSED_W_TIERS = {
-    2: (256, 4096, 65536),
-    8: (256, 4096, 65536),
-    32: (256, 8192),
-    64: (256, 8192),
+#: window rungs (fetched rows per clause window) for the fused GROUP path.
+#: W tiers are in GROUP items (a group = up to 8 blocks); the tier LEVEL is
+#: canonicalized per launch (one level for all rungs) so the compiled
+#: rungs-tuple set stays tiny across batch compositions.
+_GRP_RUNGS = (8, 16, 64)         # T <= 8
+_GRP_RUNGS_WIDE = (8, 32)        # T <= 16 (VMEM: win_buf scales with T)
+_GRP_W_TIERS = {
+    8: (256, 2048, 32768),
+    16: (256, 2048, 32768),
+    32: (256, 2048, 8192),
+    64: (256, 2048, 8192),
 }
 
 
 def fused_rungs(n_clauses: int) -> tuple:
-    return _FUSED_RUNGS if n_clauses <= 8 else _FUSED_RUNGS_WIDE
+    return _GRP_RUNGS if n_clauses <= 8 else _GRP_RUNGS_WIDE
 
 
 def fused_kw_max(n_clauses: int) -> int:
@@ -496,13 +828,6 @@ def fused_kw_max(n_clauses: int) -> int:
     return fused_rungs(n_clauses)[-1]
 
 
-def fused_w_tier(kw: int, n: int) -> int:
-    for w in _FUSED_W_TIERS[kw]:
-        if n <= w:
-            return w
-    return _FUSED_W_TIERS[kw][-1]
-
-
 @functools.partial(
     jax.jit,
     static_argnames=(
@@ -510,9 +835,9 @@ def fused_w_tier(kw: int, n: int) -> int:
     ),
 )
 def fused_bool_topk(
-    rung_scal,   # tuple of [P, 8, 128] i32 packed per-item scalars
-    rung_qid,    # tuple of [W] i32 (query id per item, for the merge tail)
-    rung_seg,    # tuple of [W] i32 (segment ord per item)
+    rung_scal,   # tuple of [P, R, 128] i32 packed per-group scalars
+    rung_qid,    # tuple of [W] i32 (query id per GROUP, for the merge tail)
+    rung_seg,    # tuple of [W] i32 (segment ord per group)
     cl_weight,   # [Pp, T] f32 — plan-row tables (one row per (query, seg))
     cl_kind,     # [Pp, T] i32
     cl_start,    # [Pp, T] i32 — GLOBAL fused block units
@@ -528,9 +853,10 @@ def fused_bool_topk(
     rungs: tuple,    # ((W, kw, G), ...)
     interpret: bool = False,
 ):
-    """One launch for a whole batch phase: one probe pallas_call per rung,
-    then a single cross-rung cross-segment top-k merge tail. Returns packed
-    [3, Q, k] (score bits | doc | seg)."""
+    """One launch for a whole batch phase: one GROUP probe pallas_call per
+    rung (each group item yields 8 candidate rows), then a single cross-rung
+    cross-segment top-k merge tail. Returns packed [3, Q, k]
+    (score bits | doc | seg)."""
     row_sc, row_doc, row_qid, row_seg = [], [], [], []
     kk = min(k, 128)
     token = None  # chains rung kernels so their scoped SMEM doesn't overlap
@@ -539,7 +865,7 @@ def fused_bool_topk(
     ):
         if token is not None:
             scal = scal + token
-        scores, docs = _probe_rows(
+        scores, docs = _grp_rows(
             scal, cl_weight, cl_kind, cl_start, cl_len, cl_shipped,
             req_must, req_should, cstore, n_clauses=n_clauses, kw=kw,
             num_prows=num_prows, G=G, W=W, interpret=interpret,
@@ -548,8 +874,8 @@ def fused_bool_topk(
         sc, idx = jax.lax.top_k(scores, kk)
         row_sc.append(sc)
         row_doc.append(jnp.take_along_axis(docs, idx, axis=1))
-        row_qid.append(qid)
-        row_seg.append(seg)
+        row_qid.append(jnp.repeat(qid, 8))
+        row_seg.append(jnp.repeat(seg, 8))
     return pack_results_seg(
         *per_query_topk_rows_seg(
             jnp.concatenate(row_sc),
@@ -562,68 +888,179 @@ def fused_bool_topk(
     )
 
 
+_I64MAX = np.iinfo(np.int64).max
+
+
+def _group_work(blocks, prow, clause, qid, seg, jlo_all, wid_all, groupable,
+                kw_max: int):
+    """Collapse per-block work items into masked 8-run GROUP items.
+
+    Groupable items sharing (prow, clause, block//8) merge: member mask ORs,
+    per-clause windows union (members with jlo=-1 contribute nothing; all -1
+    => group jlo -1). Non-groupable items (slice plans with intentionally
+    partial windows) and groups whose unioned width exceeds `kw_max` are
+    emitted as singleton groups (their per-item windows fit a rung by
+    planner construction). Returns (base, mask, prow, clause, qid, seg,
+    jlo [N,T], wid [N,T], eff)."""
+    T = jlo_all.shape[1]
+
+    def finalize(base, mask, p, c, q, s, jlo, wid):
+        eff = wid.max(axis=1) if T else np.zeros(len(base), dtype=np.int64)
+        return base, mask, p, c, q, s, jlo, wid, eff
+
+    def singles(sel):
+        b = blocks[sel]
+        jlo = jlo_all[sel].astype(np.int64)
+        # rung selection reads wid.max(axis=1): zero skipped (-1) columns so
+        # a skip row's (intentionally unprobed) wide width can't bust a rung
+        wid = np.where(jlo >= 0, wid_all[sel].astype(np.int64), 0)
+        return (
+            (b // 8) * 8, np.int64(1) << (b % 8), prow[sel], clause[sel],
+            qid[sel], seg[sel], jlo, wid,
+        )
+
+    parts = []
+    ng = ~groupable
+    if ng.any():
+        parts.append(singles(ng))
+    gsel = groupable
+    if gsel.any():
+        b = blocks[gsel]
+        run = b // 8
+        key = (
+            prow[gsel].astype(np.int64) * (T_MAX + 1) + clause[gsel]
+        ) * (1 << 28) + run
+        order = np.argsort(key, kind="stable")
+        _, starts = np.unique(key[order], return_index=True)
+        bo = b[order]
+        mask = np.bitwise_or.reduceat(
+            np.int64(1) << (bo % 8), starts
+        )
+        base = (bo[starts] // 8) * 8
+        io = order[starts]
+        p_g, c_g = prow[gsel][io], clause[gsel][io]
+        q_g, s_g = qid[gsel][io], seg[gsel][io]
+        jlo_m = jlo_all[gsel][order].astype(np.int64)
+        wid_m = wid_all[gsel][order].astype(np.int64)
+        n_g = len(starts)
+        jlo_g = np.full((n_g, T), -1, dtype=np.int64)
+        wid_g = np.zeros((n_g, T), dtype=np.int64)
+        for t in range(T):
+            has = jlo_m[:, t] >= 0
+            jt = np.where(has, jlo_m[:, t], _I64MAX)
+            i1 = np.where(has, jlo_m[:, t] + wid_m[:, t], np.int64(-1))
+            jmin = np.minimum.reduceat(jt, starts)
+            imax = np.maximum.reduceat(i1, starts)
+            gj = np.where(jmin == _I64MAX, np.int64(-1), jmin)
+            jlo_g[:, t] = gj
+            wid_g[:, t] = np.where(gj >= 0, imax - jmin, 0)
+        # unioned window busts the widest rung -> demote to singletons
+        wide = wid_g.max(axis=1, initial=0) > kw_max
+        if wide.any():
+            wide_keys = set(key[order][starts[wide]].tolist())
+            item_wide = np.isin(key, np.fromiter(wide_keys, dtype=np.int64))
+            idx_w = np.nonzero(gsel)[0][item_wide]
+            selw = np.zeros(len(blocks), dtype=bool)
+            selw[idx_w] = True
+            parts.append(singles(selw))
+            keep = ~wide
+            parts.append(
+                (base[keep], mask[keep], p_g[keep], c_g[keep], q_g[keep],
+                 s_g[keep], jlo_g[keep], wid_g[keep])
+            )
+        else:
+            parts.append((base, mask, p_g, c_g, q_g, s_g, jlo_g, wid_g))
+    return finalize(
+        np.concatenate([p[0] for p in parts]),
+        np.concatenate([p[1] for p in parts]),
+        np.concatenate([p[2] for p in parts]),
+        np.concatenate([p[3] for p in parts]),
+        np.concatenate([p[4] for p in parts]),
+        np.concatenate([p[5] for p in parts]),
+        np.concatenate([p[6] for p in parts]),
+        np.concatenate([p[7] for p in parts]),
+    )
+
+
 def launch_fused_bool(
     fused, work, tables, k: int, num_queries: int, interpret: bool,
 ) -> list:
-    """Assemble per-rung scalar packs from the planner's work list and issue
-    ONE fused launch.
+    """Assemble per-rung GROUP scalar packs from the planner's work list and
+    issue ONE fused launch.
 
     `work` = (blocks [N], prow [N], clause [N], width [N], qid [N], seg [N],
-    jlo [N, T], wid [N, T]) numpy arrays — the planner supplies each item's
-    per-clause window start (and per-clause overlap width, the kernel's
-    dynamic probe bound) directly (8-aligned; -1 = skip that clause's probe), which
-    is how window SLICING works: sliced items share a block but carry
-    different window starts. `tables` = dict of plan-row tables
-    (cl_* [P+1, T], req_*). `k` may be inflated by the planner (k_eff) when
-    skipped probes / slice overlap can double-report docs.
-    Returns [packed [3, Q, k]] (a one-element pending list) or [] if empty.
-    """
-    blocks, prow, clause, width, qid, seg, jlo_all, wid_all = work
+    jlo [N, T], wid [N, T], groupable [N]) numpy arrays — the planner
+    supplies each item's per-clause window start (8-aligned; -1 = skip that
+    clause's probe) and overlap width. Consecutive groupable items collapse
+    into masked 8-run groups (see `_group_work`); slice-plan items keep their
+    intentionally partial windows as singleton groups. `tables` = dict of
+    plan-row tables (cl_* [P+1, T], req_*). `k` may be inflated by the
+    planner (k_eff) when skipped probes / slice overlap can double-report
+    docs. Returns [packed [3, Q, k]] or [] if empty."""
+    blocks, prow, clause, width, qid, seg, jlo_all, wid_all, groupable = work
     n_items = len(blocks)
     if n_items == 0:
         return []
     T = tables["cl_weight"].shape[1]
     num_prows = tables["cl_weight"].shape[0] - 1
     nbp = -(-fused.num_blocks // 8) * 8
+    rungs_t = fused_rungs(T)
 
-    # bucket per rung, clamping window starts so the kw8-row DMA stays
-    # in bounds (8-aligned; -1 skip sentinels pass through)
+    base, mask, g_prow, g_cl, g_qid, g_seg, g_jlo, g_wid, eff = _group_work(
+        blocks, prow, clause, qid, seg, jlo_all, wid_all, groupable,
+        rungs_t[-1],
+    )
+
+    # bucket per rung, clamping window starts so the kw8-row DMA stays in
+    # bounds (8-aligned; -1 skip sentinels pass through). Clamp shifts keep
+    # width' <= kw8 because region ends never exceed the padded store.
     per_rung = []
     prev_kw = -1
-    for kw in fused_rungs(T):
-        sel = (width > prev_kw) & (width <= kw)
+    for kw in rungs_t:
+        sel = (eff > prev_kw) & (eff <= kw)
         prev_kw = kw
-        b_s, p_s, c_s, q_s, s_s = (
-            blocks[sel], prow[sel], clause[sel], qid[sel], seg[sel],
-        )
-        kw8 = _kw8(kw)
+        kw8 = _grp_kw8(kw)
         hi = (max(nbp - kw8, 0) // 8) * 8
-        j_orig = jlo_all[sel].astype(np.int32)
+        j_orig = g_jlo[sel].astype(np.int32)
         j_s = np.where(j_orig < 0, np.int32(-1), np.minimum(j_orig, hi))
-        # when the bounds clamp moves a window start earlier, the overlap
-        # sits deeper into the fetched window — extend the probe bound by
-        # the shift so the dynamic row loop still covers it
-        w_s = wid_all[sel].astype(np.int32) + np.where(
+        w_s = g_wid[sel].astype(np.int32) + np.where(
             j_orig < 0, np.int32(0), j_orig - j_s
         )
-        per_rung.append([kw, b_s, p_s, c_s, q_s, s_s, j_s, w_s, 0])
-    assert sum(len(r[1]) for r in per_rung) == n_items, \
-        "work item wider than the widest rung reached the launcher"
+        per_rung.append(
+            [kw, base[sel], mask[sel], g_prow[sel], g_cl[sel], g_qid[sel],
+             g_seg[sel], j_s, w_s, 0]
+        )
+    assert sum(len(r[1]) for r in per_rung) == len(base), \
+        "group item wider than the widest rung reached the launcher"
 
-    def make_chunk(kw, b_s, p_s, c_s, q_s, s_s, jlo, wid, lo):
-        hi = min(lo + _FUSED_W_TIERS[kw][-1], len(b_s))
+    # canonical tier LEVEL: one level for every rung per launch, so the
+    # compiled rungs-tuple set stays tiny (levels x single-rung follow-ups)
+    n_levels = max(len(_GRP_W_TIERS[kw]) for kw in rungs_t)
+    level = 0
+    for r in per_rung:
+        kw, n = r[0], len(r[1])
+        tiers = _GRP_W_TIERS[kw]
+        need = next((i for i, w in enumerate(tiers) if n <= w),
+                    len(tiers) - 1)
+        level = max(level, need)
+    level = min(level, n_levels - 1)
+
+    def make_chunk(kw, b_s, m_s, p_s, c_s, q_s, s_s, jlo, wid, lo):
+        tiers = _GRP_W_TIERS[kw]
+        W = tiers[min(level, len(tiers) - 1)]
+        hi = min(lo + W, len(b_s))
         n = hi - lo
-        W = fused_w_tier(kw, max(n, 1))
-        G = _g_items(kw, T)
+        G = _g_items_grp(kw, T)
         b_pad = np.zeros(W, dtype=np.int32)
+        m_pad = np.zeros(W, dtype=np.int32)
         p_pad = np.full(W, num_prows, dtype=np.int32)
         c_pad = np.zeros(W, dtype=np.int32)
         q_pad = np.full(W, num_queries, dtype=np.int32)
         s_pad = np.zeros(W, dtype=np.int32)
-        # padded items carry jlo -1 so their window DMAs are elided
         j_pad = np.full((W, T), -1, dtype=np.int32)
         w_pad = np.zeros((W, T), dtype=np.int32)
         b_pad[:n] = b_s[lo:hi]
+        m_pad[:n] = m_s[lo:hi]
         p_pad[:n] = p_s[lo:hi]
         c_pad[:n] = c_s[lo:hi]
         q_pad[:n] = q_s[lo:hi]
@@ -631,13 +1068,14 @@ def launch_fused_bool(
         j_pad[:n] = jlo[lo:hi]
         w_pad[:n] = wid[lo:hi]
         P = W // G
-        STRIDE, SPR, R = _bool_scal_layout(T, G)
+        STRIDE, SPR, R = _grp_scal_layout(T, G)
         rows = np.zeros((W, STRIDE), dtype=np.int32)
         rows[:, 0] = b_pad
         rows[:, 1] = p_pad
         rows[:, 2] = c_pad
-        rows[:, 3:3 + T] = j_pad
-        rows[:, 3 + T:3 + 2 * T] = w_pad
+        rows[:, 3] = m_pad
+        rows[:, 4:4 + T] = j_pad
+        rows[:, 4 + T:4 + 2 * T] = w_pad
         flat = rows.reshape(P, G * STRIDE)
         flat = np.pad(flat, ((0, 0), (0, R * 128 - G * STRIDE)))
         scal = flat.reshape(P, R, 128)
@@ -666,22 +1104,18 @@ def launch_fused_bool(
             n_clauses=T, rungs=rungs, interpret=interpret,
         )
 
-    # one chunk per rung per call: the static `rungs` tuple then only
-    # varies over per-rung TIER choices (a small bounded set), so changing
-    # batch compositions never trigger fresh compiles; overflow beyond a
-    # rung's top tier goes to follow-up single-rung calls (also stable)
     outs = []
     first = []
     for r in per_rung:
-        chunk = make_chunk(*r[:8], 0)
-        r[8] = chunk[4]
+        chunk = make_chunk(*r[:9], 0)
+        r[9] = chunk[4]
         first.append(chunk)
     outs.append(launch(first))
     for r in per_rung:
         b_s = r[1]
-        while r[8] < len(b_s):
-            chunk = make_chunk(*r[:8], r[8])
-            r[8] = chunk[4]
+        while r[9] < len(b_s):
+            chunk = make_chunk(*r[:9], r[9])
+            r[9] = chunk[4]
             outs.append(launch([chunk]))
     return outs
 

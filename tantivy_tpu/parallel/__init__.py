@@ -30,6 +30,14 @@ _RATCHET_MIN_PER_Q = 16
 _RATCHET_TOP_PER_Q = 8
 
 
+def _k_eff_tb(g, Tb: int, k: int) -> int:
+    """Per-row-top-k width: quantized to TWO values per (Tb, k) — plain
+    rows use k; any dup-capable plan (skipped probes or sliced windows, up
+    to Tb reporters per doc) uses min(Tb*k, 128). Fewer distinct k_eff
+    values = fewer compiled merge-tail shapes (warmup)."""
+    return min(k * (Tb if (g["any_skip"] or g["any_dup"]) else 1), 128)
+
+
 def _m1() -> int:
     """Phase-1 candidate blocks per (query, segment): more phase-1 work
     buys tighter thresholds and a smaller phase 2 (overridable for
@@ -585,11 +593,15 @@ class BatchExecutor:
         fb[kind] = fb.get(kind, 0) + 1
 
     @staticmethod
-    def _prow_tier(n: int) -> int:
-        for t in (32, 128, 512, 2048, 8192, 32768):
-            if n <= t:
-                return t
-        return n
+    def _prow_tier(n: int, Tb: int = 2) -> int:
+        """Plan-row table tier. ONE value per clause bucket (not a ladder):
+        plan rows are capped at 4096 by sub-batching, so a fixed tier makes
+        every corpus/batch hit the same compiled shapes — warmup paid once,
+        shared via the persistent compilation cache. Wider clause buckets
+        shrink the tier to fit the SMEM scalar-prefetch budget."""
+        if Tb <= 4:
+            return 4096
+        return 2048 if Tb <= 8 else 1024
 
     def _search_boolean_fused(self, queries: list, k: int):
         """Fused-store boolean batch: every (query, segment) plan row across
@@ -629,10 +641,13 @@ class BatchExecutor:
         Q = len(queries)
         if Q == 0:
             return []
-        # plan-row tables ride SMEM scalar prefetch: cap Q x n_segments and
-        # sub-batch beyond it
+        # plan-row tables ride SMEM scalar prefetch: cap Q x n_segments at
+        # the (fixed, per-clause-bucket) plan-row tier and sub-batch beyond
+        from ..ops.probe_scorer import t_bucket
+
         n_segs = max(1, len(self.searcher.segment_readers()))
-        max_q = max(1, 4096 // n_segs)
+        max_tb = max(t_bucket(len(q.clauses)) for q in queries)
+        max_q = max(1, self._prow_tier(0, max_tb) // n_segs)
         if Q > max_q:
             out = []
             for lo in range(0, Q, max_q):
@@ -736,8 +751,12 @@ class BatchExecutor:
                 report_all = bool(q_report_all[qi])
                 Tb = ps.t_bucket(T)
                 KWMAX = pp.fused_kw_max(Tb)
-                stride = max(8, (KWMAX // 8) * 8)
-                stride_cov = stride + 8  # kw8 slack rows a slice DMA fetches
+                # slices step `stride` rows and fetch `stride_cov` rows from
+                # 8-aligned starts (8-row overlap absorbs alignment slack);
+                # stride_cov must fit the widest rung's fetched rows exactly
+                # (group rungs fetch kw rows, no slack)
+                stride = max(8, ((KWMAX - 8) // 8) * 8)
+                stride_cov = stride + 8
                 staged = []  # (clause, ids, ub, eff_width, jlo, wid [n, Tb])
                 fallback = False
                 any_skip_row = False
@@ -837,15 +856,18 @@ class BatchExecutor:
                                 )
                                 ub_sl = (ub_sl + term).astype(np.float32)
                             eff_sl = np.maximum(eff[rep], stride)
+                            # slice windows are intentionally partial: keep
+                            # as singleton groups (groupable=False)
                             staged.append(
-                                (ci, ids[rep], ub_sl, eff_sl, jlo_sl, wid_sl)
+                                (ci, False, ids[rep], ub_sl, eff_sl, jlo_sl,
+                                 wid_sl)
                             )
                         if not base_keep.all():
                             ids, ub = ids[base_keep], ub[base_keep]
                             eff, jlo = eff[base_keep], jlo[base_keep]
                             wid = wid[base_keep]
                     if len(ids):
-                        staged.append((ci, ids, ub, eff, jlo, wid))
+                        staged.append((ci, True, ids, ub, eff, jlo, wid))
                 if fallback:
                     per_query[qi].extend(
                         self._host_segment_topk(queries[qi], seg_ord, reader, k)
@@ -900,7 +922,7 @@ class BatchExecutor:
                     g["any_dup"] = True
 
                 # phase-1 = the prow's top-M1 blocks by UB across clauses
-                all_ub = np.concatenate([s[2] for s in staged])
+                all_ub = np.concatenate([s[3] for s in staged])
                 if len(all_ub) <= M1:
                     cut = NEG_INF
                 else:
@@ -908,7 +930,7 @@ class BatchExecutor:
                         len(all_ub) - M1
                     ]
                 taken = 0
-                for ci, ids, ub, eff, jlo, wid in staged:
+                for ci, grp, ids, ub, eff, jlo, wid in staged:
                     pick = ub >= cut
                     extra = int(pick.sum()) - (M1 - taken)
                     if extra > 0:
@@ -917,19 +939,20 @@ class BatchExecutor:
                     taken += int(pick.sum())
                     if pick.any():
                         g["p1"].append(
-                            (prow, qi, seg_ord, ci, ids[pick], eff[pick],
-                             jlo[pick], wid[pick])
+                            (prow, qi, seg_ord, ci, grp, ids[pick],
+                             eff[pick], jlo[pick], wid[pick])
                         )
                     if (~pick).any():
                         g["rest"].append(
-                            (prow, qi, seg_ord, ci, ids[~pick], ub[~pick],
-                             eff[~pick], jlo[~pick], wid[~pick])
+                            (prow, qi, seg_ord, ci, grp, ids[~pick],
+                             ub[~pick], eff[~pick], jlo[~pick], wid[~pick])
                         )
         _dt1.__exit__(None, None, None)
 
         def finalize_tables(g, Tb):
             n = len(g["rows"])
-            tier = self._prow_tier(n)
+            tier = self._prow_tier(n, Tb)
+            assert n <= tier, "plan rows exceed the fixed prow tier"
             t = {
                 "cl_weight": np.zeros((tier + 1, Tb), np.float32),
                 "cl_kind": np.full((tier + 1, Tb), 3, np.int32),
@@ -951,23 +974,26 @@ class BatchExecutor:
             return t
 
         def build_work(items):
-            blocks = np.concatenate([it[4] for it in items])
+            blocks = np.concatenate([it[5] for it in items])
             prow = np.concatenate(
-                [np.full(len(it[4]), it[0], np.int32) for it in items]
+                [np.full(len(it[5]), it[0], np.int32) for it in items]
             )
             clause = np.concatenate(
-                [np.full(len(it[4]), it[3], np.int32) for it in items]
+                [np.full(len(it[5]), it[3], np.int32) for it in items]
             )
             width = np.concatenate([it[-3] for it in items])
             qid = np.concatenate(
-                [np.full(len(it[4]), it[1], np.int32) for it in items]
+                [np.full(len(it[5]), it[1], np.int32) for it in items]
             )
             seg = np.concatenate(
-                [np.full(len(it[4]), it[2], np.int32) for it in items]
+                [np.full(len(it[5]), it[2], np.int32) for it in items]
             )
             jlo = np.vstack([it[-2] for it in items])
             wid = np.vstack([it[-1] for it in items])
-            return blocks, prow, clause, width, qid, seg, jlo, wid
+            grp = np.concatenate(
+                [np.full(len(it[5]), bool(it[4])) for it in items]
+            )
+            return blocks, prow, clause, width, qid, seg, jlo, wid, grp
 
         # ---- phase 1: one fused launch per T-bucket ----------------------
         pending1 = []
@@ -976,10 +1002,7 @@ class BatchExecutor:
             tb_tables[Tb] = finalize_tables(g, Tb)
             if not g["p1"]:
                 continue
-            mult = Tb if g["any_skip"] else 1
-            if g["any_dup"]:
-                mult = max(mult, 2)  # slice/skip dual reports
-            k_eff = min(k * mult, 128)
+            k_eff = _k_eff_tb(g, Tb, k)
             with debug_time("bool.fused_dispatch1"):
                 for out in pp.launch_fused_bool(
                     fused, build_work(g["p1"]), tb_tables[Tb], k_eff, Q,
@@ -999,35 +1022,33 @@ class BatchExecutor:
         # ever rise, so exactness is preserved (pruning stays conservative).
         def _keep_tb(g, th, th_seg, th_doc):
             out = []
-            for prow, qi, seg_ord, ci, ids, ub, eff, jlo, wid in g["rest"]:
+            for prow, qi, seg_ord, ci, grp, ids, ub, eff, jlo, wid in \
+                    g["rest"]:
                 keep = _phase2_keep(
                     ub, fused.blk_base[ids], seg_ord,
                     th[qi], th_seg[qi], th_doc[qi],
                 )
                 if keep.any():
                     out.append(
-                        (prow, qi, seg_ord, ci, ids[keep], ub[keep],
+                        (prow, qi, seg_ord, ci, grp, ids[keep], ub[keep],
                          eff[keep], jlo[keep], wid[keep])
                     )
             return out
 
         def _k_eff(g, Tb):
-            mult = Tb if g["any_skip"] else 1
-            if g["any_dup"]:
-                mult = max(mult, 2)  # slice/skip dual reports
-            return min(k * mult, 128)
+            return _k_eff_tb(g, Tb, k)
 
         surv = {
             Tb: _keep_tb(g, th, th_seg, th_doc)
             for Tb, g in per_tb.items() if g["rest"]
         }
         total_surv = sum(
-            len(it[4]) for items in surv.values() for it in items
+            len(it[5]) for items in surv.values() for it in items
         )
         ratchet = total_surv > _RATCHET_MIN_PER_Q * Q
         if ratchet:
             all_ub = np.concatenate(
-                [it[5] for items in surv.values() for it in items]
+                [it[6] for items in surv.values() for it in items]
             )
             top = min(max(_RATCHET_TOP_PER_Q * Q, 1), len(all_ub))
             cut_a = np.partition(all_ub, len(all_ub) - top)[len(all_ub) - top]
@@ -1035,10 +1056,10 @@ class BatchExecutor:
             for Tb, items in surv.items():
                 round_a = []
                 for it in items:
-                    sel = it[5] >= cut_a
+                    sel = it[6] >= cut_a
                     if sel.any():
                         round_a.append(
-                            it[:4] + tuple(v[sel] for v in it[4:])
+                            it[:5] + tuple(v[sel] for v in it[5:])
                         )
                 if not round_a:
                     continue
@@ -1056,10 +1077,10 @@ class BatchExecutor:
             for Tb, items in surv.items():
                 rest = []
                 for it in items:
-                    sel = it[5] < cut_a
+                    sel = it[6] < cut_a
                     if sel.any():
                         rest.append(
-                            it[:4] + tuple(v[sel] for v in it[4:])
+                            it[:5] + tuple(v[sel] for v in it[5:])
                         )
                 remainder[Tb] = rest
             surv = {
@@ -1087,26 +1108,236 @@ class BatchExecutor:
             out.append(hits[:k])
         return out
 
+    def prewarm(self, queries_hint: list, k: int = 10, concurrency: int = 4,
+                levels=(0, 1, 2)):
+        """Concurrently compile the fused-kernel shape grid that batches
+        shaped like `queries_hint` will hit (only the batch SIZE, query
+        types, clause counts and fields matter — not the terms).
+
+        XLA/Mosaic compilation releases the GIL, so a small thread pool
+        overlaps the tens-of-seconds per-shape compiles; with the fixed
+        plan-row tiers and canonical rung tier levels every corpus shares
+        one grid, and the persistent compilation cache makes repeat runs
+        free. Returns the number of shapes warmed."""
+        import concurrent.futures as cf
+
+        from ..ops import pallas_phrase as php
+        from ..ops import pallas_probe as pp
+        from ..ops import probe_scorer as ps
+        from ..query import BooleanQuery, TermQuery
+        from ..query.phrase_query import PhraseQuery
+
+        interpret = ps._pallas_mode() == "interpret"
+        if ps._pallas_mode() is None:
+            return 0
+        Q = len(queries_hint)
+        fields = set()
+        bool_tbs = set()
+        phrase_sbs = set()
+        for q in queries_hint:
+            if isinstance(q, TermQuery):
+                bool_tbs.add(ps.t_bucket(1))
+                fields.add(q.term.field)
+            elif isinstance(q, BooleanQuery):
+                bool_tbs.add(ps.t_bucket(len(q.clauses)))
+                fields.update(
+                    s.term.field for _, s in q.clauses
+                    if isinstance(s, TermQuery)
+                )
+            elif type(q) is PhraseQuery:
+                phrase_sbs.add(ps.t_bucket(len(q.term_bytes)) - 1)
+                fields.add(q.field)
+        for seg_ord in range(len(self.searcher.segment_readers())):
+            for f in fields:
+                self._ensure_fused_slab(seg_ord, f)
+        fused = self._fused().ready()
+        if phrase_sbs:
+            fused.ensure_positions()
+        nbp = max(-(-fused.num_blocks // 8) * 8, 8)
+
+        jobs = []
+        for Tb in bool_tbs:
+            tier = self._prow_tier(0, Tb)
+            tables = {
+                "cl_weight": np.zeros((tier + 1, Tb), np.float32),
+                "cl_kind": np.full((tier + 1, Tb), 3, np.int32),
+                "cl_start": np.zeros((tier + 1, Tb), np.int32),
+                "cl_len": np.zeros((tier + 1, Tb), np.int32),
+                "cl_shipped": np.zeros((tier + 1, Tb), np.int32),
+                "req_must": np.full(tier + 1, 1 << 30, np.int32),
+                "req_should": np.zeros(tier + 1, np.int32),
+            }
+            rungs = pp.fused_rungs(Tb)
+            for lvl in levels:
+                # tier[lvl] items per rung (distinct prows so grouping keeps
+                # them apart), window widths placed to populate every rung;
+                # all work is no-op (cl_len 0) so execution is fast
+                blocks, prow, clause, width, qid, seg = [], [], [], [], [], []
+                jlo, wid = [], []
+                for kw in rungs:
+                    tiers = pp._GRP_W_TIERS[kw]
+                    nn = tiers[min(lvl, len(tiers) - 1)]
+                    blocks.append(np.zeros(nn, dtype=np.int64))
+                    prow.append(np.arange(nn, dtype=np.int64) % tier)
+                    clause.append(np.zeros(nn, dtype=np.int64))
+                    width.append(np.full(nn, kw, dtype=np.int64))
+                    qid.append(np.arange(nn, dtype=np.int64) % Q)
+                    seg.append(np.zeros(nn, dtype=np.int64))
+                    j = np.full((nn, Tb), -1, dtype=np.int64)
+                    w_ = np.zeros((nn, Tb), dtype=np.int64)
+                    if Tb > 1:
+                        j[:, 1] = 0
+                        w_[:, 1] = kw
+                    jlo.append(j)
+                    wid.append(w_)
+                work = (
+                    np.concatenate(blocks), np.concatenate(prow),
+                    np.concatenate(clause), np.concatenate(width),
+                    np.concatenate(qid), np.concatenate(seg),
+                    np.vstack(jlo), np.vstack(wid),
+                    np.ones(sum(len(b) for b in blocks), dtype=bool),
+                )
+                for k_eff in {k, min(Tb * k, 128)}:
+                    jobs.append(
+                        ("bool", work, tables, k_eff, Q, interpret)
+                    )
+        for Sb in phrase_sbs:
+            qw = np.zeros(self._prow_tier(0, Sb + 1) + 1, dtype=np.float32)
+            rungs = php._PHRASE_RUNGS
+            for lvl in levels:
+                per_rung = []
+                for rows, tiers in rungs:
+                    nn = tiers[min(lvl, len(tiers) - 1)]
+                    llen = max((rows - 16) * 128, 1)
+                    per_rung.append((nn, llen))
+                cols = {kk_: [] for kk_ in (
+                    "ids", "prow", "qid", "seg", "lpos", "llen", "anchor"
+                )}
+                cp_, cl_, dl_ = [], [], []
+                for nn, llen in per_rung:
+                    cols["ids"].append(np.arange(nn, dtype=np.int64) * 8 % nbp)
+                    cols["prow"].append(
+                        np.arange(nn, dtype=np.int64) % (len(qw) - 1)
+                    )
+                    cols["qid"].append(np.arange(nn, dtype=np.int64) % Q)
+                    cols["seg"].append(np.zeros(nn, dtype=np.int64))
+                    cols["lpos"].append(np.zeros(nn, dtype=np.int64))
+                    cols["llen"].append(np.full(nn, llen, dtype=np.int64))
+                    cols["anchor"].append(np.zeros(nn, dtype=np.int64))
+                    cp_.append(np.zeros((nn, Sb), dtype=np.int64))
+                    cl_.append(np.full((nn, Sb), llen, dtype=np.int64))
+                    dl_.append(np.ones((nn, Sb), dtype=np.int64))
+                work = (
+                    np.concatenate(cols["ids"]),
+                    np.concatenate(cols["prow"]),
+                    np.concatenate(cols["qid"]),
+                    np.concatenate(cols["seg"]),
+                    np.concatenate(cols["lpos"]),
+                    np.concatenate(cols["llen"]),
+                    np.vstack(cp_), np.vstack(cl_), np.vstack(dl_),
+                    np.concatenate(cols["anchor"]),
+                )
+                for k_eff in {k, min(2 * k, 128)}:
+                    jobs.append(("phrase", work, qw, Sb, k_eff, Q, interpret))
+
+        def run(job):
+            if job[0] == "bool":
+                _, work, tables, k_eff, Qn, interp = job
+                outs = pp.launch_fused_bool(
+                    fused, work, tables, k_eff, Qn, interp
+                )
+            else:
+                _, work, qw, Sb, k_eff, Qn, interp = job
+                outs = php.launch_fused_phrase(
+                    fused, work, qw, Sb, k_eff, Qn, interp
+                )
+            for o in outs:
+                np.asarray(o)
+            return 1
+
+        with cf.ThreadPoolExecutor(max_workers=concurrency) as pool:
+            done = list(pool.map(run, jobs))
+        return sum(done)
+
+    def _expand_phrase_prefix(self, q):
+        """Expand a PhrasePrefixQuery into per-expansion sub-queries for the
+        device kernels, or None when device expansion can't reproduce the
+        host semantics (per-segment truncation at max_expansions).
+
+        Exactness: the host merges expansions with max-score-per-doc
+        (`query/phrase_query.py` PhrasePrefixWeight). If doc d is in the
+        union-max top-k, it is in the top-k of the expansion where it
+        attains its max (any doc beating it there beats it in the union
+        too), so merging the per-expansion top-k lists with
+        dedup-by-address-keep-max is exact."""
+        from ..query import TermQuery
+        from ..query.phrase_query import PhraseQuery
+        from ..schema.term import Term
+
+        prefix = q.term_bytes[-1]
+        union: set[bytes] = set()
+        for reader in self.searcher.segment_readers():
+            td = reader.inverted_index(q.field).termdict
+            ords = list(td.prefix_ords(prefix))
+            if len(ords) > q.max_expansions:
+                return None  # per-segment truncation: host semantics only
+            union.update(td.term(o) for o in ords)
+        subs = []
+        for tb in sorted(union):
+            if len(q.term_bytes) == 1:
+                subs.append(TermQuery(Term(q.field, tb)))
+            else:
+                subs.append(
+                    PhraseQuery(q.field, q.term_bytes[:-1] + [tb])
+                )
+        return subs
+
     def search_batch(self, queries: list, k: int):
-        """Generic batched search: routes term, boolean(term) and phrase
-        queries to the device kernels, everything else to the host engine."""
+        """Generic batched search: routes term, boolean(term), phrase and
+        phrase-prefix (expanded) queries to the device kernels, everything
+        else to the host engine (which itself prunes via `Weight.topk`)."""
         from ..collector import TopDocs
         from ..query import TermQuery
 
         from ..ops.probe_scorer import _pallas_mode
         from ..query import BooleanQuery
+        from ..query.phrase_query import PhrasePrefixQuery
 
-        results: list = [None] * len(queries)
-        term_ids = [i for i, q in enumerate(queries) if isinstance(q, TermQuery)]
+        n_orig = len(queries)
+        results: list = [None] * n_orig
+        queries = list(queries)
+        pallas = _pallas_mode() is not None
+
+        # phrase-prefix expansion: sub-queries appended to the batch; their
+        # per-expansion top-k lists merge by dedup-keep-max afterward
+        sub_of: dict[int, list[int]] = {}
+        if pallas:
+            for i in range(n_orig):
+                if not isinstance(queries[i], PhrasePrefixQuery):
+                    continue
+                subs = self._expand_phrase_prefix(queries[i])
+                if subs is None:
+                    self._count_fallback("phrase_prefix_trunc")
+                    continue
+                ids = []
+                for s in subs:
+                    ids.append(len(queries))
+                    queries.append(s)
+                sub_of[i] = ids
+
+        term_ids = [
+            i
+            for i, q in enumerate(queries)
+            if isinstance(q, TermQuery)
+        ]
         bool_ids = [
             i
             for i, q in enumerate(queries)
             if self._bool_device_eligible(q)
         ]
-        if term_ids and _pallas_mode() is not None:
+        if term_ids and pallas:
             # single-SHOULD boolean == term query (identical scores and
             # tie-breaks); the pallas probe path beats the flat term kernel
-            queries = list(queries)
             for i in term_ids:
                 queries[i] = BooleanQuery.union([queries[i]])
             bool_ids = sorted(set(bool_ids) | set(term_ids))
@@ -1116,24 +1347,46 @@ class BatchExecutor:
             for i, q in enumerate(queries)
             if self._phrase_device_eligible(q)
         ]
+        sub_ids = {i for ids in sub_of.values() for i in ids}
         other = (
-            set(range(len(queries)))
+            set(range(n_orig))
             - set(term_ids)
             - set(bool_ids)
             - set(phrase_ids)
+            - set(sub_of.keys())
         )
-        if term_ids:
-            sub = self.search_term_batch([queries[i].term for i in term_ids], k)
-            for i, r in zip(term_ids, sub):
+        sub_results: dict[int, list] = {}
+
+        def put(i, r):
+            if i < n_orig:
                 results[i] = r
+            else:
+                sub_results[i] = r
+
+        if term_ids:
+            sub = self.search_term_batch(
+                [queries[i].term for i in term_ids], k
+            )
+            for i, r in zip(term_ids, sub):
+                put(i, r)
         if bool_ids:
             sub = self.search_boolean_batch([queries[i] for i in bool_ids], k)
             for i, r in zip(bool_ids, sub):
-                results[i] = r
+                put(i, r)
         if phrase_ids:
-            sub = self.search_phrase_batch([queries[i] for i in phrase_ids], k)
+            sub = self.search_phrase_batch(
+                [queries[i] for i in phrase_ids], k
+            )
             for i, r in zip(phrase_ids, sub):
-                results[i] = r
+                put(i, r)
+        # any sub-query that missed every device route runs on host
+        for i in sorted(sub_ids - set(bool_ids) - set(phrase_ids)):
+            if i not in sub_results:
+                sub_results[i] = self.searcher.search(queries[i], TopDocs(k))
+        for i, ids in sub_of.items():
+            hits = [h for j in ids for h in sub_results.get(j, [])]
+            _dedup_hits(hits)
+            results[i] = hits[:k]
         for i in sorted(other):
             results[i] = self.searcher.search(queries[i], TopDocs(k))
         return results
@@ -1227,12 +1480,8 @@ class BatchExecutor:
         (score, DocAddress) top-k — the per-segment fallback for device-path
         corner cases (e.g. pathological in-doc tf)."""
         weight = query.weight(self.searcher, True)
-        res = weight.execute(reader)
-        alive = reader.alive_bitset()
+        res = weight.topk(reader, k)  # alive-filtered, may prune
         docs, scores = res.docs, res.scores
-        if alive is not None and len(docs):
-            keep = alive[docs]
-            docs, scores = docs[keep], scores[keep]
         if len(docs) > k:
             # (score desc, doc asc) tie-break
             order = np.lexsort((docs, -scores))[:k]
@@ -1342,6 +1591,7 @@ class BatchExecutor:
                 "cpos": cpos[keep], "clen": clen[keep],
                 "delta": delta[keep], "span": span[keep], "ub": ub[keep],
                 "bad": bad[keep],
+                "anchor": np.full(int(keep.sum()), anchor, dtype=np.int64),
             }
 
         _dtp = debug_time("phrase.plan")
@@ -1440,7 +1690,7 @@ class BatchExecutor:
         def build_work(items):
             cols = {}
             for key in ("ids", "lpos", "llen", "cpos", "clen", "delta",
-                        "span"):
+                        "anchor"):
                 cols[key] = np.concatenate([p[key] for _, _, _, p in items])
             prow = np.concatenate(
                 [np.full(len(p["ids"]), pr, np.int32)
@@ -1456,7 +1706,7 @@ class BatchExecutor:
             )
             return (
                 cols["ids"], prow, qid, seg, cols["lpos"], cols["llen"],
-                cols["cpos"], cols["clen"], cols["delta"], cols["span"],
+                cols["cpos"], cols["clen"], cols["delta"], cols["anchor"],
             )
 
         _dtp.__exit__(None, None, None)

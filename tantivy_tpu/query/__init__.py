@@ -80,6 +80,25 @@ class Weight:
         `collector/mod.rs:186-221`)."""
         raise NotImplementedError
 
+    def topk(self, segment_reader, k: int,
+             threshold=np.float32(-np.inf)) -> SegmentResult:
+        """Pruned evaluation for top-k collection — the host analogue of
+        reference `Weight::for_each_pruning` (`weight.rs:123-132`). May omit
+        any doc whose score is <= `threshold` (the caller's kth score
+        accumulated from strictly-earlier DocAddresses, so equal scores
+        lose the tie-break) or provably outside this segment's top-k.
+        Deletes ARE applied (unlike execute). Default: full evaluation."""
+        res = self.execute(segment_reader)
+        alive = segment_reader.alive_bitset()
+        docs, scores = res.docs, res.scores
+        if alive is not None and len(docs):
+            m = alive[docs]
+            docs, scores = docs[m], scores[m]
+        if threshold > np.float32(-np.inf) and len(docs):
+            m = scores > threshold
+            docs, scores = docs[m], scores[m]
+        return SegmentResult(docs, scores)
+
     def count(self, segment_reader) -> int:
         res = self.execute(segment_reader)
         alive = segment_reader.alive_bitset()

@@ -261,9 +261,23 @@ class PhraseWeight(Weight):
             return SegmentResult.empty()
 
         idx_per_term = [member_lookup(docs, cand)[1] for docs, _, _, _ in data]
+        counts = self._counts_for(data, cand, idx_per_term)
+        hit = counts > 0
+        out_docs = cand[hit].astype(np.uint32)
+        if self.bm25 is not None:
+            norm_ids = segment_reader.fieldnorms(self.q.field)[out_docs]
+            out_scores = np.asarray(
+                self.bm25.score(norm_ids, counts[hit]), dtype=np.float32
+            )
+        else:
+            out_scores = np.ones(len(out_docs), dtype=np.float32)
+        return SegmentResult(out_docs, out_scores)
+
+    def _counts_for(self, data, cand, idx_per_term):
+        """Phrase-match counts for the given candidate docs (any subset)."""
         if self.q.slop == 0:
-            counts = self._counts_exact_vectorized(data, cand, idx_per_term)
-        elif len(data) == 2:
+            return self._counts_exact_vectorized(data, cand, idx_per_term)
+        if len(data) == 2:
             # vectorize the two-pointer automaton across all candidate docs
             mx = max(self.q.offsets)
             pads = []
@@ -278,31 +292,112 @@ class PhraseWeight(Weight):
                 pad = pos[gath].astype(np.int64) + (mx - self.q.offsets[t])
                 pads.append(pad)
                 lens.append(ln)
-            counts = _slop2_counts_vectorized(
+            return _slop2_counts_vectorized(
                 pads[0], lens[0], pads[1], lens[1], self.q.slop
             )
-        else:
-            counts = np.zeros(len(cand), dtype=np.int64)
-            for j in range(len(cand)):
-                pos_lists = []
-                for t, (docs, tfs, pos, cum) in enumerate(data):
-                    i = int(idx_per_term[t][j])
-                    pos_lists.append(
-                        pos[int(cum[i]) : int(cum[i]) + int(tfs[i])]
-                    )
-                counts[j] = _phrase_count_for_doc(
-                    pos_lists, self.q.offsets, self.q.slop
+        counts = np.zeros(len(cand), dtype=np.int64)
+        for j in range(len(cand)):
+            pos_lists = []
+            for t, (docs, tfs, pos, cum) in enumerate(data):
+                i = int(idx_per_term[t][j])
+                pos_lists.append(
+                    pos[int(cum[i]) : int(cum[i]) + int(tfs[i])]
                 )
-        hit = counts > 0
-        out_docs = cand[hit].astype(np.uint32)
-        if self.bm25 is not None:
-            norm_ids = segment_reader.fieldnorms(self.q.field)[out_docs]
-            out_scores = np.asarray(
-                self.bm25.score(norm_ids, counts[hit]), dtype=np.float32
+            counts[j] = _phrase_count_for_doc(
+                pos_lists, self.q.offsets, self.q.slop
             )
-        else:
-            out_scores = np.ones(len(out_docs), dtype=np.float32)
-        return SegmentResult(out_docs, out_scores)
+        return counts
+
+    def topk(self, segment_reader, k: int, threshold=np.float32(-np.inf)):
+        """Threshold-pruned top-k evaluation — the host analogue of
+        reference `Weight::for_each_pruning` (`weight.rs:123-132`).
+
+        The phrase count of a doc is at most its minimum per-term tf, and
+        the BM25 tf-factor is monotone in tf with IEEE-rounded (monotone)
+        f32 ops, so `ub = bm25.score(norm, min_tf) >= score` holds bitwise.
+        Candidates are evaluated in (ub desc, doc asc) order in chunks; the
+        expensive position-intersection work stops as soon as no remaining
+        candidate can beat the running kth (score, doc) — ties continue
+        until the remaining plateau's smallest doc id can no longer win.
+        `threshold`: docs with score <= threshold are pruned outright (the
+        caller's accumulated kth score from strictly-earlier DocAddresses).
+        Deletes ARE applied here (unlike execute) so pruning sees the same
+        doc set the collector would."""
+        if self.bm25 is None:
+            res = self.execute(segment_reader)
+            alive = segment_reader.alive_bitset()
+            if alive is not None and len(res.docs):
+                m = alive[res.docs]
+                res = SegmentResult(res.docs[m], res.scores[m])
+            return res
+        data = self._gather_term_data(segment_reader)
+        if data is None:
+            return SegmentResult.empty()
+        cand = data[0][0]
+        for docs, _, _, _ in data[1:]:
+            found, _ = member_lookup(docs, cand)
+            cand = cand[found]
+        alive = segment_reader.alive_bitset()
+        if alive is not None and len(cand):
+            cand = cand[alive[cand]]
+        if len(cand) == 0:
+            return SegmentResult.empty()
+        idx_per_term = [member_lookup(docs, cand)[1] for docs, _, _, _ in data]
+        min_tf = data[0][1][idx_per_term[0]].astype(np.int64)
+        for t in range(1, len(data)):
+            min_tf = np.minimum(
+                min_tf, data[t][1][idx_per_term[t]].astype(np.int64)
+            )
+        norms = segment_reader.fieldnorms(self.q.field)[cand]
+        ub = np.asarray(self.bm25.score(norms, min_tf), dtype=np.float32)
+        live = ub > threshold
+        cand, ub = cand[live], ub[live]
+        idx_per_term = [i[live] for i in idx_per_term]
+        order = np.lexsort((cand, -ub))
+        out_docs: list[np.ndarray] = []
+        out_scores: list[np.ndarray] = []
+        kth_score = np.float32(threshold)
+        kth_doc = -1  # only meaningful when hits are full
+        n_hits = 0
+        C = max(2048, 4 * k)
+        for lo in range(0, len(order), C):
+            sel = order[lo : lo + C]
+            if n_hits >= k:
+                nxt_ub = ub[sel[0]]
+                if nxt_ub < kth_score or (
+                    nxt_ub == kth_score and kth_doc < int(cand[sel[0]])
+                ):
+                    break
+            sub_cand = cand[sel]
+            sub_idx = [i[sel] for i in idx_per_term]
+            counts = self._counts_for(data, sub_cand, sub_idx)
+            hit = counts > 0
+            if hit.any():
+                d = sub_cand[hit].astype(np.uint32)
+                s = np.asarray(
+                    self.bm25.score(
+                        segment_reader.fieldnorms(self.q.field)[d],
+                        counts[hit],
+                    ),
+                    dtype=np.float32,
+                )
+                keep = s > threshold
+                d, s = d[keep], s[keep]
+                out_docs.append(d)
+                out_scores.append(s)
+                n_hits += len(d)
+                if n_hits >= k:
+                    ds = np.concatenate(out_docs)
+                    ss = np.concatenate(out_scores)
+                    top = np.lexsort((ds, -ss))[:k]
+                    kth_score = np.float32(ss[top[-1]])
+                    kth_doc = int(ds[top[-1]])
+        if not out_docs:
+            return SegmentResult.empty()
+        ds = np.concatenate(out_docs)
+        ss = np.concatenate(out_scores)
+        o = np.argsort(ds)
+        return SegmentResult(ds[o], ss[o])
 
     def _counts_exact_vectorized(self, data, cand, idx_per_term):
         """slop=0 phrase counts for ALL candidate docs in one pass: encode

@@ -84,6 +84,12 @@ class Searcher:
         weight = query.weight(self, scoring=scoring)
         if executor is None:
             executor = getattr(self.index, "search_executor", None)
+        if executor is None and hasattr(collector, "collect_segments_pruned"):
+            # sequential threshold-carrying drive (reference
+            # for_each_pruning, weight.rs:123-132)
+            return collector.collect_segments_pruned(
+                weight, self._segment_readers
+            )
         if executor is not None:
             fruits = executor.map(
                 lambda pair: collector.collect_segment(weight, pair[0], pair[1]),
