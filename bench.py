@@ -274,6 +274,15 @@ def run_main_suites(index, stream, label, detail):
 
     suites = ("term", "and", "or", "phrase")
     result = {}
+    # concurrent shape-grid prewarm: compiles overlap in a thread pool (the
+    # backend compiles remotely) and land in the persistent cache; the
+    # fixed plan-row tiers + canonical tier levels make every corpus hit
+    # the same shapes, so this is fast on every run but the very first
+    t0 = time.time()
+    shapes = executor.prewarm(logs["or"][:BATCH], k=K)
+    shapes += executor.prewarm(logs["phrase"][:BATCH], k=K)
+    result["prewarm_s"] = round(time.time() - t0, 1)
+    result["prewarm_shapes"] = shapes
     warm_s = 0.0
     for kind in suites:
         qlog = logs[kind]
@@ -355,32 +364,132 @@ def run_range_suite(searcher, executor, n_docs):
     }
 
 
-def run_agg_suite(searcher, n_docs):
-    import tantivy_tpu as tt
-    from tantivy_tpu.aggregation import AggregationCollector
+def _agg_goldens(searcher, results, n_docs):
+    """Golden exactness gate: recompute avg/stats/histogram/terms/range/
+    composite straight from the raw fast-field columns in plain numpy
+    (independent of the aggregation module's bucketing machinery) and
+    compare exactly. Percentiles are sketch-based by design (DDSketch) and
+    are gated on count only."""
+    from tantivy_tpu.aggregation import _convert_raw_f64
 
+    per_seg = []
+    for r in searcher.segment_readers():
+        score = r.fast_fields().column("score").values.astype(np.float64)
+        sf = _convert_raw_f64(
+            r.fast_fields().column("score_f64").values, "f64"
+        )
+        per_seg.append((score, sf))
+
+    ok = True
+
+    def expect(cond, label):
+        nonlocal ok
+        if not cond:
+            ok = False
+            print(f"AGG GOLDEN MISMATCH: {label}", file=sys.stderr)
+
+    # avg_u64 (segment-ordered float accumulation like InterMetric)
+    total = 0.0
+    cnt = 0
+    for score, _ in per_seg:
+        total += float(score.sum())
+        cnt += len(score)
+    expect(
+        results["avg_u64"]["a"]["value"] == total / cnt
+        and cnt == n_docs,
+        "avg_u64",
+    )
+    # stats_f64
+    t = tsq = 0.0
+    vmin, vmax = np.inf, -np.inf
+    for _, sf in per_seg:
+        t += float(sf.sum())
+        tsq += float((sf * sf).sum())
+        vmin = min(vmin, float(sf.min()))
+        vmax = max(vmax, float(sf.max()))
+    s = results["stats_f64"]["s"]
+    expect(
+        s["count"] == n_docs and s["sum"] == t and s["min"] == vmin
+        and s["max"] == vmax and s["avg"] == t / n_docs,
+        "stats_f64",
+    )
+    expect(
+        results["percentiles_f64"]["p"] is not None, "percentiles"
+    )
+    # histogram interval 10 over score
+    allscore = np.concatenate([sc for sc, _ in per_seg])
+    hkeys = np.floor(allscore / 10.0) * 10.0
+    uniq, counts = np.unique(hkeys, return_counts=True)
+    got = {b["key"]: b["doc_count"] for b in results["histogram"]["h"]["buckets"]}
+    expect(
+        got == {float(k): int(c) for k, c in zip(uniq, counts)}, "histogram"
+    )
+    # terms size 100: top-100 by (count desc, key asc)
+    tuniq, tcounts = np.unique(allscore, return_counts=True)
+    order = np.lexsort((tuniq, -tcounts))[:100]
+    want = [(int(tuniq[i]), int(tcounts[i])) for i in order]
+    gotb = [
+        (b["key"], b["doc_count"])
+        for b in results["terms_1000"]["t"]["buckets"]
+    ]
+    expect(gotb == want, "terms")
+    # range + sub avg
+    allsf = np.concatenate([sf for _, sf in per_seg])
+    rbuckets = results["range_with_avg"]["r"]["buckets"]
+    bounds = [(-np.inf, 100.0), (100.0, 500.0), (500.0, np.inf)]
+    for bkt, (lo, hi) in zip(rbuckets, bounds):
+        # per-segment accumulation matching InterMetric merge order
+        c2 = 0
+        t2 = 0.0
+        for sc, sf in per_seg:
+            sel = (sc >= lo) & (sc < hi)
+            c2 += int(sel.sum())
+            if sel.any():
+                t2 += float(sf[sel].sum())
+        expect(
+            bkt["doc_count"] == c2
+            and bkt["a"]["value"] == (t2 / c2 if c2 else None),
+            f"range {lo}-{hi}",
+        )
+    # composite: first 100 keys ascending with counts
+    cuniq = uniqc = None
+    cuniq, uniqc = np.unique(allscore, return_counts=True)
+    want_c = [
+        (float(k), int(c)) for k, c in zip(cuniq[:100], uniqc[:100])
+    ]
+    got_c = [
+        (b["key"]["s"], b["doc_count"])
+        for b in results["composite"]["c"]["buckets"]
+    ]
+    expect(got_c == want_c, "composite")
+    return ok
+
+
+def run_agg_suite(searcher, executor, n_docs):
     per_req = {}
     total_reqs = 0
     total_s = 0.0
-    sane = True
+    names = list(AGG_REQUESTS)
+    reqs = [AGG_REQUESTS[n] for n in names]
+    results = dict(zip(names, executor.agg_batch(reqs)))  # warm
+    # batched: all requests share one doc pass per repetition
+    t0 = time.time()
+    for _ in range(AGG_REPEATS):
+        out = executor.agg_batch(reqs)
+    batch_s = (time.time() - t0) / AGG_REPEATS
     for name, req in AGG_REQUESTS.items():
-        col = AggregationCollector(req)
-        res = searcher.search(tt.AllQuery(), col)  # warm
         t0 = time.time()
         for _ in range(AGG_REPEATS):
-            res = searcher.search(tt.AllQuery(), col)
+            res = executor.agg_batch([req])[0]
         dt = time.time() - t0
         per_req[name] = round(AGG_REPEATS / dt, 2)
         total_reqs += AGG_REPEATS
         total_s += dt
-        if name == "stats_f64" and res["s"]["count"] != n_docs:
-            sane = False
-        if name == "histogram" and len(res["h"]["buckets"]) != 100:
-            sane = False
     return {
         "qps": round(total_reqs / total_s, 2),
+        "batch7_ms": round(batch_s * 1000, 2),
         "per_request_qps": per_req,
-        "sane": sane,
+        "exact_match": _agg_goldens(searcher, results, n_docs),
     }
 
 
@@ -391,7 +500,7 @@ def measure_indexing(stream):
     import tempfile
 
     n = 100_000
-    out = {}
+    out = {"cpus": os.cpu_count()}
     for threads, key in ((1, "docs_per_s_1t"), (None, "docs_per_s_mt")):
         tmp = tempfile.mkdtemp(prefix="tantivy_tpu_idx_bench")
         try:
@@ -425,7 +534,7 @@ def main():
         res["index_build_s"] = round(build_s, 1)
         if with_fast:
             res["range"] = run_range_suite(searcher, executor, n_docs)
-            res["agg"] = run_agg_suite(searcher, n_docs)
+            res["agg"] = run_agg_suite(searcher, executor, n_docs)
         detail["corpora"][name] = res
         if with_fast:
             all_qps = [res[k]["qps"] for k in ("term", "and", "or", "phrase")]
@@ -438,13 +547,24 @@ def main():
     qps = float(np.mean(all_qps)) if all_qps else 0.0
     detail["wiki_corpus"] = have_wiki
     detail["batch_size"] = BATCH
+    # per-suite calibrated baselines (see BASELINE.md "Per-suite baseline
+    # calibration"): single-core tantivy QPS at 1M docs, derived from the
+    # search-benchmark-game cost shape anchored at 1000 term-QPS/core
+    bases = {"term": 1000.0, "and": 770.0, "or": 400.0, "phrase": 330.0}
+    ratios = {}
+    scaled = detail["corpora"].get("scaled1m", {})
+    for kind, base in bases.items():
+        if kind in scaled:
+            ratios[kind] = round(scaled[kind]["qps"] / base, 3)
+    detail["vs_baseline_per_suite"] = ratios
+    vs = round(float(np.mean(list(ratios.values()))), 3) if ratios else 0.0
     print(
         json.dumps(
             {
                 "metric": "batched_qps_top10_wiki_term_and_or_phrase",
                 "value": round(qps, 1),
                 "unit": "queries/s",
-                "vs_baseline": round(qps / 1000.0, 3),
+                "vs_baseline": vs,
                 "exact_match": all_exact,
                 "detail": detail,
             }

@@ -100,6 +100,38 @@ uint32_t indexer_index_text(void* h, uint32_t field_id, uint32_t doc_id,
   return kept;
 }
 
+// Batched variant: one ctypes call (GIL released once) tokenizes many docs'
+// texts for one field. `buf` is the concatenation of n entries' ASCII texts
+// with `offsets[n+1]` boundaries; `doc_ids[i]` / `prevs[i]` give each
+// entry's doc and its pre-batch kept-token offset. Entries are processed in
+// order; consecutive entries of the SAME doc continue the position/kept
+// accumulation within the call (multi-valued fields). `kept_out[i]` returns
+// each entry's kept-token count (fieldnorm contribution).
+void indexer_index_text_batch(void* h, uint32_t field_id,
+                              const uint32_t* doc_ids, const uint32_t* prevs,
+                              const char* buf, const int64_t* offsets,
+                              int64_t n, int with_positions,
+                              int64_t remove_long_limit,
+                              uint32_t* kept_out) {
+  uint32_t last_doc = 0xFFFFFFFFu;
+  uint32_t running = 0;
+  for (int64_t i = 0; i < n; i++) {
+    uint32_t prev = prevs[i];
+    if (doc_ids[i] == last_doc) prev += running;
+    uint32_t kept = indexer_index_text(
+        h, field_id, doc_ids[i], buf + offsets[i],
+        offsets[i + 1] - offsets[i], with_positions, prev,
+        remove_long_limit);
+    kept_out[i] = kept;
+    if (doc_ids[i] == last_doc) {
+      running += kept;
+    } else {
+      last_doc = doc_ids[i];
+      running = kept;
+    }
+  }
+}
+
 // Record a single pre-encoded term (numeric/facet/etc. path).
 void indexer_subscribe(void* h, uint32_t field_id, uint32_t doc_id,
                        const char* term_bytes, int64_t len) {

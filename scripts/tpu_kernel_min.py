@@ -11,6 +11,7 @@ import jax
 import jax.numpy as jnp
 
 print("backend:", jax.default_backend(), flush=True)
+import tantivy_tpu as _tt; _tt.enable_compilation_cache()
 
 from tantivy_tpu.ops import pallas_probe as pp
 

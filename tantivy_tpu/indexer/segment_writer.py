@@ -194,6 +194,94 @@ class SegmentWriter:
         self._mem_hint += 200 + sum(len(str(v)) for _, v in doc.field_values())
         return doc_id
 
+    def add_documents(self, docs: list[Document]) -> list[int]:
+        """Batched ingest: native-eligible text values (default analyzer,
+        ASCII) across the whole batch ride ONE GIL-releasing C call per
+        field (`indexer_index_text_batch`) — the per-call ctypes overhead
+        was the multithreaded-scaling bottleneck at one call per doc."""
+        if self._native is None:
+            return [self.add_document(d) for d in docs]
+        pend: dict[int, list] = {}  # field_id -> [(doc_id, text)]
+        ids = []
+        for doc in docs:
+            doc_id = self.max_doc
+            self.max_doc += 1
+            ids.append(doc_id)
+            for field_name, value in doc.field_values():
+                entry = self.schema.get_field(field_name)
+                ftype = entry.field_type
+                if ftype == FieldType.TEXT:
+                    text = str(value)
+                    if (
+                        entry.is_indexed()
+                        and entry.tokenizer_name() == "default"
+                        and text.isascii()
+                    ):
+                        pend.setdefault(entry.field_id, []).append(
+                            (doc_id, text)
+                        )
+                        if entry.is_fast():
+                            self._columnar.record(
+                                doc_id, entry.name, text, "str"
+                            )
+                    else:
+                        # position offsets are order-dependent: land any
+                        # pending batched values of this field first
+                        self._flush_text_batch(entry.field_id, pend)
+                        self._index_text(entry, doc_id, text)
+                elif ftype in (FieldType.U64, FieldType.I64, FieldType.F64,
+                               FieldType.BOOL, FieldType.DATE):
+                    self._index_numeric(entry, doc_id, value)
+                elif ftype == FieldType.BYTES:
+                    if entry.is_indexed():
+                        self._subscribe(
+                            entry.field_id, bytes(value), doc_id, None
+                        )
+                    if entry.is_fast():
+                        self._columnar.record(
+                            doc_id, entry.name, bytes(value), "bytes"
+                        )
+                elif ftype == FieldType.FACET:
+                    self._index_facet(entry, doc_id, str(value))
+                elif ftype == FieldType.JSON:
+                    self._index_json(entry, doc_id, value)
+                elif ftype == FieldType.IP_ADDR:
+                    self._index_ip(entry, doc_id, value)
+                else:
+                    raise TypeError(f"unhandled field type {ftype}")
+            if self._stored_buffer is not None:
+                self._stored_buffer.append(self._stored_subdoc(doc))
+            elif self._has_stored:
+                self._store.store(self._stored_subdoc(doc))
+            else:
+                self._store.store_empty()
+            self._mem_hint += 200 + sum(
+                len(str(v)) for _, v in doc.field_values()
+            )
+        for field_id in list(pend):
+            self._flush_text_batch(field_id, pend)
+        return ids
+
+    def _flush_text_batch(self, field_id: int, pend: dict) -> None:
+        entries = pend.pop(field_id, None)
+        if not entries:
+            return
+        entry = self.schema.get_field_entry(field_id)
+        fn = self._fieldnorms[field_id]
+        doc_ids = np.fromiter(
+            (d for d, _ in entries), np.uint32, len(entries)
+        )
+        prevs = np.fromiter(
+            (fn.get(int(d), 0) for d, _ in entries), np.uint32, len(entries)
+        )
+        texts = [t.encode("ascii") for _, t in entries]
+        kept = self._native.index_text_batch(
+            field_id, doc_ids, prevs, texts,
+            entry.index_record_option().has_positions(),
+        )
+        for (d, _), k in zip(entries, kept):
+            fn[d] = fn.get(d, 0) + int(k)
+
     def _stored_subdoc(self, doc: Document) -> Document:
         sub = Document()
         for f, v in doc.field_values():
@@ -282,6 +370,8 @@ class SegmentWriter:
     def _index_json(self, entry, doc_id: int, value) -> None:
         if not isinstance(value, dict):
             raise TypeError("json field expects a dict")
+        if entry.is_fast():
+            self._record_json_fast(entry, doc_id, value, ())
         if not entry.is_indexed():
             return
         leaves: list[tuple[bytes, str | None]] = []
@@ -306,6 +396,50 @@ class SegmentWriter:
                     pos += 1
         if entry.has_fieldnorms():
             self._fieldnorms[entry.field_id][doc_id] = pos
+
+    def _record_json_fast(self, entry, doc_id: int, value, path: tuple) -> None:
+        """Dynamic per-path fast-field columns for a FAST json field
+        (reference `columnar/src/columnar/writer/mod.rs:50` creates one
+        column per JSON path; readers resolve `field.path` —
+        `src/fastfield/readers.rs:64-101`). Column key =
+        `field\\x01path\\x01...` (the JSON path separator of
+        `common/src/json_path_writer.rs`). Mixed int/float leaves promote
+        the column to f64; other type conflicts keep the first type and
+        drop conflicting values (documented divergence — the reference
+        keeps one column per (path, type))."""
+        if isinstance(value, dict):
+            for k, v in value.items():
+                self._record_json_fast(entry, doc_id, v, path + (k,))
+            return
+        if isinstance(value, list):
+            for v in value:
+                self._record_json_fast(entry, doc_id, v, path)
+            return
+        if value is None or not path:
+            return
+        key = "\x01".join((entry.name,) + path)
+        if isinstance(value, bool):
+            tname, val = "bool", bool(value)
+        elif isinstance(value, int):
+            tname, val = "i64", int(value)
+        elif isinstance(value, float):
+            tname, val = "f64", float(value)
+        elif isinstance(value, str):
+            tname, val = "str", value
+        else:
+            return
+        col = self._columnar._columns.get(key)
+        if col is not None and col[0] != tname:
+            have = col[0]
+            if {have, tname} == {"i64", "f64"}:
+                if have == "i64":  # promote the column to f64
+                    self._columnar._columns[key] = (
+                        "f64", [(d, float(v)) for d, v in col[1]]
+                    )
+                tname, val = "f64", float(val)
+            else:
+                return  # conflicting type: first wins
+        self._columnar.record(doc_id, key, val, tname)
 
     def _index_ip(self, entry, doc_id: int, value) -> None:
         from ..schema.term import ip_to_bytes
@@ -469,12 +603,31 @@ class SegmentWriter:
                 fieldnorm_ids=norm_ids,
                 has_freqs=has_freqs,
             )
-            sorted_terms = []
-            for term_bytes, docs, tfs, pos in self._merged_term_stream(
-                field_id, native_exports.get(field_id), has_positions
-            ):
-                ser.serialize_term(docs, tfs, pos)
-                sorted_terms.append(term_bytes)
+            exp = native_exports.get(field_id)
+            if exp is not None and not self._postings.get(field_id):
+                # native-only field (the common case for default-tokenizer
+                # ASCII text): ONE vectorized pass over the whole sorted
+                # term stream — no per-term Python loop (the round-3
+                # indexing bottleneck, GIL-bound at ~12k docs/s)
+                ser.serialize_sorted_field(
+                    exp["post_offsets"],
+                    exp["docs"],
+                    exp["tfs"],
+                    exp["positions"] if has_positions else None,
+                )
+                term_data = exp["term_data"].tobytes()
+                toff = exp["term_offsets"]
+                sorted_terms = [
+                    term_data[toff[i] : toff[i + 1]]
+                    for i in range(exp["n_terms"])
+                ]
+            else:
+                sorted_terms = []
+                for term_bytes, docs, tfs, pos in self._merged_term_stream(
+                    field_id, exp, has_positions
+                ):
+                    ser.serialize_term(docs, tfs, pos)
+                    sorted_terms.append(term_bytes)
             arrays = ser.finish()
             arrays["total_num_tokens"] = np.asarray([tot], dtype=np.int64)
             for k, v in arrays.items():

@@ -58,6 +58,13 @@ def _load() -> ctypes.CDLL | None:
             ctypes.c_char_p, ctypes.c_int64, ctypes.c_int,
             ctypes.c_uint32, ctypes.c_int64,
         ]
+        lib.indexer_index_text_batch.argtypes = [
+            ctypes.c_void_p, ctypes.c_uint32,
+            ctypes.POINTER(ctypes.c_uint32), ctypes.POINTER(ctypes.c_uint32),
+            ctypes.c_char_p, ctypes.POINTER(ctypes.c_int64),
+            ctypes.c_int64, ctypes.c_int, ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_uint32),
+        ]
         lib.indexer_subscribe.argtypes = [
             ctypes.c_void_p, ctypes.c_uint32, ctypes.c_uint32,
             ctypes.c_char_p, ctypes.c_int64,
@@ -112,6 +119,32 @@ class NativeIndexerCore:
             self._h, field_id, doc_id, text, len(text),
             1 if with_positions else 0, pos_offset, remove_long_limit,
         )
+
+    def index_text_batch(self, field_id: int, doc_ids: np.ndarray,
+                         prevs: np.ndarray, texts: list[bytes],
+                         with_positions: bool,
+                         remove_long_limit: int = 40) -> np.ndarray:
+        """One GIL-releasing call tokenizes many docs' texts for one field;
+        returns each entry's kept-token count."""
+        n = len(texts)
+        buf = b"".join(texts)
+        offsets = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum([len(t) for t in texts], out=offsets[1:])
+        doc_ids = np.ascontiguousarray(doc_ids, dtype=np.uint32)
+        prevs = np.ascontiguousarray(prevs, dtype=np.uint32)
+        kept = np.zeros(n, dtype=np.uint32)
+
+        def ptr(arr, typ):
+            return arr.ctypes.data_as(ctypes.POINTER(typ))
+
+        self._lib.indexer_index_text_batch(
+            self._h, field_id,
+            ptr(doc_ids, ctypes.c_uint32), ptr(prevs, ctypes.c_uint32),
+            buf, ptr(offsets, ctypes.c_int64), n,
+            1 if with_positions else 0, remove_long_limit,
+            ptr(kept, ctypes.c_uint32),
+        )
+        return kept
 
     def subscribe(self, field_id: int, doc_id: int, term_bytes: bytes) -> None:
         self._lib.indexer_subscribe(self._h, field_id, doc_id, term_bytes,

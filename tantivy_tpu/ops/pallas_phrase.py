@@ -167,7 +167,13 @@ def _phrase_kernel_body(n_partners: int, rows: int, num_prows: int, G: int):
                 for d in dmas(g):
                     d.wait()
 
-            for r8 in range(8):
+            # dynamic row loop (a static 8x unroll of the whole anchor /
+            # partner machinery multiplies Mosaic compile time; see
+            # pallas_probe._grp_kernel_body). i32 reduce: Mosaic has no
+            # unsigned reductions; every cstore word is < 2^31.
+            rows_all = pltpu.bitcast(lane_buf[g], jnp.int32)  # [8, 384]
+
+            def row_body(r8, _):
                 bit = (mask >> r8) & 1
 
                 @pl.when(bit == 0)
@@ -181,7 +187,16 @@ def _phrase_kernel_body(n_partners: int, rows: int, num_prows: int, G: int):
 
                 @pl.when(bit != 0)
                 def _(g=g, r8=r8):
-                    row = lane_buf[g, pl.ds(r8, 1), :]       # [1, 384]
+                    sel_r = jax.lax.broadcasted_iota(
+                        jnp.int32, (8, 1), 0
+                    ) == r8
+                    row = pltpu.bitcast(
+                        jnp.sum(
+                            jnp.where(sel_r, rows_all, 0),
+                            axis=0, keepdims=True, dtype=jnp.int32,
+                        ),
+                        jnp.uint32,
+                    )                                        # [1, 384]
                     docs_row = row[:, 0:128]
                     cachev = pltpu.bitcast(row[:, 256:384], jnp.float32)
                     lane_ok = (
@@ -202,64 +217,74 @@ def _phrase_kernel_body(n_partners: int, rows: int, num_prows: int, G: int):
                     # slab but scans exactly what a single-block item would.
                     # Mosaic constraints: dynamic VMEM loads step in 8-row
                     # chunks from 8-aligned starts; loop carries are i32.
-                    ac_lo = loff // C8
-                    ac_hi = (loff + llen + C8 - 1) // C8
 
-                    def anchor_chunk(ac, count, g=g):
-                        a0 = pl.multiple_of(ac * 8, 8)
+                    def anchor_row(ar, count, g=g):
+                        # ar = absolute anchor slab row; dynamic loop (a
+                        # static 8x unroll of the partner machinery
+                        # multiplies compile time). The 8-row chunk holding
+                        # the row loads 8-aligned; the row extracts by a
+                        # masked reduce.
+                        a0 = pl.multiple_of((ar // 8) * 8, 8)
                         lp8 = apos_buf[g, pl.ds(a0, 8), 0:128].astype(
                             jnp.int32
                         )
                         lo8 = apos_buf[g, pl.ds(a0, 8), 128:256].astype(
                             jnp.int32
                         )
-                        for rr in range(8):
-                            lp = lp8[rr:rr + 1, :]
-                            lo = lo8[rr:rr + 1, :]
-                            riota = jax.lax.broadcasted_iota(
-                                jnp.int32, (1, 128), 1
-                            ) + (ac * 8 + rr) * 128
-                            m = (riota >= loff) & (riota < loff + llen)
-                            lp_c = lp.reshape(128, 1)
-                            lo_c = lo.reshape(128, 1)
-                            for s in range(S):
-                                tgt = lp_c + deltas[s]
-                                pc_lo = poffs[s] // C8
-                                pc_hi = (poffs[s] + plens[s] + C8 - 1) // C8
+                        sel_a = jax.lax.broadcasted_iota(
+                            jnp.int32, (8, 1), 0
+                        ) == (ar % 8)
+                        lp = jnp.sum(
+                            jnp.where(sel_a, lp8, 0), axis=0, keepdims=True
+                        )
+                        lo = jnp.sum(
+                            jnp.where(sel_a, lo8, 0), axis=0, keepdims=True
+                        )
+                        riota = jax.lax.broadcasted_iota(
+                            jnp.int32, (1, 128), 1
+                        ) + ar * 128
+                        m = (riota >= loff) & (riota < loff + llen)
+                        lp_c = lp.reshape(128, 1)
+                        lo_c = lo.reshape(128, 1)
+                        for s in range(S):
+                            tgt = lp_c + deltas[s]
+                            pc_lo = poffs[s] // C8
+                            pc_hi = (poffs[s] + plens[s] + C8 - 1) // C8
 
-                                def partner_chunk(
-                                    pc, hit, s=s, lo_c=lo_c, tgt=tgt
-                                ):
-                                    c0 = pl.multiple_of(pc * 8, 8)
-                                    po = ppos_buf[
-                                        g, s, pl.ds(c0, 8), 128:256
-                                    ].astype(jnp.int32).reshape(1, C8)
-                                    pp = ppos_buf[
-                                        g, s, pl.ds(c0, 8), 0:128
-                                    ].astype(jnp.int32).reshape(1, C8)
-                                    citer = jax.lax.broadcasted_iota(
-                                        jnp.int32, (1, C8), 1
-                                    ) + pc * C8
-                                    vp = (citer >= poffs[s]) & (
-                                        citer < poffs[s] + plens[s]
-                                    )
-                                    return hit | jnp.any(
-                                        vp & (po == lo_c) & (pp == tgt),
-                                        axis=1,
-                                    ).reshape(1, 128).astype(jnp.int32)
-
-                                hit = jax.lax.fori_loop(
-                                    pc_lo, pc_hi, partner_chunk,
-                                    jnp.zeros((1, 128), dtype=jnp.int32),
+                            def partner_chunk(
+                                pc, hit, s=s, lo_c=lo_c, tgt=tgt
+                            ):
+                                c0 = pl.multiple_of(pc * 8, 8)
+                                po = ppos_buf[
+                                    g, s, pl.ds(c0, 8), 128:256
+                                ].astype(jnp.int32).reshape(1, C8)
+                                pp = ppos_buf[
+                                    g, s, pl.ds(c0, 8), 0:128
+                                ].astype(jnp.int32).reshape(1, C8)
+                                citer = jax.lax.broadcasted_iota(
+                                    jnp.int32, (1, C8), 1
+                                ) + pc * C8
+                                vp = (citer >= poffs[s]) & (
+                                    citer < poffs[s] + plens[s]
                                 )
-                                m = m & ((hit > 0) | (plens[s] <= 0))
-                            count = count + jnp.sum(
-                                (docs_col == lo) & m, axis=1
-                            ).reshape(1, 128)
-                        return count
+                                return hit | jnp.any(
+                                    vp & (po == lo_c) & (pp == tgt),
+                                    axis=1,
+                                ).reshape(1, 128).astype(jnp.int32)
+
+                            hit = jax.lax.fori_loop(
+                                pc_lo, pc_hi, partner_chunk,
+                                jnp.zeros((1, 128), dtype=jnp.int32),
+                            )
+                            m = m & ((hit > 0) | (plens[s] <= 0))
+                        return count + jnp.sum(
+                            (docs_col == lo) & m, axis=1
+                        ).reshape(1, 128)
 
                     count = jax.lax.fori_loop(
-                        ac_lo, ac_hi, anchor_chunk,
+                        loff // 128,
+                        jnp.minimum((loff + llen + 127) // 128, RR),
+                        anchor_row,
                         jnp.zeros((1, 128), dtype=jnp.int32),
                     )
 
@@ -270,6 +295,9 @@ def _phrase_kernel_body(n_partners: int, rows: int, num_prows: int, G: int):
                         ok, score, NEG_INF
                     )
                     docs_ref[pl.ds(g * 8 + r8, 1), :] = docs_row
+                return 0
+
+            jax.lax.fori_loop(0, 8, row_body, 0)
             return 0
 
         jax.lax.fori_loop(0, G, compute_g, 0)

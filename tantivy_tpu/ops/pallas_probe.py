@@ -593,7 +593,16 @@ def _grp_kernel_body(n_clauses: int, kw: int, num_prows: int, G: int):
             req_m = req_m_ref[q]
             req_s = req_s_ref[q]
 
-            for r8 in range(8):
+            # the row loop is a DYNAMIC fori_loop (not a static 8x unroll):
+            # unrolling the full clause/probe machinery 8x made the Mosaic
+            # kernel ~8x bigger and blew compile time to minutes. Rows are
+            # extracted from the [8, *] lane buffer by a masked reduce
+            # (dynamic single-row VMEM loads need 8-aligned starts; the
+            # reduce rides i32 — Mosaic has no unsigned reductions — which
+            # is lossless: every cstore word is < 2^31).
+            rows_all = pltpu.bitcast(lane_buf[g], jnp.int32)  # [8, 384]
+
+            def row_body(r8, _):
                 bit = (mask >> r8) & 1
 
                 @pl.when(bit == 0)
@@ -607,7 +616,16 @@ def _grp_kernel_body(n_clauses: int, kw: int, num_prows: int, G: int):
 
                 @pl.when(bit != 0)
                 def _(g=g, r8=r8):
-                    row = lane_buf[g, pl.ds(r8, 1), :]     # [1, 384] u32
+                    sel = jax.lax.broadcasted_iota(
+                        jnp.int32, (8, 1), 0
+                    ) == r8
+                    row = pltpu.bitcast(
+                        jnp.sum(
+                            jnp.where(sel, rows_all, 0),
+                            axis=0, keepdims=True, dtype=jnp.int32,
+                        ),
+                        jnp.uint32,
+                    )                                       # [1, 384]
                     docs_row = row[:, 0:128]
                     tfs_row = row[:, 128:256]
                     cachev = pltpu.bitcast(row[:, 256:384], jnp.float32)
@@ -626,77 +644,54 @@ def _grp_kernel_body(n_clauses: int, kw: int, num_prows: int, G: int):
                         s = cl_start_ref[q * n_clauses + t]
                         n = cl_len_ref[q * n_clauses + t]
                         j = js[t]
-                        if kw <= 8:
-                            # narrow rung: the whole unioned overlap sits
-                            # statically in rows [0, kw) of the window (see
-                            # _bool_kernel_body's narrow-path comment)
-                            RW = kw if kw >= 2 else 2
-                            wd_c = win_buf[g, t, 0:RW, 0:128]
-                            wt_c = win_buf[g, t, 0:RW, 128:256]
+                        # length-bounded dynamic chunk loop on every rung (a
+                        # statically-unrolled narrow path compiled 50-300s
+                        # in Mosaic and defeated the persistent cache)
+                        rows_used = jnp.where(
+                            j >= 0,
+                            jnp.clip(
+                                jnp.minimum(s + n - j, wids[t]), 0, kw8
+                            ),
+                            0,
+                        )
+
+                        def win_chunk(cc, carry, t=t, s=s, n=n, j=j):
+                            found, tf_probe = carry
+                            c0 = pl.multiple_of(cc * 8, 8)
+                            wd_c = win_buf[g, t, pl.ds(c0, 8), 0:128]
+                            wt_c = win_buf[g, t, pl.ds(c0, 8), 128:256]
                             roff = jax.lax.broadcasted_iota(
-                                jnp.int32, (RW, 1), 0
-                            ) + j
-                            row_ok = (j >= 0) & (roff >= s) & (roff < s + n)
+                                jnp.int32, (8, 1), 0
+                            ) + (j + cc * 8)
+                            row_ok = (roff >= s) & (roff < s + n)
                             wd = jnp.where(
                                 row_ok, wd_c, jnp.uint32(0xFFFFFFFF)
-                            ).reshape(1, RW * 128)
-                            wt = wt_c.reshape(1, RW * 128).astype(jnp.int32)
+                            ).reshape(1, 8 * 128)
+                            wt = wt_c.reshape(1, 8 * 128).astype(
+                                jnp.int32
+                            )
                             eq = wd == docs_col
-                            found = jnp.any(eq, axis=1).reshape(1, 128)
-                            tf_probe = jnp.sum(
+                            found = found | jnp.any(
+                                eq, axis=1
+                            ).reshape(1, 128).astype(jnp.int32)
+                            tf_probe = tf_probe + jnp.sum(
                                 jnp.where(
                                     eq,
-                                    jnp.broadcast_to(wt, (128, RW * 128)),
+                                    jnp.broadcast_to(wt, (128, 8 * 128)),
                                     jnp.int32(0),
                                 ),
                                 axis=1,
                             ).reshape(1, 128)
-                        else:
-                            rows_used = jnp.where(
-                                j >= 0,
-                                jnp.clip(
-                                    jnp.minimum(s + n - j, wids[t]), 0, kw8
-                                ),
-                                0,
-                            )
+                            return found, tf_probe
 
-                            def win_chunk(cc, carry, t=t, s=s, n=n, j=j):
-                                found, tf_probe = carry
-                                c0 = pl.multiple_of(cc * 8, 8)
-                                wd_c = win_buf[g, t, pl.ds(c0, 8), 0:128]
-                                wt_c = win_buf[g, t, pl.ds(c0, 8), 128:256]
-                                roff = jax.lax.broadcasted_iota(
-                                    jnp.int32, (8, 1), 0
-                                ) + (j + cc * 8)
-                                row_ok = (roff >= s) & (roff < s + n)
-                                wd = jnp.where(
-                                    row_ok, wd_c, jnp.uint32(0xFFFFFFFF)
-                                ).reshape(1, 8 * 128)
-                                wt = wt_c.reshape(1, 8 * 128).astype(
-                                    jnp.int32
-                                )
-                                eq = wd == docs_col
-                                found = found | jnp.any(
-                                    eq, axis=1
-                                ).reshape(1, 128).astype(jnp.int32)
-                                tf_probe = tf_probe + jnp.sum(
-                                    jnp.where(
-                                        eq,
-                                        jnp.broadcast_to(wt, (128, 8 * 128)),
-                                        jnp.int32(0),
-                                    ),
-                                    axis=1,
-                                ).reshape(1, 128)
-                                return found, tf_probe
-
-                            found_i, tf_probe = jax.lax.fori_loop(
-                                0, (rows_used + 7) // 8, win_chunk,
-                                (
-                                    jnp.zeros((1, 128), dtype=jnp.int32),
-                                    jnp.zeros((1, 128), dtype=jnp.int32),
-                                ),
-                            )
-                            found = found_i > 0
+                        found_i, tf_probe = jax.lax.fori_loop(
+                            0, (rows_used + 7) // 8, win_chunk,
+                            (
+                                jnp.zeros((1, 128), dtype=jnp.int32),
+                                jnp.zeros((1, 128), dtype=jnp.int32),
+                            ),
+                        )
+                        found = found_i > 0
                         own = cl == t
                         presence = found | own
                         tf_t = jnp.where(
@@ -739,6 +734,9 @@ def _grp_kernel_body(n_clauses: int, kw: int, num_prows: int, G: int):
                         ok, score, NEG_INF
                     )
                     docs_ref[pl.ds(g * 8 + r8, 1), :] = docs_row
+                return 0
+
+            jax.lax.fori_loop(0, 8, row_body, 0)
             return 0
 
         jax.lax.fori_loop(0, G, compute_g, 0)
@@ -807,10 +805,14 @@ def _grp_rows(
 #: W tiers are in GROUP items (a group = up to 8 blocks); the tier LEVEL is
 #: canonicalized per launch (one level for all rungs) so the compiled
 #: rungs-tuple set stays tiny across batch compositions.
-_GRP_RUNGS = (8, 16, 64)         # T <= 8
-_GRP_RUNGS_WIDE = (8, 32)        # T <= 16 (VMEM: win_buf scales with T)
+#: NOTE: no 8-row rung — Mosaic compiles the (otherwise identical) kernel
+#: with an 8-row window buffer pathologically (50-500s, nondeterministic,
+#: defeats the persistent cache) while 16-row compiles in ~1s. The dynamic
+#: chunk loop bounds COMPUTE by the true overlap, so the narrow-window case
+#: only pays double window-DMA bytes, not double compares.
+_GRP_RUNGS = (16, 64)            # T <= 8
+_GRP_RUNGS_WIDE = (16, 32)       # T <= 16 (VMEM: win_buf scales with T)
 _GRP_W_TIERS = {
-    8: (256, 2048, 32768),
     16: (256, 2048, 32768),
     32: (256, 2048, 8192),
     64: (256, 2048, 8192),

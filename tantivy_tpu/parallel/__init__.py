@@ -1392,6 +1392,43 @@ class BatchExecutor:
         return results
 
     # ------------------------------------------------------------------
+    # batched aggregation (shares the per-segment doc pass across requests)
+
+    def agg_batch(self, requests: list[dict], query=None) -> list[dict]:
+        """Execute N aggregation requests over one query's doc set,
+        evaluating the query ONCE per segment and sharing the candidate
+        docs (and the per-reader cached column factorizations) across all
+        requests — the reference runs one `AggregationCollector` per
+        request, re-driving the query each time (`collector.rs:23`)."""
+        from ..aggregation import (
+            AggregationCollector,
+            collect_segment_aggs,
+        )
+        from ..query import AllQuery
+
+        if not requests:
+            return []
+        cols = [AggregationCollector(r) for r in requests]
+        query = query or AllQuery()
+        scoring = any(c.requires_scoring() for c in cols)
+        weight = query.weight(self.searcher, scoring=scoring)
+        fruits: list[list] = [[] for _ in requests]
+        from ..collector import _alive_filter
+
+        for seg_ord, reader in enumerate(self.searcher.segment_readers()):
+            res = weight.execute(reader)
+            docs, scores = _alive_filter(res, reader)
+            if not scoring:
+                scores = None
+            for ci, c in enumerate(cols):
+                fruits[ci].append(
+                    collect_segment_aggs(
+                        c.aggs, reader, seg_ord, docs, scores, c.limits
+                    )
+                )
+        return [c.merge_fruits(f) for c, f in zip(cols, fruits)]
+
+    # ------------------------------------------------------------------
     # batched counting (the reference's Count collector, batched)
 
     def _sorted_column(self, seg_ord: int, field: str):

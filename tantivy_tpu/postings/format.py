@@ -215,6 +215,125 @@ class PostingsSerializer:
         self._blk_tf_row.extend(tf_rows.tolist())
         return term_ord
 
+    def serialize_sorted_field(
+        self,
+        poff: np.ndarray,       # [n_terms + 1] posting offsets per term
+        docs: np.ndarray,       # [N] u32, concatenated per sorted term
+        tfs: np.ndarray,        # [N] u32
+        positions: np.ndarray | None = None,  # [sum(tfs)] u32 flat
+    ) -> None:
+        """Serialize a whole field's sorted term stream in ONE vectorized
+        pass (no per-term Python loop) — the indexing-throughput hot path
+        for native-core fields. Semantically identical to calling
+        `serialize_term` per term: strict-delta doc encoding crosses block
+        boundaries with base = previous last + 1, which equals the global
+        `doc[i] - doc[i-1] - 1` everywhere except each term's first posting
+        (delta = doc value)."""
+        assert len(self._term_doc_freq) == 0, \
+            "serialize_sorted_field builds a whole field at once"
+        poff = np.ascontiguousarray(poff, dtype=np.int64)
+        docs = np.ascontiguousarray(docs, dtype=np.uint32)
+        tfs = np.ascontiguousarray(tfs, dtype=np.uint32)
+        n_terms = len(poff) - 1
+        N = len(docs)
+        if N == 0:
+            if positions is not None:
+                self._positions.append(
+                    np.ascontiguousarray(positions, dtype=np.uint32)
+                )
+            self._term_pos_start = [0] * n_terms
+            self._term_doc_freq = [0] * n_terms
+            return
+        bs = COMPRESSION_BLOCK_SIZE
+        df = np.diff(poff)
+        nblk = -(-df // bs)
+        blk_of_term = np.zeros(n_terms + 1, dtype=np.int64)
+        np.cumsum(nblk, out=blk_of_term[1:])
+        total_blocks = int(blk_of_term[-1])
+        blk_term = np.repeat(np.arange(n_terms), nblk)
+        blk_in_term = (
+            np.arange(total_blocks) - blk_of_term[blk_term]
+        )
+        bstart = poff[blk_term] + blk_in_term * bs   # global posting index
+        bend = np.minimum(bstart + bs, poff[blk_term + 1])
+        blen = bend - bstart
+
+        deltas = np.empty(N, dtype=np.uint32)
+        deltas[0] = docs[0]
+        if N > 1:
+            deltas[1:] = docs[1:] - docs[:-1] - 1
+        firsts = poff[:-1][df > 0]
+        deltas[firsts] = docs[firsts]
+
+        rows = np.repeat(np.arange(total_blocks), blen)
+        cols = np.arange(N) - bstart[rows]
+        dpad = np.zeros((total_blocks, bs), dtype=np.uint32)
+        dpad[rows, cols] = deltas
+        doc_bits = bitpack.bits_required_rows(dpad.max(axis=1))
+        doc_rows = np.empty(total_blocks, dtype=np.int64)
+        for w in np.unique(doc_bits):
+            sel = doc_bits == w
+            start = self._doc_buckets[_WIDTH_INDEX[int(w)]].add_rows(dpad[sel])
+            doc_rows[sel] = start + np.arange(int(sel.sum()))
+
+        if self.has_freqs:
+            tpad = np.zeros((total_blocks, bs), dtype=np.uint32)
+            tpad[rows, cols] = tfs - 1
+            tf_bits = bitpack.bits_required_rows(tpad.max(axis=1))
+            tf_rows = np.empty(total_blocks, dtype=np.int64)
+            for w in np.unique(tf_bits):
+                sel = tf_bits == w
+                start = self._tf_buckets[_WIDTH_INDEX[int(w)]].add_rows(
+                    tpad[sel]
+                )
+                tf_rows[sel] = start + np.arange(int(sel.sum()))
+        else:
+            tf_bits = np.zeros(total_blocks, dtype=np.int64)
+            tf_rows = np.zeros(total_blocks, dtype=np.int64)
+
+        if self._fieldnorm_ids is not None:
+            norm_ids = self._fieldnorm_ids[docs]
+        else:
+            norm_ids = np.zeros(N, dtype=np.uint8)
+        tf_f = tfs.astype(np.float32)
+        factors = tf_f / (tf_f + self._tf_cache[norm_ids])
+        fpad = np.full((total_blocks, bs), -1.0, dtype=np.float32)
+        fpad[rows, cols] = factors
+        arg = fpad.argmax(axis=1)
+        gidx = bstart + arg  # argmax col < blen always (factors > -1)
+        self._blk_max_fnid = norm_ids[gidx].tolist()
+        self._blk_max_tf = tfs[gidx].tolist()
+
+        tf64 = tfs.astype(np.int64)
+        tcum = np.zeros(N + 1, dtype=np.int64)
+        np.cumsum(tf64, out=tcum[1:])
+        # per-block tf offset within the TERM's position region
+        blk_tf_cum = tcum[bstart] - tcum[poff[blk_term]]
+        self._blk_tf_cum = blk_tf_cum.tolist()
+
+        last = docs[bend - 1].astype(np.int64)
+        bases = np.empty(total_blocks, dtype=np.int64)
+        bases[blk_in_term == 0] = 0
+        mid = blk_in_term > 0
+        bases[mid] = last[np.nonzero(mid)[0] - 1] + 1
+        self._blk_last_doc = last.tolist()
+        self._blk_base = bases.tolist()
+        self._blk_len = blen.tolist()
+        self._blk_doc_bits = doc_bits.tolist()
+        self._blk_doc_row = doc_rows.tolist()
+        self._blk_tf_bits = tf_bits.tolist()
+        self._blk_tf_row = tf_rows.tolist()
+
+        self._term_block_start = blk_of_term[:-1].tolist()
+        self._term_num_blocks = nblk.tolist()
+        self._term_doc_freq = df.tolist()
+        self._term_pos_start = tcum[poff[:-1]].tolist()
+        if positions is not None:
+            positions = np.ascontiguousarray(positions, dtype=np.uint32)
+            assert len(positions) == int(tcum[-1])
+            self._positions.append(positions)
+            self._pos_len = len(positions)
+
     def finish(self) -> dict[str, np.ndarray]:
         out: dict[str, np.ndarray] = {
             "has_freqs": np.asarray([1 if self.has_freqs else 0], dtype=np.int32),

@@ -36,7 +36,22 @@ class RangeQuery(Query):
         return f"RangeQuery({self.field}:{lb}{self.lower} TO {self.upper}{ub})"
 
     def weight(self, searcher, scoring: bool = True) -> Weight:
-        entry = searcher.schema.get_field(self.field)
+        try:
+            entry = searcher.schema.get_field(self.field)
+        except KeyError:
+            # `json_field.path` over a FAST json field's dynamic columns
+            # (reference `range_query_fastfield.rs` + `readers.rs:64-101`)
+            if "." in self.field:
+                parts = self.field.split(".")
+                for i in range(len(parts) - 1, 0, -1):
+                    name = ".".join(parts[:i])
+                    try:
+                        base = searcher.schema.get_field(name)
+                    except KeyError:
+                        continue
+                    if base.field_type == FieldType.JSON and base.is_fast():
+                        return JsonPathRangeWeight(self)
+            raise
         if entry.is_fast() and entry.field_type == FieldType.IP_ADDR:
             return DictRangeWeight(self, entry)
         if entry.is_fast() and entry.field_type not in (
@@ -189,4 +204,64 @@ class FastFieldRangeWeight(Weight):
                     np.uint32
                 )
             )
+        return SegmentResult(docs, np.ones(len(docs), dtype=np.float32))
+
+
+def _mask_to_docs(col, mask) -> np.ndarray:
+    if col.cardinality == CARD_FULL:
+        return np.nonzero(mask)[0].astype(np.uint32)
+    if col.cardinality == CARD_OPTIONAL:
+        return col.present_docs[mask].astype(np.uint32)
+    hit_rows = np.nonzero(mask)[0]
+    return np.unique(
+        (np.searchsorted(col.offsets, hit_rows, side="right") - 1)
+        .astype(np.uint32)
+    )
+
+
+class JsonPathRangeWeight(Weight):
+    """Range over a FAST json field's dynamic per-path column. The value
+    type is per-segment (the column's own type), so bounds convert at
+    execute time; str paths range over the dictionary ordinals."""
+
+    def __init__(self, query: RangeQuery):
+        self.q = query
+
+    def execute(self, segment_reader) -> SegmentResult:
+        col = segment_reader.fast_fields().column(self.q.field)
+        if col is None:
+            return SegmentResult.empty()
+        if col.dictionary is not None:
+            enc = (
+                lambda v: v.encode("utf-8") if isinstance(v, str)
+                else bytes(v)
+            )
+            rng = col.dictionary.range_ords(
+                enc(self.q.lower) if self.q.lower is not None else None,
+                enc(self.q.upper) if self.q.upper is not None else None,
+                self.q.include_lower, self.q.include_upper,
+            )
+            if len(rng) == 0:
+                return SegmentResult.empty()
+            mask = (col.values >= np.uint64(rng.start)) & (
+                col.values <= np.uint64(rng.stop - 1)
+            )
+        else:
+            lo, hi = 0, 0xFFFFFFFFFFFFFFFF
+            if self.q.lower is not None:
+                lo = to_u64(self.q.lower, col.type_name)
+                if not self.q.include_lower:
+                    lo += 1
+            if self.q.upper is not None:
+                hi = to_u64(self.q.upper, col.type_name)
+                if not self.q.include_upper:
+                    if hi == 0:
+                        return SegmentResult.empty()
+                    hi -= 1
+            if lo > hi:
+                return SegmentResult.empty()
+            mask = (col.values >= np.uint64(lo)) & (
+                col.values <= np.uint64(hi)
+            )
+        docs = _mask_to_docs(col, mask)
         return SegmentResult(docs, np.ones(len(docs), dtype=np.float32))
