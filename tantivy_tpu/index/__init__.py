@@ -34,17 +34,23 @@ class IndexSettings:
 
     def __init__(self, sort_by_field: tuple[str, str] | None = None,
                  docstore_compression: str = "zstd",
-                 docstore_blocksize: int = 16_384):
+                 docstore_blocksize: int = 16_384,
+                 docstore_compress_dedicated_thread: bool = False):
         # sort_by_field: (field_name, "asc"|"desc")
         self.sort_by_field = sort_by_field
         self.docstore_compression = docstore_compression
         self.docstore_blocksize = docstore_blocksize
+        self.docstore_compress_dedicated_thread = (
+            docstore_compress_dedicated_thread
+        )
 
     def to_json(self) -> dict:
         return {
             "sort_by_field": list(self.sort_by_field) if self.sort_by_field else None,
             "docstore_compression": self.docstore_compression,
             "docstore_blocksize": self.docstore_blocksize,
+            "docstore_compress_dedicated_thread":
+                self.docstore_compress_dedicated_thread,
         }
 
     @classmethod
@@ -56,6 +62,9 @@ class IndexSettings:
             sort_by_field=tuple(sbf) if sbf else None,
             docstore_compression=d.get("docstore_compression", "zstd"),
             docstore_blocksize=d.get("docstore_blocksize", 16_384),
+            docstore_compress_dedicated_thread=d.get(
+                "docstore_compress_dedicated_thread", False
+            ),
         )
 
 

@@ -123,10 +123,14 @@ class IndexWriter:
             self._workers.append(t)
 
     def _new_segment_writer(self) -> SegmentWriter:
+        settings = self.index.settings
         return SegmentWriter(
             self.index.schema,
             self.index.tokenizers,
-            sort_by_field=self.index.settings.sort_by_field,
+            sort_by_field=settings.sort_by_field,
+            compress_dedicated_thread=getattr(
+                settings, "docstore_compress_dedicated_thread", False
+            ),
         )
 
     def _worker_loop(self, budget: int) -> None:

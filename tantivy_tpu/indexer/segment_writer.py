@@ -134,7 +134,8 @@ def _merge_postings(nd, ntf, npos, pd, ptf, ppos, has_positions):
 class SegmentWriter:
     def __init__(self, schema: Schema, tokenizers: TokenizerManager | None = None,
                  compressor: str = Compressor.ZSTD, use_native: bool = True,
-                 sort_by_field: tuple[str, str] | None = None):
+                 sort_by_field: tuple[str, str] | None = None,
+                 compress_dedicated_thread: bool = False):
         self.schema = schema
         self.tokenizers = tokenizers or TokenizerManager.default()
         self.sort_by_field = sort_by_field
@@ -153,7 +154,9 @@ class SegmentWriter:
         # `postings_writer.rs:215` counts one per subscribe)
         self._token_counts: dict[int, int] = defaultdict(int)
         self._columnar = ColumnarWriter()
-        self._store = StoreWriter(compressor)
+        self._store = StoreWriter(
+            compressor, dedicated_thread=compress_dedicated_thread
+        )
         self._has_stored = any(e.is_stored() for e in schema.fields())
         self.max_doc = 0
         self._mem_hint = 0

@@ -592,6 +592,15 @@ class BatchExecutor:
             fb = self.fallbacks = {}
         fb[kind] = fb.get(kind, 0) + 1
 
+    def _count_plan(self, kind: str, n: int = 1) -> None:
+        """Planner-branch telemetry (skip/slice/ratchet/re-anchor counters)
+        — consumed by the property tests to assert every planner path
+        actually fired, and by the bench for padding visibility."""
+        st = getattr(self, "plan_stats", None)
+        if st is None:
+            st = self.plan_stats = {}
+        st[kind] = st.get(kind, 0) + n
+
     @staticmethod
     def _prow_tier(n: int, Tb: int = 2) -> int:
         """Plan-row table tier. ONE value per clause bucket (not a ladder):
@@ -918,6 +927,9 @@ class BatchExecutor:
                 g["rows"].append(row)
                 if any_skip_row:
                     g["any_skip"] = True
+                    self._count_plan("bool_skip_rows")
+                if any_slice_row:
+                    self._count_plan("bool_slice_rows")
                 if any_slice_row or (any_skip_row and not report_all):
                     g["any_dup"] = True
 
@@ -1047,6 +1059,7 @@ class BatchExecutor:
         )
         ratchet = total_surv > _RATCHET_MIN_PER_Q * Q
         if ratchet:
+            self._count_plan("bool_ratchet")
             all_ub = np.concatenate(
                 [it[6] for items in surv.values() for it in items]
             )
@@ -1680,6 +1693,7 @@ class BatchExecutor:
                             kk_: vv[good] for kk_, vv in plan.items()
                         }
                         staged = [(leader, plan), (t_alt, plan2)]
+                        self._count_plan("phrase_reanchor")
                 if fallback:
                     per_query[qi].extend(
                         self._host_segment_topk(q, seg_ord, reader, k)
@@ -1796,6 +1810,7 @@ class BatchExecutor:
             len(p["ids"]) for items in surv.values() for _, _, _, p in items
         )
         if total_surv > _RATCHET_MIN_PER_Q * Q:
+            self._count_plan("phrase_ratchet")
             all_ub = np.concatenate(
                 [p["ub"] for items in surv.values() for _, _, _, p in items]
             )

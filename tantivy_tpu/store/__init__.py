@@ -44,17 +44,45 @@ def _decompress(data: bytes, compressor: str) -> bytes:
 
 
 class StoreWriter:
-    """Reference `src/store/writer.rs`."""
+    """Reference `src/store/writer.rs`.
 
-    def __init__(self, compressor: str = Compressor.ZSTD, block_size: int = BLOCK_SIZE):
+    With `dedicated_thread=True`, block compression runs on a dedicated
+    worker thread fed through a bounded queue (reference
+    `store_compressor.rs:25` — the `docstore_compress_dedicated_thread`
+    index setting): ingestion overlaps zstd work (which releases the GIL).
+    `finish()` joins the thread, so output is identical either way."""
+
+    def __init__(self, compressor: str = Compressor.ZSTD, block_size: int = BLOCK_SIZE,
+                 dedicated_thread: bool = False):
         self.compressor = compressor
         self.block_size = block_size
         self._current: list[bytes] = []
         self._current_size = 0
         self._first_doc_in_block = 0
         self._num_docs = 0
-        self._blocks: list[bytes] = []
+        self._blocks: list = []  # bytes, or a pending-slot index marker
         self._checkpoints: list[tuple[int, int]] = []  # (first_doc, num_docs)
+        self._thread = None
+        self._queue = None
+        if dedicated_thread and compressor != Compressor.NONE:
+            import queue
+            import threading
+
+            self._queue = queue.Queue(maxsize=8)
+            self._thread = threading.Thread(
+                target=self._compress_loop, daemon=True,
+                name="tantivy-tpu-store-compressor",
+            )
+            self._thread.start()
+
+    def _compress_loop(self) -> None:
+        while True:
+            item = self._queue.get()
+            if item is None:
+                return
+            slot, raw = item
+            self._blocks[slot] = _compress(raw, self.compressor)
+            self._queue.task_done()
 
     def store(self, doc: Document) -> None:
         payload = doc.to_json().encode("utf-8")
@@ -88,7 +116,11 @@ class StoreWriter:
         if not self._current:
             return
         raw = b"".join(self._current)
-        self._blocks.append(_compress(raw, self.compressor))
+        if self._queue is not None:
+            self._blocks.append(b"")  # slot filled by the compressor thread
+            self._queue.put((len(self._blocks) - 1, raw))
+        else:
+            self._blocks.append(_compress(raw, self.compressor))
         ndocs = self._num_docs - self._first_doc_in_block
         self._checkpoints.append((self._first_doc_in_block, ndocs))
         self._first_doc_in_block = self._num_docs
@@ -97,6 +129,12 @@ class StoreWriter:
 
     def finish(self) -> dict[str, np.ndarray]:
         self._flush_block()
+        if self._queue is not None:
+            self._queue.join()
+            self._queue.put(None)
+            self._thread.join()
+            self._queue = None
+            self._thread = None
         offsets = np.zeros(len(self._blocks) + 1, dtype=np.int64)
         for i, b in enumerate(self._blocks):
             offsets[i + 1] = offsets[i] + len(b)
