@@ -580,16 +580,22 @@ def launch_fused_phrase(
             interpret=interpret,
         )
 
+    # every launch carries ALL rungs (exhausted rungs ride as fully-masked
+    # padding) so overflow rounds reuse the same compiled signature — see
+    # pallas_probe.launch_fused_bool
     outs = []
-    first = []
-    for r in per_rung:
-        chunk = make_chunk(r[0], r[1], r[2], 0)
-        r[3] = chunk[4]
-        first.append(chunk)
-    outs.append(launch(first))
-    for r in per_rung:
-        while r[3] < len(r[2]):
+    while True:
+        chunks = []
+        progressed = False
+        for r in per_rung:
             chunk = make_chunk(r[0], r[1], r[2], r[3])
+            if chunk[4] > r[3]:
+                progressed = True
             r[3] = chunk[4]
-            outs.append(launch([chunk]))
+            chunks.append(chunk)
+        if not progressed and outs:
+            break
+        outs.append(launch(chunks))
+        if all(r[3] >= len(r[2]) for r in per_rung):
+            break
     return outs

@@ -484,13 +484,19 @@ def pallas_bool_topk(
 def _grp_scal_layout(n_clauses: int, G: int):
     """Per-item contiguous scalar slots for the group kernel (pow2 stride so
     addressing lowers to shifts): 0=row_base (8-aligned), 1=prow, 2=lcl,
-    3=member mask, 4+t=jlo_t, 4+T+t=wid_t."""
-    slots = 4 + 2 * n_clauses
+    3=member mask, 4+t=jlo_t (unioned window DMA start, -1 = no probe),
+    then per clause t a per-member sub-window block at
+    A + t*16: off_r (8 slots, member window start relative to jlo_t, in
+    rows, 8-aligned) and len_r (8 slots, member overlap rows) — each lane
+    row scans only ITS member's overlap (typically one 8-row chunk), not
+    the whole union, which is what keeps group compute equal to the sum of
+    single-block compute. A = 4 + n_clauses."""
+    slots = 4 + n_clauses + 16 * n_clauses
     stride = 8
     while stride < slots:
         stride *= 2
-    spr = 128 // stride
-    rows = -(-G // spr)
+    spr = max(128 // stride, 1)
+    rows = -(-(G * stride) // 128)
     return stride, spr, rows
 
 
@@ -517,6 +523,7 @@ def _g_items_grp(kw: int, n_clauses: int) -> int:
 def _grp_kernel_body(n_clauses: int, kw: int, num_prows: int, G: int):
     STRIDE, SPR, R = _grp_scal_layout(n_clauses, G)
     kw8 = _grp_kw8(kw)
+    A = 4 + n_clauses
 
     def kernel(
         cl_w_ref,      # [Pp * T] f32 (scalar prefetch, flattened)
@@ -543,7 +550,8 @@ def _grp_kernel_body(n_clauses: int, kw: int, num_prows: int, G: int):
         cp.wait()
 
         def it(g, k):
-            return scal_ref[0, g // SPR, (g % SPR) * STRIDE + k]
+            flat = g * STRIDE + k
+            return scal_ref[0, flat // 128, flat % 128]
 
         def lane_dma(g):
             b8 = pl.multiple_of(it(g, 0), 8)
@@ -580,7 +588,6 @@ def _grp_kernel_body(n_clauses: int, kw: int, num_prows: int, G: int):
             cl = it(g, 2)
             mask = it(g, 3)
             js = [it(g, 4 + t) for t in range(n_clauses)]
-            wids = [it(g, 4 + n_clauses + t) for t in range(n_clauses)]
 
             @pl.when(mask != 0)
             def _():
@@ -644,14 +651,17 @@ def _grp_kernel_body(n_clauses: int, kw: int, num_prows: int, G: int):
                         s = cl_start_ref[q * n_clauses + t]
                         n = cl_len_ref[q * n_clauses + t]
                         j = js[t]
-                        # length-bounded dynamic chunk loop on every rung (a
-                        # statically-unrolled narrow path compiled 50-300s
-                        # in Mosaic and defeated the persistent cache)
-                        rows_used = jnp.where(
+                        # length-bounded dynamic chunk loop over only THIS
+                        # member row's overlap (per-member offsets from the
+                        # scalar page — scanning the whole unioned window
+                        # per row cost ~8x the single-block compute). A
+        # statically-unrolled path compiled 50-300s in Mosaic.
+                        off_r = it(g, A + 16 * t + r8)
+                        len_r = it(g, A + 16 * t + 8 + r8)
+                        c_lo = jnp.where(j >= 0, off_r // 8, 0)
+                        c_hi = jnp.where(
                             j >= 0,
-                            jnp.clip(
-                                jnp.minimum(s + n - j, wids[t]), 0, kw8
-                            ),
+                            jnp.minimum((off_r + len_r + 7) // 8, kw8 // 8),
                             0,
                         )
 
@@ -685,7 +695,7 @@ def _grp_kernel_body(n_clauses: int, kw: int, num_prows: int, G: int):
                             return found, tf_probe
 
                         found_i, tf_probe = jax.lax.fori_loop(
-                            0, (rows_used + 7) // 8, win_chunk,
+                            c_lo, c_hi, win_chunk,
                             (
                                 jnp.zeros((1, 128), dtype=jnp.int32),
                                 jnp.zeros((1, 128), dtype=jnp.int32),
@@ -898,27 +908,54 @@ def _group_work(blocks, prow, clause, qid, seg, jlo_all, wid_all, groupable,
     """Collapse per-block work items into masked 8-run GROUP items.
 
     Groupable items sharing (prow, clause, block//8) merge: member mask ORs,
-    per-clause windows union (members with jlo=-1 contribute nothing; all -1
-    => group jlo -1). Non-groupable items (slice plans with intentionally
-    partial windows) and groups whose unioned width exceeds `kw_max` are
-    emitted as singleton groups (their per-item windows fit a rung by
-    planner construction). Returns (base, mask, prow, clause, qid, seg,
-    jlo [N,T], wid [N,T], eff)."""
+    per-clause window DMAs union, and each member's own (offset, width)
+    within the union rides per-row scalars so kernel compute stays equal to
+    the sum of single-block compute. Non-groupable items (slice plans with
+    intentionally partial windows) and groups whose unioned width exceeds
+    `kw_max` are emitted as singleton groups (their per-item windows fit a
+    rung by planner construction). Returns (base, mask, prow, clause, qid,
+    seg, jlo [N,T], off8 [N,T,8], len8 [N,T,8], eff)."""
     T = jlo_all.shape[1]
 
-    def finalize(base, mask, p, c, q, s, jlo, wid):
-        eff = wid.max(axis=1) if T else np.zeros(len(base), dtype=np.int64)
-        return base, mask, p, c, q, s, jlo, wid, eff
+    def emit(b_g, mask, p, c, q, s, jlo_m8, wid_m8):
+        """jlo_m8/wid_m8: [n, 8, T] per-member windows (-1 = none)."""
+        n = len(b_g)
+        has = jlo_m8 >= 0
+        jmin = np.where(has, jlo_m8, _I64MAX).min(axis=1)      # [n, T]
+        jlo_g = np.where(jmin == _I64MAX, np.int64(-1), jmin)
+        i1 = np.where(has, jlo_m8 + wid_m8, np.int64(-1)).max(axis=1)
+        wid_g = np.where(jlo_g >= 0, i1 - jlo_g, 0)
+        off8 = np.where(has, jlo_m8 - jlo_g[:, None, :], 0)    # [n, 8, T]
+        len8 = np.where(has, wid_m8, 0)
+        eff = wid_g.max(axis=1) if T else np.zeros(n, dtype=np.int64)
+        return (b_g, mask, p, c, q, s, jlo_g,
+                off8.transpose(0, 2, 1), len8.transpose(0, 2, 1), eff)
+
+    def member_windows(sel, order=None, starts=None, gidx=None, r=None):
+        """Scatter per-item windows into [n, 8, T] member slots."""
+        jlo = jlo_all[sel].astype(np.int64)
+        wid = np.where(jlo >= 0, wid_all[sel].astype(np.int64), 0)
+        if order is None:  # singletons
+            n = len(jlo)
+            j8 = np.full((n, 8, T), -1, dtype=np.int64)
+            w8 = np.zeros((n, 8, T), dtype=np.int64)
+            rr = (blocks[sel] % 8).astype(np.int64)
+            j8[np.arange(n), rr] = jlo
+            w8[np.arange(n), rr] = wid
+            return j8, w8
+        n = len(starts)
+        j8 = np.full((n, 8, T), -1, dtype=np.int64)
+        w8 = np.zeros((n, 8, T), dtype=np.int64)
+        j8[gidx, r] = jlo[order]
+        w8[gidx, r] = wid[order]
+        return j8, w8
 
     def singles(sel):
         b = blocks[sel]
-        jlo = jlo_all[sel].astype(np.int64)
-        # rung selection reads wid.max(axis=1): zero skipped (-1) columns so
-        # a skip row's (intentionally unprobed) wide width can't bust a rung
-        wid = np.where(jlo >= 0, wid_all[sel].astype(np.int64), 0)
-        return (
+        j8, w8 = member_windows(sel)
+        return emit(
             (b // 8) * 8, np.int64(1) << (b % 8), prow[sel], clause[sel],
-            qid[sel], seg[sel], jlo, wid,
+            qid[sel], seg[sel], j8, w8,
         )
 
     parts = []
@@ -933,54 +970,34 @@ def _group_work(blocks, prow, clause, qid, seg, jlo_all, wid_all, groupable,
             prow[gsel].astype(np.int64) * (T_MAX + 1) + clause[gsel]
         ) * (1 << 28) + run
         order = np.argsort(key, kind="stable")
-        _, starts = np.unique(key[order], return_index=True)
-        bo = b[order]
-        mask = np.bitwise_or.reduceat(
-            np.int64(1) << (bo % 8), starts
+        _, starts, counts = np.unique(
+            key[order], return_index=True, return_counts=True
         )
+        n_g = len(starts)
+        gidx = np.repeat(np.arange(n_g), counts)
+        bo = b[order]
+        r = (bo % 8).astype(np.int64)
+        mask = np.bitwise_or.reduceat(np.int64(1) << r, starts)
         base = (bo[starts] // 8) * 8
         io = order[starts]
-        p_g, c_g = prow[gsel][io], clause[gsel][io]
-        q_g, s_g = qid[gsel][io], seg[gsel][io]
-        jlo_m = jlo_all[gsel][order].astype(np.int64)
-        wid_m = wid_all[gsel][order].astype(np.int64)
-        n_g = len(starts)
-        jlo_g = np.full((n_g, T), -1, dtype=np.int64)
-        wid_g = np.zeros((n_g, T), dtype=np.int64)
-        for t in range(T):
-            has = jlo_m[:, t] >= 0
-            jt = np.where(has, jlo_m[:, t], _I64MAX)
-            i1 = np.where(has, jlo_m[:, t] + wid_m[:, t], np.int64(-1))
-            jmin = np.minimum.reduceat(jt, starts)
-            imax = np.maximum.reduceat(i1, starts)
-            gj = np.where(jmin == _I64MAX, np.int64(-1), jmin)
-            jlo_g[:, t] = gj
-            wid_g[:, t] = np.where(gj >= 0, imax - jmin, 0)
+        j8, w8 = member_windows(gsel, order, starts, gidx, r)
+        g = emit(base, mask, prow[gsel][io], clause[gsel][io], qid[gsel][io],
+                 seg[gsel][io], j8, w8)
         # unioned window busts the widest rung -> demote to singletons
-        wide = wid_g.max(axis=1, initial=0) > kw_max
+        wide = g[-1] > kw_max
         if wide.any():
-            wide_keys = set(key[order][starts[wide]].tolist())
-            item_wide = np.isin(key, np.fromiter(wide_keys, dtype=np.int64))
+            wide_keys = key[order][starts[wide]]
+            item_wide = np.isin(key, wide_keys)
             idx_w = np.nonzero(gsel)[0][item_wide]
             selw = np.zeros(len(blocks), dtype=bool)
             selw[idx_w] = True
             parts.append(singles(selw))
             keep = ~wide
-            parts.append(
-                (base[keep], mask[keep], p_g[keep], c_g[keep], q_g[keep],
-                 s_g[keep], jlo_g[keep], wid_g[keep])
-            )
+            parts.append(tuple(v[keep] for v in g))
         else:
-            parts.append((base, mask, p_g, c_g, q_g, s_g, jlo_g, wid_g))
-    return finalize(
-        np.concatenate([p[0] for p in parts]),
-        np.concatenate([p[1] for p in parts]),
-        np.concatenate([p[2] for p in parts]),
-        np.concatenate([p[3] for p in parts]),
-        np.concatenate([p[4] for p in parts]),
-        np.concatenate([p[5] for p in parts]),
-        np.concatenate([p[6] for p in parts]),
-        np.concatenate([p[7] for p in parts]),
+            parts.append(g)
+    return tuple(
+        np.concatenate([p[i] for p in parts]) for i in range(10)
     )
 
 
@@ -1008,14 +1025,16 @@ def launch_fused_bool(
     nbp = -(-fused.num_blocks // 8) * 8
     rungs_t = fused_rungs(T)
 
-    base, mask, g_prow, g_cl, g_qid, g_seg, g_jlo, g_wid, eff = _group_work(
+    (base, mask, g_prow, g_cl, g_qid, g_seg, g_jlo, g_off8, g_len8,
+     eff) = _group_work(
         blocks, prow, clause, qid, seg, jlo_all, wid_all, groupable,
         rungs_t[-1],
     )
 
     # bucket per rung, clamping window starts so the kw8-row DMA stays in
-    # bounds (8-aligned; -1 skip sentinels pass through). Clamp shifts keep
-    # width' <= kw8 because region ends never exceed the padded store.
+    # bounds (8-aligned; -1 skip sentinels pass through). A clamp shifts
+    # member offsets deeper into the window; shifted ends stay <= kw8
+    # because region ends never exceed the padded store.
     per_rung = []
     prev_kw = -1
     for kw in rungs_t:
@@ -1025,15 +1044,25 @@ def launch_fused_bool(
         hi = (max(nbp - kw8, 0) // 8) * 8
         j_orig = g_jlo[sel].astype(np.int32)
         j_s = np.where(j_orig < 0, np.int32(-1), np.minimum(j_orig, hi))
-        w_s = g_wid[sel].astype(np.int32) + np.where(
-            j_orig < 0, np.int32(0), j_orig - j_s
-        )
+        shift = np.where(j_orig < 0, np.int32(0), j_orig - j_s)
+        o_s = g_off8[sel].astype(np.int32) + shift[:, :, None]
+        l_s = g_len8[sel].astype(np.int32)
         per_rung.append(
             [kw, base[sel], mask[sel], g_prow[sel], g_cl[sel], g_qid[sel],
-             g_seg[sel], j_s, w_s, 0]
+             g_seg[sel], j_s, o_s, l_s, 0]
         )
     assert sum(len(r[1]) for r in per_rung) == len(base), \
         "group item wider than the widest rung reached the launcher"
+
+    import os
+    if os.environ.get("TANTIVY_TPU_LAUNCH_DEBUG"):
+        print(
+            f"[launch_fused_bool] T={T} items={n_items} groups={len(base)} "
+            + " ".join(
+                f"rung{r[0]}:{len(r[1])}" for r in per_rung
+            ),
+            flush=True,
+        )
 
     # canonical tier LEVEL: one level for every rung per launch, so the
     # compiled rungs-tuple set stays tiny (levels x single-rung follow-ups)
@@ -1047,37 +1076,31 @@ def launch_fused_bool(
         level = max(level, need)
     level = min(level, n_levels - 1)
 
-    def make_chunk(kw, b_s, m_s, p_s, c_s, q_s, s_s, jlo, wid, lo):
+    def make_chunk(kw, b_s, m_s, p_s, c_s, q_s, s_s, jlo, off8, len8, lo):
         tiers = _GRP_W_TIERS[kw]
         W = tiers[min(level, len(tiers) - 1)]
         hi = min(lo + W, len(b_s))
         n = hi - lo
         G = _g_items_grp(kw, T)
-        b_pad = np.zeros(W, dtype=np.int32)
-        m_pad = np.zeros(W, dtype=np.int32)
-        p_pad = np.full(W, num_prows, dtype=np.int32)
-        c_pad = np.zeros(W, dtype=np.int32)
+        STRIDE, SPR, R = _grp_scal_layout(T, G)
+        A = 4 + T
+        rows = np.zeros((W, STRIDE), dtype=np.int32)
+        rows[:, 1] = num_prows
+        rows[:, 4:4 + T] = -1
         q_pad = np.full(W, num_queries, dtype=np.int32)
         s_pad = np.zeros(W, dtype=np.int32)
-        j_pad = np.full((W, T), -1, dtype=np.int32)
-        w_pad = np.zeros((W, T), dtype=np.int32)
-        b_pad[:n] = b_s[lo:hi]
-        m_pad[:n] = m_s[lo:hi]
-        p_pad[:n] = p_s[lo:hi]
-        c_pad[:n] = c_s[lo:hi]
-        q_pad[:n] = q_s[lo:hi]
-        s_pad[:n] = s_s[lo:hi]
-        j_pad[:n] = jlo[lo:hi]
-        w_pad[:n] = wid[lo:hi]
+        if n:
+            rows[:n, 0] = b_s[lo:hi]
+            rows[:n, 1] = p_s[lo:hi]
+            rows[:n, 2] = c_s[lo:hi]
+            rows[:n, 3] = m_s[lo:hi]
+            rows[:n, 4:4 + T] = jlo[lo:hi]
+            for t in range(T):
+                rows[:n, A + 16 * t:A + 16 * t + 8] = off8[lo:hi, t]
+                rows[:n, A + 16 * t + 8:A + 16 * t + 16] = len8[lo:hi, t]
+            q_pad[:n] = q_s[lo:hi]
+            s_pad[:n] = s_s[lo:hi]
         P = W // G
-        STRIDE, SPR, R = _grp_scal_layout(T, G)
-        rows = np.zeros((W, STRIDE), dtype=np.int32)
-        rows[:, 0] = b_pad
-        rows[:, 1] = p_pad
-        rows[:, 2] = c_pad
-        rows[:, 3] = m_pad
-        rows[:, 4:4 + T] = j_pad
-        rows[:, 4 + T:4 + 2 * T] = w_pad
         flat = rows.reshape(P, G * STRIDE)
         flat = np.pad(flat, ((0, 0), (0, R * 128 - G * STRIDE)))
         scal = flat.reshape(P, R, 128)
@@ -1106,19 +1129,25 @@ def launch_fused_bool(
             n_clauses=T, rungs=rungs, interpret=interpret,
         )
 
+    # every launch carries ALL rungs (overflow rounds pass exhausted rungs
+    # as fully-masked padding, whose DMAs and compute the kernel elides):
+    # one compiled program signature per (tier level, k_eff) regardless of
+    # batch composition or overflow — no fresh compiles mid-run
     outs = []
-    first = []
-    for r in per_rung:
-        chunk = make_chunk(*r[:9], 0)
-        r[9] = chunk[4]
-        first.append(chunk)
-    outs.append(launch(first))
-    for r in per_rung:
-        b_s = r[1]
-        while r[9] < len(b_s):
-            chunk = make_chunk(*r[:9], r[9])
-            r[9] = chunk[4]
-            outs.append(launch([chunk]))
+    while True:
+        chunks = []
+        progressed = False
+        for r in per_rung:
+            chunk = make_chunk(*r[:10], r[10])
+            if chunk[4] > r[10]:
+                progressed = True
+            r[10] = chunk[4]
+            chunks.append(chunk)
+        if not progressed and outs:
+            break
+        outs.append(launch(chunks))
+        if all(r[10] >= len(r[1]) for r in per_rung):
+            break
     return outs
 
 
