@@ -47,6 +47,7 @@ work = (
     np.concatenate(
         [np.zeros((n, 1), np.int64), np.full((n, 1), 2, np.int64)], axis=1
     ),
+    np.zeros((n, 2), np.int64),
     np.ones(n, dtype=bool),
 )
 t0 = time.time()

@@ -136,6 +136,16 @@ class FusedStore:
         from ..parallel.wand import RangeMax
 
         self._rmax = RangeMax(self.bfac)
+        # merge tails may pack (seg, doc) into one u32 (seg<<28 | doc) when
+        # every segment ordinal fits 4 bits and every doc id fits 28
+        segs = {s["seg_ord"] for s in self.slabs.values()}
+        self.pack_addr_ok = bool(
+            all(0 <= s <= 15 for s in segs)
+            and all(
+                s["dfp"].norm_ids.shape[0] < (1 << 28)
+                for s in self.slabs.values()
+            )
+        )
         self._dirty = False
 
     def ready(self):

@@ -40,7 +40,11 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..postings.format import TERMINATED
 from .fmath import exact_div
-from .probe_scorer import pack_results_seg, per_query_topk_rows_seg
+from .probe_scorer import (
+    group_topk_rows,
+    pack_results_seg,
+    per_query_topk_rows_seg,
+)
 
 NEG_INF = np.float32(-np.inf)
 
@@ -349,6 +353,7 @@ def _phrase_rows(scal, qw, cstore, postore, *, n_partners, rows, num_prows,
     jax.jit,
     static_argnames=(
         "k", "num_queries", "num_prows", "n_partners", "rungs", "interpret",
+        "pack_addr",
     ),
 )
 def fused_phrase_topk(
@@ -361,8 +366,15 @@ def fused_phrase_topk(
     n_partners: int,
     rungs: tuple,   # ((W, rows, G), ...)
     interpret: bool = False,
+    pack_addr: bool = False,
 ):
-    """One launch for a phrase batch phase; packed [3, Q, k] result."""
+    """One launch for a phrase batch phase; packed [3, Q, k] result.
+
+    The merge tail mirrors `pallas_probe.fused_bool_topk`: a per-GROUP
+    top-kk reduction first (a group's 8 member rows share one
+    (query, segment) and hold distinct docs — anchor blocks of one clause
+    region have disjoint doc ranges), then one flat cross-rung sort,
+    3-key-packed when `pack_addr` holds."""
     row_sc, row_doc, row_qid, row_seg = [], [], [], []
     kk = min(k, 128)
     token = None
@@ -376,11 +388,11 @@ def fused_phrase_topk(
             rows=rows, num_prows=num_prows, G=G, W=W, interpret=interpret,
         )
         token = (docs[0, 0] & jnp.uint32(0)).astype(jnp.int32)
-        sc, idx = jax.lax.top_k(scores, kk)
+        sc, dc = group_topk_rows(scores, docs, k)
         row_sc.append(sc)
-        row_doc.append(jnp.take_along_axis(docs, idx, axis=1))
-        row_qid.append(jnp.repeat(qid, 8))
-        row_seg.append(jnp.repeat(seg, 8))
+        row_doc.append(dc)
+        row_qid.append(qid)
+        row_seg.append(seg)
     return pack_results_seg(
         *per_query_topk_rows_seg(
             jnp.concatenate(row_sc),
@@ -389,6 +401,7 @@ def fused_phrase_topk(
             jnp.concatenate(row_qid),
             k,
             num_queries,
+            pack_addr=pack_addr,
         )
     )
 
@@ -533,29 +546,32 @@ def launch_fused_phrase(
         n = hi - lo
         idx = sel_idx[lo:hi]
         G = _g_items_phrase(RR, S)
+        if n == 0:
+            # fully-masked filler rung (overflow rounds): one cached
+            # device-resident page per shape — zero host build or transfer
+            return _empty_chunk(RR, W, G, S, num_prows, num_queries), hi
         STRIDE, R = _phrase_scal_layout(S, G)
         A = 4 + 2 * S
         rows_sc = np.zeros((W, STRIDE), dtype=np.int64)
         rows_sc[:, 1] = num_prows
-        if n:
-            arow0 = np.clip((amin[idx] // 128) & ~7, 0, npr - RR)
-            rows_sc[:n, 0] = base[idx]
-            rows_sc[:n, 1] = prow_g[idx]
-            rows_sc[:n, 2] = mask[idx]
-            rows_sc[:n, 3] = arow0
-            loff = lpos8[idx] - arow0[:, None] * 128
-            rows_sc[:n, A:A + 8] = np.where(llen8[idx] > 0, loff, 0)
-            rows_sc[:n, A + 8:A + 16] = llen8[idx]
-            for s in range(S):
-                crow0 = np.clip((cmin[idx, s] // 128) & ~7, 0, npr - RR)
-                rows_sc[:n, 4 + 2 * s] = crow0
-                rows_sc[:n, 5 + 2 * s] = delta_g[idx, s]
-                poff = cpos8[idx, :, s] - crow0[:, None] * 128
-                rows_sc[:n, A + 16 + 16 * s:A + 24 + 16 * s] = np.where(
-                    clen8[idx, :, s] > 0, poff, 0
-                )
-                rows_sc[:n, A + 24 + 16 * s:A + 32 + 16 * s] = \
-                    clen8[idx, :, s]
+        arow0 = np.clip((amin[idx] // 128) & ~7, 0, npr - RR)
+        rows_sc[:n, 0] = base[idx]
+        rows_sc[:n, 1] = prow_g[idx]
+        rows_sc[:n, 2] = mask[idx]
+        rows_sc[:n, 3] = arow0
+        loff = lpos8[idx] - arow0[:, None] * 128
+        rows_sc[:n, A:A + 8] = np.where(llen8[idx] > 0, loff, 0)
+        rows_sc[:n, A + 8:A + 16] = llen8[idx]
+        for s in range(S):
+            crow0 = np.clip((cmin[idx, s] // 128) & ~7, 0, npr - RR)
+            rows_sc[:n, 4 + 2 * s] = crow0
+            rows_sc[:n, 5 + 2 * s] = delta_g[idx, s]
+            poff = cpos8[idx, :, s] - crow0[:, None] * 128
+            rows_sc[:n, A + 16 + 16 * s:A + 24 + 16 * s] = np.where(
+                clen8[idx, :, s] > 0, poff, 0
+            )
+            rows_sc[:n, A + 24 + 16 * s:A + 32 + 16 * s] = \
+                clen8[idx, :, s]
         q_pad = np.full(W, num_queries, dtype=np.int32)
         s_pad = np.zeros(W, dtype=np.int32)
         q_pad[:n] = qid_g[idx]
@@ -564,10 +580,11 @@ def launch_fused_phrase(
         flat = rows_sc.astype(np.int32).reshape(P, G * STRIDE)
         flat = np.pad(flat, ((0, 0), (0, R * 128 - G * STRIDE)))
         scal = flat.reshape(P, R, 128)
-        return (W, RR, G), jnp.asarray(scal), jnp.asarray(q_pad), \
-            jnp.asarray(s_pad), hi
+        return ((W, RR, G), jnp.asarray(scal), jnp.asarray(q_pad),
+                jnp.asarray(s_pad)), hi
 
     qw_dev = jnp.asarray(qw_table)
+    pack_addr = bool(getattr(fused, "pack_addr_ok", False))
 
     def launch(chunks):
         return fused_phrase_topk(
@@ -577,7 +594,7 @@ def launch_fused_phrase(
             qw_dev, fused.cstore, fused.postore,
             k=k, num_queries=num_queries, num_prows=num_prows,
             n_partners=S, rungs=tuple(c[0] for c in chunks),
-            interpret=interpret,
+            interpret=interpret, pack_addr=pack_addr,
         )
 
     # every launch carries ALL rungs (exhausted rungs ride as fully-masked
@@ -588,10 +605,10 @@ def launch_fused_phrase(
         chunks = []
         progressed = False
         for r in per_rung:
-            chunk = make_chunk(r[0], r[1], r[2], r[3])
-            if chunk[4] > r[3]:
+            chunk, hi = make_chunk(r[0], r[1], r[2], r[3])
+            if hi > r[3]:
                 progressed = True
-            r[3] = chunk[4]
+            r[3] = hi
             chunks.append(chunk)
         if not progressed and outs:
             break
@@ -599,3 +616,28 @@ def launch_fused_phrase(
         if all(r[3] >= len(r[2]) for r in per_rung):
             break
     return outs
+
+
+_EMPTY_CHUNKS: dict = {}
+
+
+def _empty_chunk(RR, W, G, S, num_prows, num_queries):
+    """Cached fully-masked scalar pages for exhausted phrase rungs (member
+    mask 0 => the kernel elides every DMA and reports nothing)."""
+    key = (RR, W, G, S, num_prows, num_queries)
+    c = _EMPTY_CHUNKS.get(key)
+    if c is None:
+        STRIDE, R = _phrase_scal_layout(S, G)
+        rows_sc = np.zeros((W, STRIDE), dtype=np.int32)
+        rows_sc[:, 1] = num_prows
+        P = W // G
+        flat = rows_sc.reshape(P, G * STRIDE)
+        flat = np.pad(flat, ((0, 0), (0, R * 128 - G * STRIDE)))
+        c = (
+            (W, RR, G),
+            jnp.asarray(flat.reshape(P, R, 128)),
+            jnp.asarray(np.full(W, num_queries, dtype=np.int32)),
+            jnp.asarray(np.zeros(W, dtype=np.int32)),
+        )
+        _EMPTY_CHUNKS[key] = c
+    return c

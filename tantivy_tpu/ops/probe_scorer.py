@@ -141,13 +141,52 @@ def per_query_topk_from_rows(row_sc, row_doc, qid, k: int, num_queries: int):
     return out_sc, out_doc
 
 
+def _desc_key_to_f32(key):
+    """Exact inverse of `_sortable_desc` (pure bit manipulation)."""
+    flipped = ~key
+    bits = jnp.where(
+        (flipped >> 31) == 1,
+        flipped ^ jnp.uint32(0x80000000),
+        flipped ^ jnp.uint32(0xFFFFFFFF),
+    )
+    return jax.lax.bitcast_convert_type(bits, jnp.float32)
+
+
+def group_topk_rows(scores, docs, k: int):
+    """[W*8, 128] member-row kernel output -> [W, kg] per-GROUP candidates.
+
+    A masked 8-run group's member rows share one (query, segment) and hold
+    DISTINCT docs (members are distinct blocks of one clause region), so
+    keeping only the group's top-kg (kg = min(k, 8*128), i.e. everything
+    that could reach a final top-k) preserves the per-query exact top-k
+    through the flat merge while shrinking its input up to 8x — the flat
+    multi-key sort was the dominant device cost per launch. Tie-break is
+    preserved exactly: `top_k` keeps index order on equal scores, member
+    rows ascend by block (disjoint ascending doc ranges) and lanes ascend
+    by doc, so equal scores stay doc-ascending at both stages."""
+    w8 = scores.shape[0]
+    kk = min(k, 128)
+    sc, idx = jax.lax.top_k(scores, kk)
+    dc = jnp.take_along_axis(docs, idx, axis=1)
+    sc2 = sc.reshape(w8 // 8, 8 * kk)
+    dc2 = dc.reshape(w8 // 8, 8 * kk)
+    kg = min(k, 8 * kk)
+    sc3, i3 = jax.lax.top_k(sc2, kg)
+    return sc3, jnp.take_along_axis(dc2, i3, axis=1)
+
+
 def per_query_topk_rows_seg(row_sc, row_doc, row_seg, qid, k: int,
-                            num_queries: int):
+                            num_queries: int, pack_addr: bool = False):
     """Cross-segment variant of `per_query_topk_from_rows`: each work row
-    carries its segment ordinal, and the merge sorts 4 keys
+    carries its segment ordinal, and the merge sorts
     (qid asc, score desc, seg asc, doc asc) — the exact (score, DocAddress)
     tie-break of the host fruit-merge (reference
-    `sort_key_top_collector.rs:76-97`). Returns (scores, docs, segs)."""
+    `sort_key_top_collector.rs:76-97`). Returns (scores, docs, segs).
+
+    With `pack_addr` (callers assert seg <= 15 and doc < 2^28), the sort
+    runs on 3 u32 arrays — (qid, score key, seg<<28|doc) — instead of 5
+    mixed arrays with 4 keys; scores are recovered exactly from the
+    invertible descending key."""
     w, kk = row_sc.shape
     flat_scores = row_sc.reshape(-1)
     flat_docs = row_doc.reshape(-1)
@@ -157,10 +196,21 @@ def per_query_topk_rows_seg(row_sc, row_doc, row_seg, qid, k: int,
         flat_scores == NEG_INF, jnp.int32(num_queries), flat_qid
     )
     skey = _sortable_desc(flat_scores)
-    sq, _, sseg, sdoc, ssc = jax.lax.sort(
-        (flat_qid, skey, flat_seg, flat_docs, flat_scores),
-        num_keys=4, is_stable=False,
-    )
+    if pack_addr:
+        flat_sd = (
+            flat_seg.astype(jnp.uint32) << jnp.uint32(28)
+        ) | flat_docs
+        sq, skey_s, ssd = jax.lax.sort(
+            (flat_qid, skey, flat_sd), num_keys=3, is_stable=False
+        )
+        ssc = _desc_key_to_f32(skey_s)
+        sdoc = ssd & jnp.uint32(0x0FFFFFFF)
+        sseg = (ssd >> jnp.uint32(28)).astype(jnp.int32)
+    else:
+        sq, _, sseg, sdoc, ssc = jax.lax.sort(
+            (flat_qid, skey, flat_seg, flat_docs, flat_scores),
+            num_keys=4, is_stable=False,
+        )
     firsts = jnp.searchsorted(sq, jnp.arange(num_queries, dtype=jnp.int32))
     nexts = jnp.searchsorted(sq, jnp.arange(1, num_queries + 1, dtype=jnp.int32))
     n = w * kk

@@ -786,15 +786,19 @@ class BatchExecutor:
                     # -1 jlo = no window: clause columns with no probe
                     # (absent clauses, and the OWN clause — its lane IS the
                     # clause, presence by construction) skip their window
-                    # DMA entirely in the kernel
+                    # DMA entirely in the kernel. `frc` = true first
+                    # overlapping row minus the 8-aligned DMA start: the
+                    # kernel probes exactly [jlo+frc, jlo+wid).
                     jlo = np.full((n_it, Tb), -1, dtype=np.int64)
                     wid = np.zeros((n_it, Tb), dtype=np.int64)
+                    frc = np.zeros((n_it, Tb), dtype=np.int64)
                     eff = np.zeros(n_it, dtype=np.int64)
                     slice_cols = []  # (oi, c2, wide mask) — wide MUST probes
                     for oi, (_, _, _, n2, c2) in enumerate(oth):
                         wcol = det["widths"][:, oi]
                         jlo[:, c2] = det["jlo"][:, oi]
                         wid[:, c2] = wcol
+                        frc[:, c2] = det["i0"][:, oi] - det["jlo"][:, oi]
                         wide = wcol > KWMAX
                         if not wide.any():
                             eff = np.maximum(eff, wcol)
@@ -845,7 +849,18 @@ class BatchExecutor:
                             jlo_sl = jlo[rep].copy()
                             jlo_sl[:, c2] = starts
                             wid_sl = wid[rep].copy()
-                            wid_sl[:, c2] = stride_cov
+                            # clip the slice's probed range to the true
+                            # overlap [i0, i1): rows beyond i1 may belong
+                            # to the NEXT region (doc ids repeat across
+                            # regions -> spurious matches without the old
+                            # in-kernel region mask)
+                            wid_sl[:, c2] = np.minimum(
+                                stride_cov, np.repeat(i1r, nsl) - starts
+                            )
+                            frc_sl = frc[rep].copy()
+                            frc_sl[:, c2] = np.maximum(
+                                np.repeat(i0r, nsl) - starts, 0
+                            )
                             # per-slice UB: same ordered f32 sum, with this
                             # clause's range-max taken over the slice's
                             # fetched rows only (tighter, still a bound)
@@ -869,14 +884,14 @@ class BatchExecutor:
                             # as singleton groups (groupable=False)
                             staged.append(
                                 (ci, False, ids[rep], ub_sl, eff_sl, jlo_sl,
-                                 wid_sl)
+                                 wid_sl, frc_sl)
                             )
                         if not base_keep.all():
                             ids, ub = ids[base_keep], ub[base_keep]
                             eff, jlo = eff[base_keep], jlo[base_keep]
-                            wid = wid[base_keep]
+                            wid, frc = wid[base_keep], frc[base_keep]
                     if len(ids):
-                        staged.append((ci, True, ids, ub, eff, jlo, wid))
+                        staged.append((ci, True, ids, ub, eff, jlo, wid, frc))
                 if fallback:
                     per_query[qi].extend(
                         self._host_segment_topk(queries[qi], seg_ord, reader, k)
@@ -942,7 +957,7 @@ class BatchExecutor:
                         len(all_ub) - M1
                     ]
                 taken = 0
-                for ci, grp, ids, ub, eff, jlo, wid in staged:
+                for ci, grp, ids, ub, eff, jlo, wid, frc in staged:
                     pick = ub >= cut
                     extra = int(pick.sum()) - (M1 - taken)
                     if extra > 0:
@@ -952,12 +967,13 @@ class BatchExecutor:
                     if pick.any():
                         g["p1"].append(
                             (prow, qi, seg_ord, ci, grp, ids[pick],
-                             eff[pick], jlo[pick], wid[pick])
+                             eff[pick], jlo[pick], wid[pick], frc[pick])
                         )
                     if (~pick).any():
                         g["rest"].append(
                             (prow, qi, seg_ord, ci, grp, ids[~pick],
-                             ub[~pick], eff[~pick], jlo[~pick], wid[~pick])
+                             ub[~pick], eff[~pick], jlo[~pick], wid[~pick],
+                             frc[~pick])
                         )
         _dt1.__exit__(None, None, None)
 
@@ -993,19 +1009,20 @@ class BatchExecutor:
             clause = np.concatenate(
                 [np.full(len(it[5]), it[3], np.int32) for it in items]
             )
-            width = np.concatenate([it[-3] for it in items])
+            width = np.concatenate([it[-4] for it in items])
             qid = np.concatenate(
                 [np.full(len(it[5]), it[1], np.int32) for it in items]
             )
             seg = np.concatenate(
                 [np.full(len(it[5]), it[2], np.int32) for it in items]
             )
-            jlo = np.vstack([it[-2] for it in items])
-            wid = np.vstack([it[-1] for it in items])
+            jlo = np.vstack([it[-3] for it in items])
+            wid = np.vstack([it[-2] for it in items])
+            frc = np.vstack([it[-1] for it in items])
             grp = np.concatenate(
                 [np.full(len(it[5]), bool(it[4])) for it in items]
             )
-            return blocks, prow, clause, width, qid, seg, jlo, wid, grp
+            return blocks, prow, clause, width, qid, seg, jlo, wid, frc, grp
 
         # ---- phase 1: one fused launch per T-bucket ----------------------
         pending1 = []
@@ -1034,7 +1051,7 @@ class BatchExecutor:
         # ever rise, so exactness is preserved (pruning stays conservative).
         def _keep_tb(g, th, th_seg, th_doc):
             out = []
-            for prow, qi, seg_ord, ci, grp, ids, ub, eff, jlo, wid in \
+            for prow, qi, seg_ord, ci, grp, ids, ub, eff, jlo, wid, frc in \
                     g["rest"]:
                 keep = _phase2_keep(
                     ub, fused.blk_base[ids], seg_ord,
@@ -1043,7 +1060,7 @@ class BatchExecutor:
                 if keep.any():
                     out.append(
                         (prow, qi, seg_ord, ci, grp, ids[keep], ub[keep],
-                         eff[keep], jlo[keep], wid[keep])
+                         eff[keep], jlo[keep], wid[keep], frc[keep])
                     )
             return out
 
@@ -1186,7 +1203,7 @@ class BatchExecutor:
                 # them apart), window widths placed to populate every rung;
                 # all work is no-op (cl_len 0) so execution is fast
                 blocks, prow, clause, width, qid, seg = [], [], [], [], [], []
-                jlo, wid = [], []
+                jlo, wid, frc = [], [], []
                 for kw in rungs:
                     tiers = pp._GRP_W_TIERS[kw]
                     nn = tiers[min(lvl, len(tiers) - 1)]
@@ -1203,11 +1220,12 @@ class BatchExecutor:
                         w_[:, 1] = kw
                     jlo.append(j)
                     wid.append(w_)
+                    frc.append(np.zeros((nn, Tb), dtype=np.int64))
                 work = (
                     np.concatenate(blocks), np.concatenate(prow),
                     np.concatenate(clause), np.concatenate(width),
                     np.concatenate(qid), np.concatenate(seg),
-                    np.vstack(jlo), np.vstack(wid),
+                    np.vstack(jlo), np.vstack(wid), np.vstack(frc),
                     np.ones(sum(len(b) for b in blocks), dtype=bool),
                 )
                 for k_eff in {k, min(Tb * k, 128)}:
