@@ -467,6 +467,10 @@ class BatchExecutor:
                         cand.append((ci, ids, ub, widths))
                 if not cand:
                     continue
+                self._count_plan(
+                    "wand_candidates",
+                    sum(len(ids) for _, ids, _, _ in cand),
+                )
                 # phase-1 = the query's top-M1 blocks by UB across clauses
                 all_ub = np.concatenate([ub for _, _, ub, _ in cand])
                 if len(all_ub) <= M1:
@@ -502,6 +506,7 @@ class BatchExecutor:
                      for _, ci, ids, _ in g["p1"]]
                 )
                 wds = np.concatenate([wd for _, _, _, wd in g["p1"]])
+                self._count_plan("wand_p1", len(blocks))
                 dfp = dseg.field_postings(field)
                 fw = self._field_wand(seg_ord, field)
                 for out in ps.dispatch_probe(
@@ -541,6 +546,9 @@ class BatchExecutor:
                     wds.append(widths[keep])
                 if not blks:
                     continue
+                self._count_plan(
+                    "wand_p2", sum(len(b) for b in blks)
+                )
                 fw = self._field_wand(seg_ord, field)
                 for out in ps.dispatch_probe(
                     dfp, dseg.alive, fw.cache,
@@ -957,6 +965,10 @@ class BatchExecutor:
                         len(all_ub) - M1
                     ]
                 taken = 0
+                self._count_plan(
+                    "wand_candidates",
+                    sum(len(s[2]) for s in staged),
+                )
                 for ci, grp, ids, ub, eff, jlo, wid, frc in staged:
                     pick = ub >= cut
                     extra = int(pick.sum()) - (M1 - taken)
@@ -964,6 +976,7 @@ class BatchExecutor:
                         selidx = np.nonzero(pick)[0]
                         pick[selidx[len(selidx) - extra:]] = False
                     taken += int(pick.sum())
+                    self._count_plan("wand_p1", int(pick.sum()))
                     if pick.any():
                         g["p1"].append(
                             (prow, qi, seg_ord, ci, grp, ids[pick],
@@ -1093,6 +1106,9 @@ class BatchExecutor:
                         )
                 if not round_a:
                     continue
+                self._count_plan(
+                    "wand_p2", sum(len(it[5]) for it in round_a)
+                )
                 with debug_time("bool.fused_dispatch2a"):
                     for out in pp.launch_fused_bool(
                         fused, build_work(round_a), tb_tables[Tb],
@@ -1122,6 +1138,9 @@ class BatchExecutor:
         for Tb, items in surv.items():
             if not items:
                 continue
+            self._count_plan(
+                "wand_p2", sum(len(it[5]) for it in items)
+            )
             with debug_time("bool.fused_dispatch2"):
                 for out in pp.launch_fused_bool(
                     fused, build_work(items), tb_tables[Tb],
@@ -1742,6 +1761,10 @@ class BatchExecutor:
                         len(all_ub) - M1
                     ]
                 taken = 0
+                self._count_plan(
+                    "wand_candidates",
+                    sum(len(p["ids"]) for _, p in staged),
+                )
                 for _, p in staged:
                     pick = p["ub"] >= cut
                     extra = int(pick.sum()) - (M1 - taken)
@@ -1749,6 +1772,7 @@ class BatchExecutor:
                         selidx = np.nonzero(pick)[0]
                         pick[selidx[len(selidx) - extra:]] = False
                     taken += int(pick.sum())
+                    self._count_plan("wand_p1", int(pick.sum()))
                     for name, sel in (("p1", pick), ("rest", ~pick)):
                         if sel.any():
                             g[name].append(
@@ -1854,6 +1878,10 @@ class BatchExecutor:
                         )
                 remainder[Sb] = rest
                 if round_a:
+                    self._count_plan(
+                        "wand_p2",
+                        sum(len(p["ids"]) for _, _, _, p in round_a),
+                    )
                     k_eff = min(2 * k, 128) if groups[Sb]["any_dup"] else k
                     for out in php.launch_fused_phrase(
                         fused, build_work(round_a), tb_qw[Sb], Sb, k_eff, Q,
@@ -1872,6 +1900,9 @@ class BatchExecutor:
         for Sb, items in surv.items():
             if not items:
                 continue
+            self._count_plan(
+                "wand_p2", sum(len(p["ids"]) for _, _, _, p in items)
+            )
             k_eff = min(2 * k, 128) if groups[Sb]["any_dup"] else k
             for out in php.launch_fused_phrase(
                 fused, build_work(items), tb_qw[Sb], Sb, k_eff, Q,
