@@ -1808,7 +1808,13 @@ class BatchExecutor:
         _dt1 = debug_time("phrase.dispatch1")
         _dt1.__enter__()
         for Sb, g in groups.items():
-            qw_table = np.zeros(len(g["qw_rows"]) + 1, dtype=np.float32)
+            # pad the plan-row table to the FIXED tier (like the boolean
+            # path's finalize_tables): its length is a STATIC jit arg
+            # (num_prows), so sizing it to the actual row count — which
+            # varies with batch content — recompiled both phase programs
+            # (~40s) on every fresh batch
+            tier = self._prow_tier(len(g["qw_rows"]), Sb + 1)
+            qw_table = np.zeros(tier + 1, dtype=np.float32)
             qw_table[: len(g["qw_rows"])] = g["qw_rows"]
             tb_qw[Sb] = qw_table
             if not g["p1"]:
