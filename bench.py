@@ -286,10 +286,14 @@ def run_main_suites(index, stream, label, detail):
     warm_s = 0.0
     for kind in suites:
         qlog = logs[kind]
-        # warm pass: compiles every shape the timed pass will hit
-        # (persistent jit cache makes subsequent runs cheap)
+        # short warm pass: two batches confirm the prewarmed shape grid and
+        # populate per-(segment, field) host caches. The timed pass then
+        # runs on FRESH queries — launch signatures are data-independent
+        # (fixed plan-row tiers, canonical rung levels), so fresh batches
+        # hit the same compiled programs and the numbers are honest
+        # fresh-query throughput, not repeat-batch caching.
         t0 = time.time()
-        for b in range(3 + N_BATCHES):
+        for b in range(2):
             executor.search_batch(qlog[b * BATCH : (b + 1) * BATCH], K)
         warm_s += time.time() - t0
 

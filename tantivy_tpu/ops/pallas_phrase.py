@@ -120,6 +120,14 @@ def _phrase_kernel_body(n_partners: int, rows: int, num_prows: int, G: int):
             scal_hbm.at[pl.ds(pl.program_id(0), 1)], scal_ref, scal_sem
         )
         cp.start()
+        # ONE block-wide memset covers every padding / masked-member row;
+        # real rows are overwritten by the per-row stores below
+        scores_ref[...] = jnp.full(
+            (G * 8, 128), NEG_INF, dtype=jnp.float32
+        )
+        docs_ref[...] = jnp.full(
+            (G * 8, 128), jnp.uint32(TERMINATED), dtype=jnp.uint32
+        )
         cp.wait()
 
         def it(g, k):
@@ -166,142 +174,135 @@ def _phrase_kernel_body(n_partners: int, rows: int, num_prows: int, G: int):
             mask = it(g, 2)
             deltas = [it(g, 5 + 2 * s) for s in range(S)]
 
+            # fully-masked groups are list padding: the block-wide memset
+            # already wrote their rows
             @pl.when(mask != 0)
-            def _():
+            def _(g=g):
                 for d in dmas(g):
                     d.wait()
 
-            # dynamic row loop (a static 8x unroll of the whole anchor /
-            # partner machinery multiplies Mosaic compile time; see
-            # pallas_probe._grp_kernel_body). i32 reduce: Mosaic has no
-            # unsigned reductions; every cstore word is < 2^31.
-            rows_all = pltpu.bitcast(lane_buf[g], jnp.int32)  # [8, 384]
+                # dynamic row loop (a static 8x unroll of the whole anchor /
+                # partner machinery multiplies Mosaic compile time; see
+                # pallas_probe._grp_kernel_body). i32 reduce: Mosaic has no
+                # unsigned reductions; every cstore word is < 2^31.
+                rows_all = pltpu.bitcast(lane_buf[g], jnp.int32)  # [8, 384]
 
-            def row_body(r8, _):
-                bit = (mask >> r8) & 1
+                def row_body(r8, _):
+                    bit = (mask >> r8) & 1
 
-                @pl.when(bit == 0)
-                def _(g=g, r8=r8):
-                    scores_ref[pl.ds(g * 8 + r8, 1), :] = jnp.full(
-                        (1, 128), NEG_INF, dtype=jnp.float32
-                    )
-                    docs_ref[pl.ds(g * 8 + r8, 1), :] = jnp.full(
-                        (1, 128), jnp.uint32(TERMINATED), dtype=jnp.uint32
-                    )
-
-                @pl.when(bit != 0)
-                def _(g=g, r8=r8):
-                    sel_r = jax.lax.broadcasted_iota(
-                        jnp.int32, (8, 1), 0
-                    ) == r8
-                    row = pltpu.bitcast(
-                        jnp.sum(
-                            jnp.where(sel_r, rows_all, 0),
-                            axis=0, keepdims=True, dtype=jnp.int32,
-                        ),
-                        jnp.uint32,
-                    )                                        # [1, 384]
-                    docs_row = row[:, 0:128]
-                    cachev = pltpu.bitcast(row[:, 256:384], jnp.float32)
-                    lane_ok = (
-                        (docs_row != jnp.uint32(TERMINATED))
-                        & jnp.logical_not(jnp.isnan(cachev))
-                        & (q < num_prows)
-                    )
-                    docs_col = docs_row.astype(jnp.int32).reshape(128, 1)
-
-                    loff = it(g, A + r8)
-                    llen = it(g, A + 8 + r8)
-                    poffs = [it(g, A + 16 + 16 * s + r8) for s in range(S)]
-                    plens = [it(g, A + 24 + 16 * s + r8) for s in range(S)]
-
-                    # The hot loops run over only the slab rows holding THIS
-                    # member block's data (dynamic fori_loop start AND end
-                    # from the per-row scalars): grouping fetches a bigger
-                    # slab but scans exactly what a single-block item would.
-                    # Mosaic constraints: dynamic VMEM loads step in 8-row
-                    # chunks from 8-aligned starts; loop carries are i32.
-
-                    def anchor_row(ar, count, g=g):
-                        # ar = absolute anchor slab row; dynamic loop (a
-                        # static 8x unroll of the partner machinery
-                        # multiplies compile time). The 8-row chunk holding
-                        # the row loads 8-aligned; the row extracts by a
-                        # masked reduce.
-                        a0 = pl.multiple_of((ar // 8) * 8, 8)
-                        lp8 = apos_buf[g, pl.ds(a0, 8), 0:128].astype(
-                            jnp.int32
-                        )
-                        lo8 = apos_buf[g, pl.ds(a0, 8), 128:256].astype(
-                            jnp.int32
-                        )
-                        sel_a = jax.lax.broadcasted_iota(
+                    @pl.when(bit != 0)
+                    def _(g=g, r8=r8):
+                        sel_r = jax.lax.broadcasted_iota(
                             jnp.int32, (8, 1), 0
-                        ) == (ar % 8)
-                        lp = jnp.sum(
-                            jnp.where(sel_a, lp8, 0), axis=0, keepdims=True
+                        ) == r8
+                        row = pltpu.bitcast(
+                            jnp.sum(
+                                jnp.where(sel_r, rows_all, 0),
+                                axis=0, keepdims=True, dtype=jnp.int32,
+                            ),
+                            jnp.uint32,
+                        )                                        # [1, 384]
+                        docs_row = row[:, 0:128]
+                        cachev = pltpu.bitcast(row[:, 256:384], jnp.float32)
+                        lane_ok = (
+                            (docs_row != jnp.uint32(TERMINATED))
+                            & jnp.logical_not(jnp.isnan(cachev))
+                            & (q < num_prows)
                         )
-                        lo = jnp.sum(
-                            jnp.where(sel_a, lo8, 0), axis=0, keepdims=True
-                        )
-                        riota = jax.lax.broadcasted_iota(
-                            jnp.int32, (1, 128), 1
-                        ) + ar * 128
-                        m = (riota >= loff) & (riota < loff + llen)
-                        lp_c = lp.reshape(128, 1)
-                        lo_c = lo.reshape(128, 1)
-                        for s in range(S):
-                            tgt = lp_c + deltas[s]
-                            pc_lo = poffs[s] // C8
-                            pc_hi = (poffs[s] + plens[s] + C8 - 1) // C8
+                        docs_col = docs_row.astype(jnp.int32).reshape(128, 1)
 
-                            def partner_chunk(
-                                pc, hit, s=s, lo_c=lo_c, tgt=tgt
-                            ):
-                                c0 = pl.multiple_of(pc * 8, 8)
-                                po = ppos_buf[
-                                    g, s, pl.ds(c0, 8), 128:256
-                                ].astype(jnp.int32).reshape(1, C8)
-                                pp = ppos_buf[
-                                    g, s, pl.ds(c0, 8), 0:128
-                                ].astype(jnp.int32).reshape(1, C8)
-                                citer = jax.lax.broadcasted_iota(
-                                    jnp.int32, (1, C8), 1
-                                ) + pc * C8
-                                vp = (citer >= poffs[s]) & (
-                                    citer < poffs[s] + plens[s]
-                                )
-                                return hit | jnp.any(
-                                    vp & (po == lo_c) & (pp == tgt),
-                                    axis=1,
-                                ).reshape(1, 128).astype(jnp.int32)
+                        loff = it(g, A + r8)
+                        llen = it(g, A + 8 + r8)
+                        poffs = [it(g, A + 16 + 16 * s + r8) for s in range(S)]
+                        plens = [it(g, A + 24 + 16 * s + r8) for s in range(S)]
 
-                            hit = jax.lax.fori_loop(
-                                pc_lo, pc_hi, partner_chunk,
-                                jnp.zeros((1, 128), dtype=jnp.int32),
+                        # The hot loops run over only the slab rows holding THIS
+                        # member block's data (dynamic fori_loop start AND end
+                        # from the per-row scalars): grouping fetches a bigger
+                        # slab but scans exactly what a single-block item would.
+                        # Mosaic constraints: dynamic VMEM loads step in 8-row
+                        # chunks from 8-aligned starts; loop carries are i32.
+
+                        def anchor_row(ar, count, g=g):
+                            # ar = absolute anchor slab row; dynamic loop (a
+                            # static 8x unroll of the partner machinery
+                            # multiplies compile time). The 8-row chunk holding
+                            # the row loads 8-aligned; the row extracts by a
+                            # masked reduce.
+                            a0 = pl.multiple_of((ar // 8) * 8, 8)
+                            lp8 = apos_buf[g, pl.ds(a0, 8), 0:128].astype(
+                                jnp.int32
                             )
-                            m = m & ((hit > 0) | (plens[s] <= 0))
-                        return count + jnp.sum(
-                            (docs_col == lo) & m, axis=1
-                        ).reshape(1, 128)
+                            lo8 = apos_buf[g, pl.ds(a0, 8), 128:256].astype(
+                                jnp.int32
+                            )
+                            sel_a = jax.lax.broadcasted_iota(
+                                jnp.int32, (8, 1), 0
+                            ) == (ar % 8)
+                            lp = jnp.sum(
+                                jnp.where(sel_a, lp8, 0), axis=0, keepdims=True
+                            )
+                            lo = jnp.sum(
+                                jnp.where(sel_a, lo8, 0), axis=0, keepdims=True
+                            )
+                            riota = jax.lax.broadcasted_iota(
+                                jnp.int32, (1, 128), 1
+                            ) + ar * 128
+                            m = (riota >= loff) & (riota < loff + llen)
+                            lp_c = lp.reshape(128, 1)
+                            lo_c = lo.reshape(128, 1)
+                            for s in range(S):
+                                tgt = lp_c + deltas[s]
+                                pc_lo = poffs[s] // C8
+                                pc_hi = (poffs[s] + plens[s] + C8 - 1) // C8
 
-                    count = jax.lax.fori_loop(
-                        loff // 128,
-                        jnp.minimum((loff + llen + 127) // 128, RR),
-                        anchor_row,
-                        jnp.zeros((1, 128), dtype=jnp.int32),
-                    )
+                                def partner_chunk(
+                                    pc, hit, s=s, lo_c=lo_c, tgt=tgt
+                                ):
+                                    c0 = pl.multiple_of(pc * 8, 8)
+                                    po = ppos_buf[
+                                        g, s, pl.ds(c0, 8), 128:256
+                                    ].astype(jnp.int32).reshape(1, C8)
+                                    pp = ppos_buf[
+                                        g, s, pl.ds(c0, 8), 0:128
+                                    ].astype(jnp.int32).reshape(1, C8)
+                                    citer = jax.lax.broadcasted_iota(
+                                        jnp.int32, (1, C8), 1
+                                    ) + pc * C8
+                                    vp = (citer >= poffs[s]) & (
+                                        citer < poffs[s] + plens[s]
+                                    )
+                                    return hit | jnp.any(
+                                        vp & (po == lo_c) & (pp == tgt),
+                                        axis=1,
+                                    ).reshape(1, 128).astype(jnp.int32)
 
-                    tf = count.astype(jnp.float32)
-                    score = qw_ref[q] * exact_div(tf, tf + cachev)
-                    ok = lane_ok & (count > 0)
-                    scores_ref[pl.ds(g * 8 + r8, 1), :] = jnp.where(
-                        ok, score, NEG_INF
-                    )
-                    docs_ref[pl.ds(g * 8 + r8, 1), :] = docs_row
-                return 0
+                                hit = jax.lax.fori_loop(
+                                    pc_lo, pc_hi, partner_chunk,
+                                    jnp.zeros((1, 128), dtype=jnp.int32),
+                                )
+                                m = m & ((hit > 0) | (plens[s] <= 0))
+                            return count + jnp.sum(
+                                (docs_col == lo) & m, axis=1
+                            ).reshape(1, 128)
 
-            jax.lax.fori_loop(0, 8, row_body, 0)
+                        count = jax.lax.fori_loop(
+                            loff // 128,
+                            jnp.minimum((loff + llen + 127) // 128, RR),
+                            anchor_row,
+                            jnp.zeros((1, 128), dtype=jnp.int32),
+                        )
+
+                        tf = count.astype(jnp.float32)
+                        score = qw_ref[q] * exact_div(tf, tf + cachev)
+                        ok = lane_ok & (count > 0)
+                        scores_ref[pl.ds(g * 8 + r8, 1), :] = jnp.where(
+                            ok, score, NEG_INF
+                        )
+                        docs_ref[pl.ds(g * 8 + r8, 1), :] = docs_row
+                    return 0
+
+                jax.lax.fori_loop(0, 8, row_body, 0)
             return 0
 
         jax.lax.fori_loop(0, G, compute_g, 0)

@@ -513,7 +513,9 @@ def _grp_kw8(kw: int) -> int:
 
 def _g_items_grp(kw: int, n_clauses: int) -> int:
     """Group items per grid program under a ~3.5MB VMEM window budget
-    (win_buf = G * T * kw8 * 256 * 4 bytes — windows fetch docs|tfs only)."""
+    (win_buf = G * T * kw8 * 256 * 4 bytes — windows fetch docs|tfs only).
+    G=128 under a 7MB budget was measured SLOWER (VMEM pressure defeats
+    double buffering); 64 is the sweet spot."""
     kw8 = _grp_kw8(kw)
     budget = 3_500_000
     g = budget // (max(n_clauses, 1) * kw8 * 256 * 4)
@@ -542,6 +544,8 @@ def _grp_kernel_body(n_clauses: int, kw: int, num_prows: int, G: int):
         docs_ref,      # out [G*8, 128] u32 (VMEM)
         lane_buf,      # scratch VMEM [G, 8, 384] u32
         win_buf,       # scratch VMEM [G, T, kw8, 256] u32
+        probe_buf,     # scratch VMEM [T*16, 128] i32 — per clause t, rows
+                       # t*16..t*16+7 hold found, t*16+8.. hold tf
         scal_ref,      # scratch SMEM [1, R, 128] i32
         sems,          # DMA sems [G, 1 + T]
         scal_sem,
@@ -550,6 +554,14 @@ def _grp_kernel_body(n_clauses: int, kw: int, num_prows: int, G: int):
             scal_hbm.at[pl.ds(pl.program_id(0), 1)], scal_ref, scal_sem
         )
         cp.start()
+        # ONE block-wide memset covers every padding / masked-member row;
+        # real rows are overwritten by the per-group combine stores
+        scores_ref[...] = jnp.full(
+            (G * 8, 128), NEG_INF, dtype=jnp.float32
+        )
+        docs_ref[...] = jnp.full(
+            (G * 8, 128), jnp.uint32(TERMINATED), dtype=jnp.uint32
+        )
         cp.wait()
 
         def it(g, k):
@@ -592,85 +604,61 @@ def _grp_kernel_body(n_clauses: int, kw: int, num_prows: int, G: int):
             mask = it(g, 3)
             js = [it(g, 4 + t) for t in range(n_clauses)]
 
+            # fully-masked groups are list padding: the block-wide memset
+            # below already wrote their -inf/TERMINATED rows, so they cost
+            # nothing beyond the scalar mask read (the old per-row -inf
+            # writes for padding dominated overflow launches)
             @pl.when(mask != 0)
-            def _():
+            def _(g=g):
                 lane_dma(g).wait()
                 for t in range(n_clauses):
                     @pl.when(js[t] >= 0)
                     def _(t=t):
                         win_dma(g, t, js[t]).wait()
 
-            req_m = req_m_ref[q]
-            req_s = req_s_ref[q]
+                req_m = req_m_ref[q]
+                req_s = req_s_ref[q]
+                rows_all = pltpu.bitcast(lane_buf[g], jnp.int32)  # [8, 384]
+                docs8i = rows_all[:, 0:128]
 
-            # the row loop is a DYNAMIC fori_loop (not a static 8x unroll):
-            # unrolling the full clause/probe machinery 8x made the Mosaic
-            # kernel ~8x bigger and blew compile time to minutes. Rows are
-            # extracted from the [8, *] lane buffer by a masked reduce
-            # (dynamic single-row VMEM loads need 8-aligned starts; the
-            # reduce rides i32 — Mosaic has no unsigned reductions — which
-            # is lossless: every cstore word is < 2^31).
-            rows_all = pltpu.bitcast(lane_buf[g], jnp.int32)  # [8, 384]
-
-            def row_body(r8, _):
-                bit = (mask >> r8) & 1
-
-                @pl.when(bit == 0)
-                def _(g=g, r8=r8):
-                    scores_ref[pl.ds(g * 8 + r8, 1), :] = jnp.full(
-                        (1, 128), NEG_INF, dtype=jnp.float32
-                    )
-                    docs_ref[pl.ds(g * 8 + r8, 1), :] = jnp.full(
-                        (1, 128), jnp.uint32(TERMINATED), dtype=jnp.uint32
-                    )
-
-                @pl.when(bit != 0)
-                def _(g=g, r8=r8):
+                # -- probe phase: per (member row, clause), resolve the
+                # partner presence/tf into probe_buf. The row loop is a
+                # DYNAMIC fori_loop (a static 8x unroll of the probe
+                # machinery blew Mosaic compile time to minutes); rows are
+                # extracted from the [8, *] lane buffer by a masked reduce
+                # (dynamic single-row VMEM loads need 8-aligned starts; the
+                # reduce rides i32 — Mosaic has no unsigned reductions —
+                # which is lossless: every cstore word is < 2^31).
+                def row_probe(r8, _):
+                    bit = (mask >> r8) & 1
                     sel = jax.lax.broadcasted_iota(
                         jnp.int32, (8, 1), 0
                     ) == r8
-                    row = pltpu.bitcast(
+                    docs_row = pltpu.bitcast(
                         jnp.sum(
-                            jnp.where(sel, rows_all, 0),
+                            jnp.where(sel, docs8i, 0),
                             axis=0, keepdims=True, dtype=jnp.int32,
                         ),
                         jnp.uint32,
-                    )                                       # [1, 384]
-                    docs_row = row[:, 0:128]
-                    tfs_row = row[:, 128:256]
-                    cachev = pltpu.bitcast(row[:, 256:384], jnp.float32)
-                    lane_ok = (
-                        (docs_row != jnp.uint32(TERMINATED))
-                        & jnp.logical_not(jnp.isnan(cachev))
-                        & (q < num_prows)
-                    )
-                    score = jnp.zeros((1, 128), dtype=jnp.float32)
-                    cnt_must = jnp.zeros((1, 128), dtype=jnp.int32)
-                    cnt_should = jnp.zeros((1, 128), dtype=jnp.int32)
-                    has_not = jnp.zeros((1, 128), dtype=jnp.bool_)
-                    primary = jnp.full((1, 128), T_MAX + 1, dtype=jnp.int32)
+                    )                                       # [1, 128]
                     docs_col = docs_row.reshape(128, 1)
                     for t in range(n_clauses):
-                        # pairwise EXACT-row probe: the host packs member
-                        # r's true (unaligned) window sub-range as
-                        # (off << 8) | len; each loop step extracts two
-                        # specific window rows by masked i32 reduce
-                        # (dynamic single-row loads need 8-aligned starts;
-                        # the reduce doesn't) and runs one [128, 128] eq
-                        # per row — no region masking needed because the
-                        # host clips [off, off+len) to the clause region,
-                        # and rows of the same region can never spuriously
-                        # match (sorted, disjoint doc ranges). Typical
-                        # overlaps are 1-2 rows, so this replaces a
-                        # [128, 1024] compare with [128, 256].
+                        # EXACT-row probe: the host packs member r's true
+                        # (unaligned) window sub-range as (off << 8) | len;
+                        # specific window rows are extracted by masked i32
+                        # reduce and compared [128, 128] against the lane
+                        # docs — no region masking needed because the host
+                        # clips [off, off+len) to the clause region, and
+                        # rows of one region can never spuriously match
+                        # (sorted, disjoint doc ranges). 99% of members
+                        # overlap <= 2 window rows, so the common case is
+                        # the straight-line two-row compare; wider members
+                        # take the pair loop.
                         v = it(g, A + 8 * t + r8)
                         off = v >> 8
                         ln = v & 255
 
-                        def pair_step(i, carry, t=t, off=off, ln=ln):
-                            found, tf_probe = carry
-                            r0 = off + 2 * i
-                            has2 = (2 * i + 1) < ln
+                        def pair(r0, two):
                             rows_i = jax.lax.broadcasted_iota(
                                 jnp.int32, (kw8, 1), 0
                             )
@@ -683,7 +671,7 @@ def _grp_kernel_body(n_clauses: int, kw: int, num_prows: int, G: int):
                             )                               # [1, 256]
                             rowB = jnp.sum(
                                 jnp.where(
-                                    (rows_i == r0 + 1) & has2, win_i, 0
+                                    (rows_i == r0 + 1) & two, win_i, 0
                                 ),
                                 axis=0, keepdims=True, dtype=jnp.int32,
                             )
@@ -692,22 +680,21 @@ def _grp_kernel_body(n_clauses: int, kw: int, num_prows: int, G: int):
                             # poison the absent second row: an all-zero
                             # reduce would equal doc id 0
                             dB = jnp.where(
-                                has2, dB, jnp.uint32(0xFFFFFFFF)
+                                two, dB, jnp.uint32(0xFFFFFFFF)
                             )
                             tA = rowA[:, 128:256]
                             tB = rowB[:, 128:256]
                             eqA = dA == docs_col            # [128, 128]
                             eqB = dB == docs_col
                             found = (
-                                found
-                                | jnp.any(eqA, axis=1).reshape(
+                                jnp.any(eqA, axis=1).reshape(
                                     1, 128
                                 ).astype(jnp.int32)
                                 | jnp.any(eqB, axis=1).reshape(
                                     1, 128
                                 ).astype(jnp.int32)
                             )
-                            tf_probe = tf_probe + jnp.sum(
+                            tf = jnp.sum(
                                 jnp.where(
                                     eqA,
                                     jnp.broadcast_to(tA, (128, 128)),
@@ -722,61 +709,111 @@ def _grp_kernel_body(n_clauses: int, kw: int, num_prows: int, G: int):
                                 ),
                                 axis=1,
                             ).reshape(1, 128)
-                            return found, tf_probe
+                            return found, tf
 
-                        found_i, tf_probe = jax.lax.fori_loop(
-                            0, (ln + 1) // 2, pair_step,
-                            (
-                                jnp.zeros((1, 128), dtype=jnp.int32),
-                                jnp.zeros((1, 128), dtype=jnp.int32),
-                            ),
-                        )
-                        found = found_i > 0
-                        own = cl == t
-                        presence = found | own
-                        tf_t = jnp.where(
-                            own, tfs_row.astype(jnp.int32), tf_probe
-                        ).astype(jnp.float32)
-                        kind = cl_kind_ref[q * n_clauses + t]
-                        contrib = cl_w_ref[q * n_clauses + t] * exact_div(
-                            tf_t, tf_t + cachev
-                        )
-                        positive = presence & (
-                            (kind == KIND_MUST) | (kind == KIND_SHOULD)
-                        )
-                        score = score + jnp.where(
-                            positive, contrib, jnp.float32(0.0)
-                        )
-                        cnt_must = cnt_must + (
-                            presence & (kind == KIND_MUST)
-                        ).astype(jnp.int32)
-                        cnt_should = cnt_should + (
-                            presence & (kind == KIND_SHOULD)
-                        ).astype(jnp.int32)
-                        has_not = has_not | (
-                            presence & (kind == KIND_MUST_NOT)
-                        )
-                        is_prim = (
-                            presence
-                            & (cl_ship_ref[q * n_clauses + t] > 0)
-                            & (primary > T_MAX)
-                        )
-                        primary = jnp.where(is_prim, jnp.int32(t), primary)
+                        def fast(_):
+                            # ln 1-2: one straight-line two-row compare
+                            return pair(off, ln > 1)
 
-                    ok = (
-                        lane_ok
-                        & (cl <= primary)
-                        & (cnt_must >= req_m)
-                        & (cnt_should >= req_s)
-                        & jnp.logical_not(has_not)
+                        def slow(_):
+                            def pair_step(i, carry):
+                                f0, t0 = carry
+                                f1, t1 = pair(
+                                    off + 2 * i, (2 * i + 1) < ln
+                                )
+                                return f0 | f1, t0 + t1
+
+                            return jax.lax.fori_loop(
+                                0, (ln + 1) // 2, pair_step,
+                                (
+                                    jnp.zeros((1, 128), dtype=jnp.int32),
+                                    jnp.zeros((1, 128), dtype=jnp.int32),
+                                ),
+                            )
+
+                        @pl.when((bit != 0) & (ln > 0))
+                        def _(t=t, r8=r8, fast=fast, slow=slow):
+                            found, tf = jax.lax.cond(ln > 2, slow, fast, 0)
+                            probe_buf[pl.ds(t * 16 + r8, 1), :] = found
+                            probe_buf[pl.ds(t * 16 + 8 + r8, 1), :] = tf
+                    return 0
+
+                # zero the probe scratch once per group (only probed
+                # (row, clause) slots are overwritten)
+                probe_buf[...] = jnp.zeros(
+                    (n_clauses * 16, 128), dtype=jnp.int32
+                )
+                jax.lax.fori_loop(0, 8, row_probe, 0)
+
+                # -- combine phase: all 8 member rows at once ([8, 128]
+                # vector ops). Elementwise f32 ops and the clause-order
+                # summation are identical to the per-row version, so scores
+                # stay bitwise-exact vs the host.
+                docs8 = pltpu.bitcast(docs8i, jnp.uint32)
+                tfs8 = rows_all[:, 128:256]
+                cachev8 = pltpu.bitcast(rows_all[:, 256:384], jnp.float32)
+                bits8 = (
+                    jax.lax.shift_right_logical(
+                        jnp.full((8, 1), mask, dtype=jnp.int32),
+                        jax.lax.broadcasted_iota(jnp.int32, (8, 1), 0),
+                    ) & 1
+                ) > 0
+                lane_ok = (
+                    (docs8 != jnp.uint32(TERMINATED))
+                    & jnp.logical_not(jnp.isnan(cachev8))
+                    & (q < num_prows)
+                    & bits8
+                )
+                score = jnp.zeros((8, 128), dtype=jnp.float32)
+                cnt_must = jnp.zeros((8, 128), dtype=jnp.int32)
+                cnt_should = jnp.zeros((8, 128), dtype=jnp.int32)
+                has_not = jnp.zeros((8, 128), dtype=jnp.bool_)
+                primary = jnp.full((8, 128), T_MAX + 1, dtype=jnp.int32)
+                for t in range(n_clauses):
+                    found = probe_buf[t * 16 : t * 16 + 8, :] > 0  # [8,128]
+                    tf_probe = probe_buf[t * 16 + 8 : t * 16 + 16, :]
+                    own = cl == t
+                    presence = found | own
+                    tf_t = jnp.where(own, tfs8, tf_probe).astype(
+                        jnp.float32
                     )
-                    scores_ref[pl.ds(g * 8 + r8, 1), :] = jnp.where(
-                        ok, score, NEG_INF
+                    kind = cl_kind_ref[q * n_clauses + t]
+                    contrib = cl_w_ref[q * n_clauses + t] * exact_div(
+                        tf_t, tf_t + cachev8
                     )
-                    docs_ref[pl.ds(g * 8 + r8, 1), :] = docs_row
-                return 0
+                    positive = presence & (
+                        (kind == KIND_MUST) | (kind == KIND_SHOULD)
+                    )
+                    score = score + jnp.where(
+                        positive, contrib, jnp.float32(0.0)
+                    )
+                    cnt_must = cnt_must + (
+                        presence & (kind == KIND_MUST)
+                    ).astype(jnp.int32)
+                    cnt_should = cnt_should + (
+                        presence & (kind == KIND_SHOULD)
+                    ).astype(jnp.int32)
+                    has_not = has_not | (
+                        presence & (kind == KIND_MUST_NOT)
+                    )
+                    is_prim = (
+                        presence
+                        & (cl_ship_ref[q * n_clauses + t] > 0)
+                        & (primary > T_MAX)
+                    )
+                    primary = jnp.where(is_prim, jnp.int32(t), primary)
 
-            jax.lax.fori_loop(0, 8, row_body, 0)
+                ok = (
+                    lane_ok
+                    & (cl <= primary)
+                    & (cnt_must >= req_m)
+                    & (cnt_should >= req_s)
+                    & jnp.logical_not(has_not)
+                )
+                scores_ref[pl.ds(g * 8, 8), :] = jnp.where(
+                    ok, score, NEG_INF
+                )
+                docs_ref[pl.ds(g * 8, 8), :] = docs8
             return 0
 
         jax.lax.fori_loop(0, G, compute_g, 0)
@@ -815,6 +852,7 @@ def _grp_rows(
         scratch_shapes=[
             pltpu.VMEM((G, 8, 384), jnp.uint32),
             pltpu.VMEM((G, n_clauses, kw8, 256), jnp.uint32),
+            pltpu.VMEM((n_clauses * 16, 128), jnp.int32),
             pltpu.SMEM(
                 (1, _grp_scal_layout(n_clauses, G)[2], 128), jnp.int32
             ),
@@ -1172,6 +1210,14 @@ def launch_fused_bool(
 
     def launch(chunks):
         rungs = tuple(c[0] for c in chunks)
+        if _DEBUG_LAUNCHES is not None:
+            _DEBUG_LAUNCHES.append(
+                dict(
+                    chunks=chunks, table_args=table_args,
+                    cstore=fused.cstore, k=k, num_queries=num_queries,
+                    num_prows=num_prows, n_clauses=T, pack_addr=pack_addr,
+                )
+            )
         return fused_bool_topk(
             tuple(c[1] for c in chunks),
             tuple(c[2] for c in chunks),
@@ -1206,6 +1252,10 @@ def launch_fused_bool(
 
 
 _EMPTY_CHUNKS: dict = {}
+
+#: when set to a list (debug/microbench only), every fused launch's exact
+#: arguments are appended for offline replay
+_DEBUG_LAUNCHES = None
 
 
 def _empty_chunk(kw, W, G, T, num_prows, num_queries):

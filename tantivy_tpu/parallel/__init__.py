@@ -1062,56 +1062,87 @@ class BatchExecutor:
         # from its exact results, and prune the bulk with the tighter bar.
         # Both rounds prune with `_phase2_keep` against thresholds that only
         # ever rise, so exactness is preserved (pruning stays conservative).
-        def _keep_tb(g, th, th_seg, th_doc):
-            out = []
-            for prow, qi, seg_ord, ci, grp, ids, ub, eff, jlo, wid, frc in \
-                    g["rest"]:
-                keep = _phase2_keep(
-                    ub, fused.blk_base[ids], seg_ord,
-                    th[qi], th_seg[qi], th_doc[qi],
+        # FLAT phase-2 columns: the per-item "rest" tuples are concatenated
+        # ONCE per T-bucket; pruning, the ratchet split and the launch all
+        # operate on whole columns (vectorized _phase2_keep over every
+        # (item, block) at once) instead of ~2k per-item numpy calls.
+        # Concatenation order preserves item order, so _group_work still
+        # sees consecutive groupable runs.
+        def _flat_rest(items):
+            lens = np.array([len(it[5]) for it in items])
+
+            def rep(idx, dt):
+                return np.repeat(
+                    np.array([it[idx] for it in items], dtype=dt), lens
                 )
-                if keep.any():
-                    out.append(
-                        (prow, qi, seg_ord, ci, grp, ids[keep], ub[keep],
-                         eff[keep], jlo[keep], wid[keep], frc[keep])
-                    )
-            return out
+
+            return {
+                "prow": rep(0, np.int32),
+                "qid": rep(1, np.int32),
+                "seg": rep(2, np.int32),
+                "clause": rep(3, np.int32),
+                "grp": rep(4, bool),
+                "ids": np.concatenate([it[5] for it in items]),
+                "ub": np.concatenate([it[6] for it in items]),
+                "eff": np.concatenate([it[7] for it in items]),
+                "jlo": np.vstack([it[8] for it in items]),
+                "wid": np.vstack([it[9] for it in items]),
+                "frc": np.vstack([it[10] for it in items]),
+            }
+
+        def _keep_flat(f, th, th_seg, th_doc):
+            """Vectorized `_phase2_keep` over flat columns (same exact
+            no-margin compares — see its docstring)."""
+            th_q = th[f["qid"]]
+            ts_q = th_seg[f["qid"]]
+            later = (f["seg"] > ts_q) | (
+                (f["seg"] == ts_q)
+                & (fused.blk_base[f["ids"]].astype(np.int64)
+                   > th_doc[f["qid"]])
+            )
+            return (
+                (th_q == NEG_INF)
+                | (f["ub"] > th_q)
+                | ((f["ub"] == th_q) & ~later)
+            )
+
+        def _sel_flat(f, m):
+            return {kk_: v[m] for kk_, v in f.items()}
+
+        def _work_of(f):
+            return (
+                f["ids"], f["prow"], f["clause"], f["eff"], f["qid"],
+                f["seg"], f["jlo"], f["wid"], f["frc"], f["grp"],
+            )
 
         def _k_eff(g, Tb):
             return _k_eff_tb(g, Tb, k)
 
-        surv = {
-            Tb: _keep_tb(g, th, th_seg, th_doc)
-            for Tb, g in per_tb.items() if g["rest"]
-        }
-        total_surv = sum(
-            len(it[5]) for items in surv.values() for it in items
-        )
+        surv = {}
+        for Tb, g in per_tb.items():
+            if not g["rest"]:
+                continue
+            f = _flat_rest(g["rest"])
+            m = _keep_flat(f, th, th_seg, th_doc)
+            if m.any():
+                surv[Tb] = _sel_flat(f, m)
+        total_surv = sum(len(f["ids"]) for f in surv.values())
         ratchet = total_surv > _RATCHET_MIN_PER_Q * Q
         if ratchet:
             self._count_plan("bool_ratchet")
-            all_ub = np.concatenate(
-                [it[6] for items in surv.values() for it in items]
-            )
+            all_ub = np.concatenate([f["ub"] for f in surv.values()])
             top = min(max(_RATCHET_TOP_PER_Q * Q, 1), len(all_ub))
             cut_a = np.partition(all_ub, len(all_ub) - top)[len(all_ub) - top]
             pending_a = []
-            for Tb, items in surv.items():
-                round_a = []
-                for it in items:
-                    sel = it[6] >= cut_a
-                    if sel.any():
-                        round_a.append(
-                            it[:5] + tuple(v[sel] for v in it[5:])
-                        )
-                if not round_a:
+            for Tb, f in surv.items():
+                sel = f["ub"] >= cut_a
+                if not sel.any():
                     continue
-                self._count_plan(
-                    "wand_p2", sum(len(it[5]) for it in round_a)
-                )
+                fa = _sel_flat(f, sel)
+                self._count_plan("wand_p2", len(fa["ids"]))
                 with debug_time("bool.fused_dispatch2a"):
                     for out in pp.launch_fused_bool(
-                        fused, build_work(round_a), tb_tables[Tb],
+                        fused, _work_of(fa), tb_tables[Tb],
                         _k_eff(per_tb[Tb], Tb), Q, interpret,
                     ):
                         pending_a.append((None, out))
@@ -1119,31 +1150,24 @@ class BatchExecutor:
                 self._collect_flat(pending_a, per_query, k)
             th, th_seg, th_doc = _topk_thresholds(per_query, k)
             # remainder, re-pruned against the ratcheted thresholds
-            remainder = {}
-            for Tb, items in surv.items():
-                rest = []
-                for it in items:
-                    sel = it[6] < cut_a
-                    if sel.any():
-                        rest.append(
-                            it[:5] + tuple(v[sel] for v in it[5:])
-                        )
-                remainder[Tb] = rest
-            surv = {
-                Tb: _keep_tb({"rest": rest}, th, th_seg, th_doc)
-                for Tb, rest in remainder.items()
-            }
+            new_surv = {}
+            for Tb, f in surv.items():
+                rest = _sel_flat(f, f["ub"] < cut_a)
+                if not len(rest["ids"]):
+                    continue
+                m = _keep_flat(rest, th, th_seg, th_doc)
+                if m.any():
+                    new_surv[Tb] = _sel_flat(rest, m)
+            surv = new_surv
 
         pending2 = []
-        for Tb, items in surv.items():
-            if not items:
+        for Tb, f in surv.items():
+            if not len(f["ids"]):
                 continue
-            self._count_plan(
-                "wand_p2", sum(len(it[5]) for it in items)
-            )
+            self._count_plan("wand_p2", len(f["ids"]))
             with debug_time("bool.fused_dispatch2"):
                 for out in pp.launch_fused_bool(
-                    fused, build_work(items), tb_tables[Tb],
+                    fused, _work_of(f), tb_tables[Tb],
                     _k_eff(per_tb[Tb], Tb), Q, interpret,
                 ):
                     pending2.append((None, out))
