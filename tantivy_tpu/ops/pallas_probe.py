@@ -890,8 +890,13 @@ def _grp_rows(
 #: only pays double window-DMA bytes, not double compares.
 _GRP_RUNGS = (16, 64)            # T <= 8
 _GRP_RUNGS_WIDE = (16, 32)       # T <= 16 (VMEM: win_buf scales with T)
+#: per-program overhead (~70-150us — scal-page DMA + G-loop scalar
+#: control) dominates padded launches, so each rung picks its OWN tier
+#: level (product signature set, bounded at n_levels^n_rungs per k_eff):
+#: small/empty rungs ride tiny grids while dense phase-2 rounds use the
+#: 65536 tier (half the rounds of 32768).
 _GRP_W_TIERS = {
-    16: (256, 2048, 32768),
+    16: (256, 8192, 65536),
     32: (256, 2048, 8192),
     64: (256, 2048, 8192),
 }
@@ -974,6 +979,9 @@ def fused_bool_topk(
 
 _I64MAX = np.iinfo(np.int64).max
 
+#: sentinel: the grouping key was already sorted, no order-gather needed
+_SORTED = object()
+
 
 def _group_work(blocks, prow, clause, qid, seg, jlo_all, wid_all, frc_all,
                 groupable, kw_max: int):
@@ -992,44 +1000,52 @@ def _group_work(blocks, prow, clause, qid, seg, jlo_all, wid_all, frc_all,
     pk [N,T,8] packed member windows, eff)."""
     T = jlo_all.shape[1]
 
+    _I32MAX = np.iinfo(np.int32).max
+
     def emit(b_g, mask, p, c, q, s, jlo_m8, wid_m8, frc_m8):
-        """jlo_m8/wid_m8/frc_m8: [n, 8, T] per-member windows (-1 = none)."""
+        """jlo_m8/wid_m8/frc_m8: [n, 8, T] per-member windows (-1 = none).
+        int32 throughout: store rows < 2^31, widths <= kw_max, frc < 8."""
         n = len(b_g)
         has = jlo_m8 >= 0
-        jmin = np.where(has, jlo_m8, _I64MAX).min(axis=1)      # [n, T]
-        jlo_g = np.where(jmin == _I64MAX, np.int64(-1), jmin)
-        i1 = np.where(has, jlo_m8 + wid_m8, np.int64(-1)).max(axis=1)
+        jmin = np.where(has, jlo_m8, _I32MAX).min(axis=1)      # [n, T]
+        jlo_g = np.where(jmin == _I32MAX, np.int32(-1), jmin)
+        i1 = np.where(has, jlo_m8 + wid_m8, np.int32(-1)).max(axis=1)
         wid_g = np.where(jlo_g >= 0, i1 - jlo_g, 0)
         off8 = np.where(
             has, jlo_m8 - jlo_g[:, None, :] + frc_m8, 0
         )                                                       # [n, 8, T]
         len8 = np.maximum(np.where(has, wid_m8 - frc_m8, 0), 0)
         pk = np.where(len8 > 0, (off8 << 8) | len8, 0)
-        eff = wid_g.max(axis=1) if T else np.zeros(n, dtype=np.int64)
+        eff = wid_g.max(axis=1) if T else np.zeros(n, dtype=np.int32)
         return (b_g, mask, p, c, q, s, jlo_g, pk.transpose(0, 2, 1), eff)
 
     def member_windows(sel, order=None, starts=None, gidx=None, r=None):
         """Scatter per-item windows into [n, 8, T] member slots."""
-        jlo = jlo_all[sel].astype(np.int64)
-        wid = np.where(jlo >= 0, wid_all[sel].astype(np.int64), 0)
-        frc = np.where(jlo >= 0, frc_all[sel].astype(np.int64), 0)
+        jlo = jlo_all[sel].astype(np.int32)
+        wid = np.where(jlo >= 0, wid_all[sel].astype(np.int32), 0)
+        frc = np.where(jlo >= 0, frc_all[sel].astype(np.int32), 0)
         if order is None:  # singletons
             n = len(jlo)
-            j8 = np.full((n, 8, T), -1, dtype=np.int64)
-            w8 = np.zeros((n, 8, T), dtype=np.int64)
-            f8 = np.zeros((n, 8, T), dtype=np.int64)
+            j8 = np.full((n, 8, T), -1, dtype=np.int32)
+            w8 = np.zeros((n, 8, T), dtype=np.int32)
+            f8 = np.zeros((n, 8, T), dtype=np.int32)
             rr = (blocks[sel] % 8).astype(np.int64)
             j8[np.arange(n), rr] = jlo
             w8[np.arange(n), rr] = wid
             f8[np.arange(n), rr] = frc
             return j8, w8, f8
         n = len(starts)
-        j8 = np.full((n, 8, T), -1, dtype=np.int64)
-        w8 = np.zeros((n, 8, T), dtype=np.int64)
-        f8 = np.zeros((n, 8, T), dtype=np.int64)
-        j8[gidx, r] = jlo[order]
-        w8[gidx, r] = wid[order]
-        f8[gidx, r] = frc[order]
+        j8 = np.full((n, 8, T), -1, dtype=np.int32)
+        w8 = np.zeros((n, 8, T), dtype=np.int32)
+        f8 = np.zeros((n, 8, T), dtype=np.int32)
+        if order is _SORTED:
+            j8[gidx, r] = jlo
+            w8[gidx, r] = wid
+            f8[gidx, r] = frc
+        else:
+            j8[gidx, r] = jlo[order]
+            w8[gidx, r] = wid[order]
+            f8[gidx, r] = frc[order]
         return j8, w8, f8
 
     def singles(sel):
@@ -1051,24 +1067,31 @@ def _group_work(blocks, prow, clause, qid, seg, jlo_all, wid_all, frc_all,
         key = (
             prow[gsel].astype(np.int64) * (T_MAX + 1) + clause[gsel]
         ) * (1 << 28) + run
-        order = np.argsort(key, kind="stable")
+        # the planner emits items in (prow, clause, block) order, so the
+        # grouping key is almost always pre-sorted — skip the O(n log n)
+        # argsort and the order-gather in that case
+        if len(key) < 2 or bool((np.diff(key) >= 0).all()):
+            order = _SORTED
+            sorted_key, bo = key, b
+        else:
+            order = np.argsort(key, kind="stable")
+            sorted_key, bo = key[order], b[order]
         _, starts, counts = np.unique(
-            key[order], return_index=True, return_counts=True
+            sorted_key, return_index=True, return_counts=True
         )
         n_g = len(starts)
         gidx = np.repeat(np.arange(n_g), counts)
-        bo = b[order]
         r = (bo % 8).astype(np.int64)
         mask = np.bitwise_or.reduceat(np.int64(1) << r, starts)
         base = (bo[starts] // 8) * 8
-        io = order[starts]
+        io = starts if order is _SORTED else order[starts]
         j8, w8, f8 = member_windows(gsel, order, starts, gidx, r)
         g = emit(base, mask, prow[gsel][io], clause[gsel][io], qid[gsel][io],
                  seg[gsel][io], j8, w8, f8)
         # unioned window busts the widest rung -> demote to singletons
         wide = g[-1] > kw_max
         if wide.any():
-            wide_keys = key[order][starts[wide]]
+            wide_keys = sorted_key[starts[wide]]
             item_wide = np.isin(key, wide_keys)
             idx_w = np.nonzero(gsel)[0][item_wide]
             selw = np.zeros(len(blocks), dtype=bool)
@@ -1152,19 +1175,20 @@ def launch_fused_bool(
             flush=True,
         )
 
-    # canonical tier LEVEL: one level for every rung per launch, so the
-    # compiled rungs-tuple set stays tiny (levels x single-rung follow-ups)
-    n_levels = max(len(_GRP_W_TIERS[kw]) for kw in rungs_t)
-    level = 0
+    # INDEPENDENT tier level per rung: a small or exhausted rung must not
+    # inherit the batch's biggest grid (its padded programs cost real
+    # per-program overhead). The compiled-signature set is the product of
+    # per-rung levels — bounded, and prewarmed in full.
+    levels_r = []
     for r in per_rung:
         kw, n = r[0], len(r[1])
         tiers = _GRP_W_TIERS[kw]
-        need = next((i for i, w in enumerate(tiers) if n <= w),
-                    len(tiers) - 1)
-        level = max(level, need)
-    level = min(level, n_levels - 1)
+        levels_r.append(
+            next((i for i, w in enumerate(tiers) if n <= w),
+                 len(tiers) - 1)
+        )
 
-    def make_chunk(kw, b_s, m_s, p_s, c_s, q_s, s_s, jlo, pk, lo):
+    def make_chunk(kw, b_s, m_s, p_s, c_s, q_s, s_s, jlo, pk, lo, level):
         tiers = _GRP_W_TIERS[kw]
         W = tiers[min(level, len(tiers) - 1)]
         hi = min(lo + W, len(b_s))
@@ -1237,8 +1261,11 @@ def launch_fused_bool(
     while True:
         chunks = []
         progressed = False
-        for r in per_rung:
-            chunk, hi = make_chunk(*r[:9], r[9])
+        for r, lvl in zip(per_rung, levels_r):
+            # exhausted rungs drop to the SMALLEST tier for their filler
+            # pages (per-rung levels make that a fresh, tiny signature)
+            use = lvl if r[9] < len(r[1]) else 0
+            chunk, hi = make_chunk(*r[:9], r[9], use)
             if hi > r[9]:
                 progressed = True
             r[9] = hi
