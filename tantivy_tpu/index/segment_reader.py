@@ -29,6 +29,7 @@ class InvertedIndexReader:
     def __init__(self, termdict: TermDictionary, arrays: dict[str, np.ndarray]):
         self.termdict = termdict
         self.arrays = arrays
+        self._postings_lru: dict[int, tuple] = {}
 
     def total_num_tokens(self) -> int:
         return int(self.arrays["total_num_tokens"][0])
@@ -46,8 +47,22 @@ class InvertedIndexReader:
         return len(self.termdict)
 
     def read_postings(self, term_ord: int) -> tuple[np.ndarray, np.ndarray]:
-        """Host decode of a full posting list -> (docs, tfs)."""
-        return pfmt.decode_term_host(self.arrays, term_ord)
+        """Host decode of a full posting list -> (docs, tfs), LRU-cached:
+        host-tail batches (sloppy phrase, fuzzy, MLT, ...) repeat Zipf
+        terms heavily, and the block unpack + cumsum decode dominated their
+        profile. Segments are immutable, so the cache never invalidates;
+        bounded at 128 terms per index to cap memory on frequent terms."""
+        cached = self._postings_lru.get(term_ord)
+        if cached is None:
+            cached = pfmt.decode_term_host(self.arrays, term_ord)
+            self._postings_lru[term_ord] = cached
+            if len(self._postings_lru) > 128:
+                self._postings_lru.pop(next(iter(self._postings_lru)))
+        else:
+            # refresh recency (dict preserves insertion order)
+            self._postings_lru.pop(term_ord)
+            self._postings_lru[term_ord] = cached
+        return cached
 
     def positions_for_term(self, term_ord: int) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
         """Returns (docs, tfs, flat positions) for a term."""
