@@ -4,6 +4,16 @@ Reference: `src/query/fuzzy_query.rs:80` (Levenshtein DFA ∩ FST) and
 `regex_query.rs:57`. We evaluate the automaton against the sorted term
 dictionary; matching term ords are unioned const-score, like the reference's
 `AutomatonWeight` + BitSetDocSet path.
+
+Why these do NOT route to the device kernels: the reference scores
+automaton matches CONST (1.0 per doc, no BM25), so there is no tf/idf
+arithmetic to accelerate — per query the entire cost is the posting-list
+union, which `_MultiTermWeight` already does as one vectorized numpy
+union (plus the per-(segment, term) decode LRU shared across a batch).
+Expanding into the fused boolean kernel would cap expansions at T_MAX=16
+clauses and pay kernel launch + fetch (~55ms fixed) to compute scores the
+host derives for free. Top-k of an all-equal-score set is just the first
+k doc addresses.
 """
 
 from __future__ import annotations

@@ -1,0 +1,93 @@
+"""search_batch over a MIXED query inventory: device-eligible kinds
+(term / boolean / phrase / phrase-prefix) interleaved with host-tail kinds
+(sloppy phrase, fuzzy, regex, term-set, dismax, MLT-ish boolean) in one
+call. Asserts exact parity with the sequential host engine for every slot
+— the router must keep result positions straight while splitting the
+batch across device paths and the pruned host tail (reference executes
+each via `Weight::for_each_pruning`, `weight.rs:123-132`)."""
+
+import numpy as np
+
+import tantivy_tpu as tt
+from tantivy_tpu.parallel import BatchExecutor
+from tantivy_tpu.query import (
+    BoostQuery,
+    DisjunctionMaxQuery,
+    TermQuery,
+    TermSetQuery,
+)
+from tantivy_tpu.query.automaton_queries import FuzzyTermQuery, RegexQuery
+from tantivy_tpu.query.phrase_query import PhrasePrefixQuery, PhraseQuery
+
+
+def build_corpus(seed=9, n=400):
+    rng = np.random.default_rng(seed)
+    words = [f"w{i:02d}" for i in range(40)] + ["prefixable", "prefixed"]
+    p = 1.0 / np.arange(1, len(words) + 1)
+    p /= p.sum()
+    b = tt.Schema.builder()
+    b.add_text_field("body", tt.TEXT)
+    schema = b.build()
+    index = tt.Index.create_in_ram(schema)
+    w = index.writer_for_tests()
+    for c in range(3):
+        for _ in range(n // 3):
+            w.add_document(
+                tt.Document(body=" ".join(rng.choice(words, 7, p=p)))
+            )
+        w.commit()
+    w.close()
+    return index
+
+
+def test_mixed_batch_parity():
+    index = build_corpus()
+    searcher = index.reader().searcher()
+    ex = BatchExecutor(searcher)
+
+    def t(word):
+        return TermQuery(tt.Term.from_field_text("body", word))
+
+    queries = [
+        t("w00"),
+        tt.BooleanQuery.union([t("w01"), t("w02")]),
+        PhraseQuery("body", ["w00", "w01"]),
+        PhraseQuery("body", ["w01", "w03"], slop=2),          # host tail
+        PhrasePrefixQuery("body", ["prefix"]),                 # expansion
+        FuzzyTermQuery(tt.Term.from_field_text("body", "w01"), 1),
+        RegexQuery("w0[0-3]", "body"),
+        TermSetQuery([tt.Term.from_field_text("body", w)
+                      for w in ("w04", "w05")]),
+        DisjunctionMaxQuery([t("w02"), t("w06")], tie_breaker=0.3),
+        BoostQuery(t("w07"), 2.0),
+        tt.BooleanQuery([(tt.Occur.MUST, t("w00")),
+                         (tt.Occur.MUST_NOT, t("w01"))]),
+        tt.AllQuery(),
+    ]
+    res = ex.search_batch(queries, 10)
+    assert len(res) == len(queries)
+    for q, r in zip(queries, res):
+        h = searcher.search(q, tt.TopDocs(10))
+        assert [(s, a) for s, a in r] == [(s, a) for s, a in h], q
+
+
+def test_mixed_batch_order_stability():
+    """Result list positions must match input positions even when the
+    router reorders work internally (device groups, expansions, tail)."""
+    index = build_corpus(seed=10)
+    searcher = index.reader().searcher()
+    ex = BatchExecutor(searcher)
+
+    def t(word):
+        return TermQuery(tt.Term.from_field_text("body", word))
+
+    # interleave kinds so sub-batches are non-contiguous
+    qs = []
+    for i in range(8):
+        qs.append(t(f"w{i:02d}"))
+        qs.append(PhraseQuery("body", [f"w{i:02d}", f"w{(i+1):02d}"]))
+        qs.append(FuzzyTermQuery(tt.Term.from_field_text("body", f"w{i:02d}"), 1))
+    res = ex.search_batch(qs, 5)
+    for q, r in zip(qs, res):
+        h = searcher.search(q, tt.TopDocs(5))
+        assert [(s, a) for s, a in r] == [(s, a) for s, a in h], q
