@@ -53,7 +53,7 @@ NEG_INF = np.float32(-np.inf)
 #: every slab's aligned row need fits. Oversized groups split into singleton
 #: groups, which always fit the widest rung (see the per-block caps below).
 _PHRASE_RUNGS = (
-    (24, (256, 2048, 16384)),
+    (24, (256, 8192, 32768)),
     (136, (256, 2048, 8192)),
 )
 
@@ -524,23 +524,20 @@ def launch_fused_phrase(
             )]
         )
 
-    # canonical tier level across rungs (see pallas_probe.launch_fused_bool)
+    # INDEPENDENT tier level per rung (see pallas_probe.launch_fused_bool)
     per_rung = []
     prev = 0
     for rows, tiers in _PHRASE_RUNGS:
         sel = np.nonzero((need > prev) & (need <= rows))[0]
         prev = rows
         per_rung.append([rows, tiers, sel, 0])
-    n_levels = max(len(t) for _, t in _PHRASE_RUNGS)
-    level = 0
-    for rows, tiers, sel, _ in per_rung:
-        nsel = len(sel)
-        needl = next((i for i, w in enumerate(tiers) if nsel <= w),
-                     len(tiers) - 1)
-        level = max(level, needl)
-    level = min(level, n_levels - 1)
+    levels_r = [
+        next((i for i, w in enumerate(tiers) if len(sel) <= w),
+             len(tiers) - 1)
+        for rows, tiers, sel, _ in per_rung
+    ]
 
-    def make_chunk(rows, tiers, sel_idx, lo):
+    def make_chunk(rows, tiers, sel_idx, lo, level):
         RR = rows
         W = tiers[min(level, len(tiers) - 1)]
         hi = min(lo + W, len(sel_idx))
@@ -605,8 +602,9 @@ def launch_fused_phrase(
     while True:
         chunks = []
         progressed = False
-        for r in per_rung:
-            chunk, hi = make_chunk(r[0], r[1], r[2], r[3])
+        for r, lvl in zip(per_rung, levels_r):
+            use = lvl if r[3] < len(r[2]) else 0
+            chunk, hi = make_chunk(r[0], r[1], r[2], r[3], use)
             if hi > r[3]:
                 progressed = True
             r[3] = hi

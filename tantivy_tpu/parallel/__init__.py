@@ -65,6 +65,50 @@ def _dedup_hits(hits):
     hits[:] = out
 
 
+def _sortable_desc_np(v: np.ndarray) -> np.ndarray:
+    """u32 key ascending in (f32 value DESCENDING) total order. `+0.0`
+    first normalizes -0.0 to +0.0 so bit-keys agree with the host's
+    numeric tie semantics (-0.0 == 0.0 ties break by DocAddress)."""
+    v = np.ascontiguousarray(v + np.float32(0.0), dtype=np.float32)
+    u = v.view(np.uint32)
+    s = np.where(
+        u & np.uint32(0x80000000), ~u, u | np.uint32(0x80000000)
+    )
+    return np.uint32(0xFFFFFFFF) - s
+
+
+def _dedup_topk_chunks(hits: list, k: int):
+    """Per-query hit CHUNKS [(scores f32, segs i32, docs u32), ...] ->
+    one chunk sorted (score desc, DocAddress asc), first occurrence per
+    address kept (= max score, the fused dual-report semantics), first k.
+    The vectorized replacement for the tuple-based `_dedup_hits`."""
+    if not hits:
+        z = np.zeros(0, dtype=np.float32)
+        return z, np.zeros(0, np.int32), np.zeros(0, np.uint32)
+    if len(hits) == 1:
+        v, s, d = hits[0]
+    else:
+        v = np.concatenate([h[0] for h in hits])
+        s = np.concatenate([h[1] for h in hits])
+        d = np.concatenate([h[2] for h in hits])
+    order = np.lexsort((d, s, _sortable_desc_np(v)))
+    v, s, d = v[order], s[order], d[order]
+    addr = (s.astype(np.uint64) << np.uint64(32)) | d.astype(np.uint64)
+    _, first = np.unique(addr, return_index=True)
+    first.sort()
+    sel = first[:k]
+    return v[sel], s[sel], d[sel]
+
+
+def _chunk_hits(hits: list, k: int):
+    """Finalize per-query chunks to the public list[(score, DocAddress)]."""
+    v, s, d = _dedup_topk_chunks(hits, k)
+    return [
+        (np.float32(v[i]), DocAddress(int(s[i]), int(d[i])))
+        for i in range(len(v))
+    ]
+
+
 def _topk_thresholds(per_query, k):
     """(score, seg, doc) thresholds per query from the phase-1 results:
     the kth hit's score AND DocAddress. Blocks whose upper bound ties the
@@ -76,14 +120,12 @@ def _topk_thresholds(per_query, k):
     th_seg = np.full(Q, -1, dtype=np.int64)
     th_doc = np.zeros(Q, dtype=np.int64)
     for qi in range(Q):
-        hits = per_query[qi]
-        _dedup_hits(hits)
-        del hits[k:]
-        if len(hits) == k:
-            th[qi] = hits[-1][0]
-            addr = hits[-1][1]
-            th_seg[qi] = addr.segment_ord
-            th_doc[qi] = addr.doc_id
+        v, s, d = _dedup_topk_chunks(per_query[qi], k)
+        per_query[qi] = [(v, s, d)]
+        if len(v) == k:
+            th[qi] = v[-1]
+            th_seg[qi] = s[-1]
+            th_doc[qi] = d[-1]
     return th, th_seg, th_doc
 
 
@@ -268,9 +310,7 @@ class BatchExecutor:
 
         out = []
         for qi in range(Q):
-            hits = per_query[qi]
-            hits.sort(key=lambda x: (-float(x[0]), x[1]))
-            out.append(hits[:k])
+            out.append(_chunk_hits(per_query[qi], k))
         return out
 
     # ------------------------------------------------------------------
@@ -563,9 +603,7 @@ class BatchExecutor:
 
         out = []
         for qi in range(Q):
-            hits = per_query[qi]
-            hits.sort(key=lambda x: (-float(x[0]), x[1]))
-            out.append(hits[:k])
+            out.append(_chunk_hits(per_query[qi], k))
         return out
 
     # ------------------------------------------------------------------
@@ -901,7 +939,7 @@ class BatchExecutor:
                     if len(ids):
                         staged.append((ci, True, ids, ub, eff, jlo, wid, frc))
                 if fallback:
-                    per_query[qi].extend(
+                    per_query[qi].append(
                         self._host_segment_topk(queries[qi], seg_ord, reader, k)
                     )
                     self._count_fallback("bool_wide")
@@ -1176,9 +1214,7 @@ class BatchExecutor:
 
         out = []
         for qi in range(Q):
-            hits = per_query[qi]
-            _dedup_hits(hits)
-            out.append(hits[:k])
+            out.append(_chunk_hits(per_query[qi], k))
         return out
 
     def prewarm(self, queries_hint: list, k: int = 10, concurrency: int = 4,
@@ -1228,6 +1264,8 @@ class BatchExecutor:
             fused.ensure_positions()
         nbp = max(-(-fused.num_blocks // 8) * 8, 8)
 
+        import itertools
+
         jobs = []
         for Tb in bool_tbs:
             tier = self._prow_tier(0, Tb)
@@ -1241,13 +1279,15 @@ class BatchExecutor:
                 "req_should": np.zeros(tier + 1, np.int32),
             }
             rungs = pp.fused_rungs(Tb)
-            for lvl in levels:
+            # per-rung INDEPENDENT tier levels: warm the full level product
+            # (the launcher picks each rung's level from its own count)
+            for combo in itertools.product(levels, repeat=len(rungs)):
                 # tier[lvl] items per rung (distinct prows so grouping keeps
                 # them apart), window widths placed to populate every rung;
                 # all work is no-op (cl_len 0) so execution is fast
                 blocks, prow, clause, width, qid, seg = [], [], [], [], [], []
                 jlo, wid, frc = [], [], []
-                for kw in rungs:
+                for kw, lvl in zip(rungs, combo):
                     tiers = pp._GRP_W_TIERS[kw]
                     nn = tiers[min(lvl, len(tiers) - 1)]
                     blocks.append(np.zeros(nn, dtype=np.int64))
@@ -1278,9 +1318,9 @@ class BatchExecutor:
         for Sb in phrase_sbs:
             qw = np.zeros(self._prow_tier(0, Sb + 1) + 1, dtype=np.float32)
             rungs = php._PHRASE_RUNGS
-            for lvl in levels:
+            for combo in itertools.product(levels, repeat=len(rungs)):
                 per_rung = []
-                for rows, tiers in rungs:
+                for (rows, tiers), lvl in zip(rungs, combo):
                     nn = tiers[min(lvl, len(tiers) - 1)]
                     llen = max((rows - 16) * 128, 1)
                     per_rung.append((nn, llen))
@@ -1587,21 +1627,18 @@ class BatchExecutor:
         )
 
     def _host_segment_topk(self, query, seg_ord: int, reader, k: int):
-        """Exact host evaluation of one query over one segment, as
-        (score, DocAddress) top-k — the per-segment fallback for device-path
-        corner cases (e.g. pathological in-doc tf)."""
+        """Exact host evaluation of one query over one segment, as a hit
+        CHUNK (scores, segs, docs arrays) — the per-segment fallback for
+        device-path corner cases (e.g. pathological in-doc tf)."""
         weight = query.weight(self.searcher, True)
         res = weight.topk(reader, k)  # alive-filtered, may prune
         docs, scores = res.docs, res.scores
-        if len(docs) > k:
-            # (score desc, doc asc) tie-break
-            order = np.lexsort((docs, -scores))[:k]
-        else:
-            order = np.lexsort((docs, -scores))
-        return [
-            (np.float32(scores[i]), DocAddress(seg_ord, int(docs[i])))
-            for i in order
-        ]
+        order = np.lexsort((docs, _sortable_desc_np(scores)))[:k]
+        return (
+            scores[order].astype(np.float32, copy=False),
+            np.full(len(order), seg_ord, dtype=np.int32),
+            docs[order].astype(np.uint32, copy=False),
+        )
 
     def _search_phrase_fused(self, queries: list, k: int):
         """Fused pallas phrase batch: position-slab kernel, one launch per
@@ -1756,7 +1793,7 @@ class BatchExecutor:
                         staged = [(leader, plan), (t_alt, plan2)]
                         self._count_plan("phrase_reanchor")
                 if fallback:
-                    per_query[qi].extend(
+                    per_query[qi].append(
                         self._host_segment_topk(q, seg_ord, reader, k)
                     )
                     self._count_fallback("phrase_wide")
@@ -1945,9 +1982,7 @@ class BatchExecutor:
 
         out = []
         for qi in range(Q):
-            hits = per_query[qi]
-            _dedup_hits(hits)
-            out.append(hits[:k])
+            out.append(_chunk_hits(per_query[qi], k))
         return out
 
     def search_phrase_batch(self, queries: list, k: int):
@@ -2013,7 +2048,7 @@ class BatchExecutor:
                 if maxtf[leader] > ph.MAX_P or any(
                     m > max_other_tf for m in maxtf
                 ):
-                    per_query[qi].extend(
+                    per_query[qi].append(
                         self._host_segment_topk(q, seg_ord, reader, k)
                     )
                     continue
@@ -2037,7 +2072,7 @@ class BatchExecutor:
                     # a near-singleton leader block spanning a dense
                     # partner's region: device windows can't cover it —
                     # resolve exactly on host (cheap: sparse leader)
-                    per_query[qi].extend(
+                    per_query[qi].append(
                         self._host_segment_topk(q, seg_ord, reader, k)
                     )
                     continue
@@ -2136,12 +2171,13 @@ class BatchExecutor:
 
         out = []
         for qi in range(Q):
-            hits = per_query[qi]
-            hits.sort(key=lambda x: (-float(x[0]), x[1]))
-            out.append(hits[:k])
+            out.append(_chunk_hits(per_query[qi], k))
         return out
 
     def _collect_flat(self, pending, per_query, k):
+        """Append device results as per-query hit CHUNKS (score/seg/doc
+        arrays) — no per-hit Python objects; `_dedup_topk_chunks` sorts,
+        dedups and truncates vectorized at threshold/finalize time."""
         from ..ops.probe_scorer import unpack_results, unpack_results_seg
 
         for seg_ord, out in pending:
@@ -2156,12 +2192,20 @@ class BatchExecutor:
                     vals, docs, segs = unpack_results_seg(packed)
                 else:  # packed [2, Q, k] single-fetch result
                     vals, docs = unpack_results(packed)
-            qs, js = np.nonzero(vals > NEG_INF)
-            vsel = vals[qs, js]
-            dsel = docs[qs, js]
-            ssel = segs[qs, js] if segs is not None else None
-            for i, qi in enumerate(qs.tolist()):
-                so = seg_ord if ssel is None else int(ssel[i])
+            qs, js = np.nonzero(vals > NEG_INF)  # qs ascending (row-major)
+            if not len(qs):
+                continue
+            vsel = vals[qs, js].astype(np.float32, copy=False)
+            dsel = docs[qs, js].astype(np.uint32, copy=False)
+            if segs is not None:
+                ssel = segs[qs, js].astype(np.int32, copy=False)
+            else:
+                ssel = np.full(len(qs), seg_ord, dtype=np.int32)
+            uq = np.unique(qs)
+            bounds = np.searchsorted(qs, uq)
+            bounds = np.append(bounds, len(qs))
+            for i, qi in enumerate(uq.tolist()):
+                lo, hi = bounds[i], bounds[i + 1]
                 per_query[qi].append(
-                    (np.float32(vsel[i]), DocAddress(so, int(dsel[i])))
+                    (vsel[lo:hi], ssel[lo:hi], dsel[lo:hi])
                 )
