@@ -98,12 +98,15 @@ def _column_values(reader, field_name: str, docs: np.ndarray):
     from ..fastfield import CARD_FULL, CARD_MULTI, CARD_OPTIONAL, from_u64
 
     if col.cardinality == CARD_FULL:
-        if len(docs) == col.values.shape[0]:
-            # whole segment (unfiltered aggregation): cached f64 view, no
-            # per-query gather/convert copy
-            fv = _full_column_f64(reader, field_name)
-            if fv is not None:
+        fv = _full_column_f64(reader, field_name)
+        if fv is not None:
+            if len(docs) == fv.shape[0]:
+                # whole segment (unfiltered aggregation): cached f64 view,
+                # no per-query gather/convert copy
                 return fv, docs.astype(np.int64)
+            # subset (e.g. a range bucket's sub-agg): gather from the
+            # cached f64 view — one fancy-index, no re-conversion
+            return fv[docs], np.arange(len(docs), dtype=np.int64)
         raw = col.values[docs]
         idx = np.arange(len(docs), dtype=np.int64)
     elif col.cardinality == CARD_OPTIONAL:
