@@ -138,12 +138,12 @@ class IndexWriter:
         ops: list[int] = []
         q = self._queue
         while True:
-            # greedy batch drain: one blocking get, then up to 63 more
+            # greedy batch drain: one blocking get, then up to 255 more
             # without blocking — batches feed SegmentWriter.add_documents,
             # whose native text path makes ONE GIL-releasing C call per
             # field per batch (workers overlap during it)
             items = [q.get()]
-            while len(items) < 64:
+            while len(items) < 256:
                 try:
                     items.append(q.get_nowait())
                 except queue_mod.Empty:
@@ -206,9 +206,9 @@ class IndexWriter:
             self._queue.put((opstamp, doc))
             return opstamp
         # single-threaded path batches ingest too (one C call per field per
-        # 64 docs — see SegmentWriter.add_documents)
+        # 256 docs — see SegmentWriter.add_documents)
         self._ingest_buf.append((opstamp, doc))
-        if len(self._ingest_buf) >= 64:
+        if len(self._ingest_buf) >= 256:
             self._flush_ingest_buf()
         return opstamp
 

@@ -148,6 +148,9 @@ class SegmentWriter:
             self._native = NativeIndexerCore.create()
         # field_id -> {term_bytes: _TermPostings}
         self._postings: dict[int, dict[bytes, _TermPostings]] = defaultdict(dict)
+        # field_id -> ([doc_ids], [raw values]) — deferred numeric terms,
+        # encoded vectorized at serialize time (`_numeric_exports`)
+        self._pend_numeric: dict[int, tuple[list, list]] = {}
         # field_id -> {doc: num_tokens}
         self._fieldnorms: dict[int, dict[int, int]] = defaultdict(dict)
         # field_id -> total tokens subscribed (reference
@@ -206,49 +209,74 @@ class SegmentWriter:
             return [self.add_document(d) for d in docs]
         pend: dict[int, list] = {}  # field_id -> [(doc_id, text)]
         ids = []
+        # per-field metadata resolved once per batch, not once per value
+        meta: dict[str, tuple] = {}
+        numeric_types = (FieldType.U64, FieldType.I64, FieldType.F64,
+                         FieldType.BOOL, FieldType.DATE)
+        mem = 0
         for doc in docs:
             doc_id = self.max_doc
             self.max_doc += 1
             ids.append(doc_id)
             for field_name, value in doc.field_values():
-                entry = self.schema.get_field(field_name)
-                ftype = entry.field_type
-                if ftype == FieldType.TEXT:
+                m = meta.get(field_name)
+                if m is None:
+                    entry = self.schema.get_field(field_name)
+                    ftype = entry.field_type
+                    m = meta[field_name] = (
+                        entry, ftype,
+                        ftype in numeric_types and entry.is_indexed(),
+                        ftype is FieldType.TEXT and entry.is_indexed()
+                        and entry.tokenizer_name() == "default",
+                        entry.is_fast(),
+                        entry.field_id,
+                        self._pend_numeric.setdefault(entry.field_id,
+                                                      ([], []))
+                        if ftype in numeric_types and entry.is_indexed()
+                        else None,
+                    )
+                entry, ftype, num_idx, text_fast_ok, fast, fid, npend = m
+                if ftype is FieldType.TEXT:
                     text = str(value)
-                    if (
-                        entry.is_indexed()
-                        and entry.tokenizer_name() == "default"
-                        and text.isascii()
-                    ):
-                        pend.setdefault(entry.field_id, []).append(
-                            (doc_id, text)
-                        )
-                        if entry.is_fast():
-                            self._columnar.record(
-                                doc_id, entry.name, text, "str"
-                            )
+                    mem += len(text)
+                    if text_fast_ok and text.isascii():
+                        pend.setdefault(fid, []).append((doc_id, text))
+                        if fast:
+                            self._columnar.record(doc_id, entry.name,
+                                                  text, "str")
                     else:
                         # position offsets are order-dependent: land any
                         # pending batched values of this field first
-                        self._flush_text_batch(entry.field_id, pend)
+                        self._flush_text_batch(fid, pend)
                         self._index_text(entry, doc_id, text)
-                elif ftype in (FieldType.U64, FieldType.I64, FieldType.F64,
-                               FieldType.BOOL, FieldType.DATE):
-                    self._index_numeric(entry, doc_id, value)
+                elif num_idx:
+                    mem += 24
+                    npend[0].append(doc_id)
+                    npend[1].append(value)
+                    if fast:
+                        self._columnar.record(doc_id, entry.name, value,
+                                              ftype.value)
+                elif ftype in numeric_types:
+                    mem += 24
+                    if fast:
+                        self._columnar.record(doc_id, entry.name, value,
+                                              ftype.value)
                 elif ftype == FieldType.BYTES:
+                    mem += len(value)
                     if entry.is_indexed():
-                        self._subscribe(
-                            entry.field_id, bytes(value), doc_id, None
-                        )
-                    if entry.is_fast():
+                        self._subscribe(fid, bytes(value), doc_id, None)
+                    if fast:
                         self._columnar.record(
                             doc_id, entry.name, bytes(value), "bytes"
                         )
                 elif ftype == FieldType.FACET:
+                    mem += len(str(value))
                     self._index_facet(entry, doc_id, str(value))
                 elif ftype == FieldType.JSON:
+                    mem += 64 + 32 * len(value)
                     self._index_json(entry, doc_id, value)
                 elif ftype == FieldType.IP_ADDR:
+                    mem += 24
                     self._index_ip(entry, doc_id, value)
                 else:
                     raise TypeError(f"unhandled field type {ftype}")
@@ -258,9 +286,7 @@ class SegmentWriter:
                 self._store.store(self._stored_subdoc(doc))
             else:
                 self._store.store_empty()
-            self._mem_hint += 200 + sum(
-                len(str(v)) for _, v in doc.field_values()
-            )
+        self._mem_hint += mem + 200 * len(docs)
         for field_id in list(pend):
             self._flush_text_batch(field_id, pend)
         return ids
@@ -348,17 +374,15 @@ class SegmentWriter:
     def _index_numeric(self, entry, doc_id: int, value) -> None:
         type_name = entry.field_type.value
         if entry.is_indexed():
-            if entry.field_type == FieldType.U64:
-                t = Term.from_field_u64(entry.name, int(value))
-            elif entry.field_type == FieldType.I64:
-                t = Term.from_field_i64(entry.name, int(value))
-            elif entry.field_type == FieldType.F64:
-                t = Term.from_field_f64(entry.name, float(value))
-            elif entry.field_type == FieldType.BOOL:
-                t = Term.from_field_bool(entry.name, bool(value))
-            else:  # DATE
-                t = Term.from_field_date(entry.name, int(value))
-            self._subscribe(entry.field_id, t.value_bytes, doc_id, None)
+            # deferred: (doc, value) pairs accumulate per field and are
+            # encoded/sorted/grouped in ONE vectorized pass at serialize
+            # time (`_numeric_exports`) — no per-value Term object, dict
+            # probe or list append chain on the ingest hot path
+            pend = self._pend_numeric.get(entry.field_id)
+            if pend is None:
+                pend = self._pend_numeric[entry.field_id] = ([], [])
+            pend[0].append(doc_id)
+            pend[1].append(value)
         if entry.is_fast():
             self._columnar.record(doc_id, entry.name, value, type_name)
 
@@ -456,6 +480,50 @@ class SegmentWriter:
     def mem_usage(self) -> int:
         return self._mem_hint
 
+    def _numeric_exports(self) -> dict[int, dict]:
+        """Drain `_pend_numeric` into native-export-format dicts: per field
+        ONE vectorized encode + lexsort + run-length group over all (doc,
+        value) records, producing the sorted term stream
+        `serialize_sorted_field` consumes. tf of a (term, doc) pair = how
+        many times the doc recorded that value (multi-valued parity with
+        the per-value `_subscribe` path this replaces)."""
+        from ..schema.term import numeric_keys_u64
+
+        out: dict[int, dict] = {}
+        for field_id, (doc_list, val_list) in self._pend_numeric.items():
+            entry = self.schema.get_field_entry(field_id)
+            docs = np.asarray(doc_list, dtype=np.uint32)
+            keys = numeric_keys_u64(val_list, entry.field_type.value)
+            order = np.lexsort((docs, keys))
+            keys, docs = keys[order], docs[order]
+            n = len(docs)
+            new_pair = np.empty(n, dtype=bool)
+            new_pair[:1] = True
+            new_pair[1:] = (keys[1:] != keys[:-1]) | (docs[1:] != docs[:-1])
+            idx = np.nonzero(new_pair)[0]
+            gdocs = docs[idx]
+            gkeys = keys[idx]
+            tfs = np.diff(np.append(idx, n)).astype(np.uint32)
+            new_term = np.empty(len(gkeys), dtype=bool)
+            new_term[:1] = True
+            new_term[1:] = gkeys[1:] != gkeys[:-1]
+            tidx = np.nonzero(new_term)[0]
+            ukeys = gkeys[tidx]
+            n_terms = len(ukeys)
+            out[field_id] = {
+                "n_terms": n_terms,
+                # 8-byte big-endian keys = Term.value_bytes order
+                "term_data": ukeys.astype(">u8").view(np.uint8),
+                "term_offsets": np.arange(n_terms + 1, dtype=np.int64) * 8,
+                "post_offsets": np.append(tidx, len(gkeys)).astype(np.int64),
+                "docs": gdocs,
+                "tfs": tfs,
+                "positions": np.zeros(0, dtype=np.uint32),
+                "total_tokens": n,
+            }
+        self._pend_numeric = {}
+        return out
+
     # -- serialization -------------------------------------------------------
 
     def _sort_mapping(self) -> np.ndarray | None:
@@ -520,6 +588,10 @@ class SegmentWriter:
         self._apply_doc_mapping_py_only(new_of_old)
 
     def _apply_doc_mapping_py_only(self, new_of_old):
+        for field_id, (doc_list, val_list) in self._pend_numeric.items():
+            remapped = new_of_old[np.asarray(doc_list, dtype=np.int64)]
+            # the drain re-sorts by (key, doc), so list order is free
+            self._pend_numeric[field_id] = (remapped, val_list)
         for field_id, postings in self._postings.items():
             for rec in postings.values():
                 docs = new_of_old[np.asarray(rec.docs, dtype=np.int64)]
@@ -586,6 +658,13 @@ class SegmentWriter:
                     total_tokens[entry.field_id] = (
                         total_tokens.get(entry.field_id, 0) + exp["total_tokens"]
                     )
+        # deferred numeric fields export the same sorted-stream format
+        # (disjoint from native text fields by construction)
+        for field_id, exp in self._numeric_exports().items():
+            native_exports[field_id] = exp
+            total_tokens[field_id] = (
+                total_tokens.get(field_id, 0) + exp["total_tokens"]
+            )
 
         idx_arrays: dict[str, np.ndarray] = {}
         term_arrays: dict[str, np.ndarray] = {}

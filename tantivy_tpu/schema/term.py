@@ -41,6 +41,28 @@ def u64_to_f64(v: int) -> float:
     return struct.unpack(">d", struct.pack(">Q", bits))[0]
 
 
+def numeric_keys_u64(values, type_name: str) -> "np.ndarray":
+    """Vectorized order-preserving value -> u64 term key for a whole
+    column of one numeric type — array parity with `Term.from_field_*`
+    (each key's 8-byte big-endian form is the term's value bytes)."""
+    import numpy as np
+
+    if type_name == "u64":
+        return np.asarray(values, dtype=np.uint64)
+    if type_name in ("i64", "date"):
+        return (
+            np.asarray(values, dtype=np.int64).view(np.uint64)
+            ^ np.uint64(1 << 63)
+        )
+    if type_name == "f64":
+        bits = np.asarray(values, dtype=np.float64).view(np.uint64)
+        neg = (bits >> np.uint64(63)).astype(bool)
+        return np.where(neg, ~bits, bits | np.uint64(1 << 63))
+    if type_name == "bool":
+        return np.asarray(values, dtype=bool).astype(np.uint64)
+    raise TypeError(type_name)
+
+
 def u64_to_f64_array(raw) -> "np.ndarray":
     """Vectorized `u64_to_f64` over a u64 array (the aggregation read path
     decodes whole 1M-row columns per request)."""
