@@ -32,6 +32,20 @@ from ..postings.format import TERMINATED
 from ..query.bm25 import compute_tf_cache
 
 
+def _row_tier(rows: int, floor: int = 128) -> int:
+    """Store rows pad up to a {1, 1.5}·pow2 ladder (waste <= 33%) so the
+    kernel launch signatures — which include the cstore/postore operand
+    shapes — survive commits, merges and corpus growth within a tier. A
+    fresh Mosaic compile costs minutes on the remote service; a tier
+    crossing is the only event that should pay it."""
+    t = max(floor, 128)
+    while t < rows:
+        if t + t // 2 >= rows:
+            return t + t // 2
+        t *= 2
+    return t
+
+
 class FusedStore:
     def __init__(self):
         self.slabs: dict[tuple[int, str], dict] = {}
@@ -110,19 +124,22 @@ class FusedStore:
             segs.append(np.full(nbp, s["seg_ord"], dtype=np.int32))
             stores.append(s["cstore"])
             off += nbp
-        # keep the widest boolean window DMA (kw8 = 72 rows + alignment) in
-        # bounds even on tiny stores
-        min_rows = 80
-        if 0 < off < min_rows:
-            pad = min_rows - off
-            bases.append(np.full(pad, TERMINATED, dtype=np.uint32))
-            lasts.append(np.full(pad, TERMINATED, dtype=np.uint32))
-            bfacs.append(np.zeros(pad, dtype=np.float32))
-            segs.append(np.zeros(pad, dtype=np.int32))
-            stores.append(
-                jnp.full((pad, 384), jnp.uint32(TERMINATED), dtype=jnp.uint32)
-            )
-            off = min_rows
+        # pad to the row tier (also keeps the widest boolean window DMA —
+        # kw8 = 72 rows + alignment — in bounds even on tiny stores)
+        if off > 0:
+            tier = _row_tier(off)
+            pad = tier - off
+            if pad:
+                bases.append(np.full(pad, TERMINATED, dtype=np.uint32))
+                lasts.append(np.full(pad, TERMINATED, dtype=np.uint32))
+                bfacs.append(np.zeros(pad, dtype=np.float32))
+                segs.append(np.zeros(pad, dtype=np.int32))
+                stores.append(
+                    jnp.full(
+                        (pad, 384), jnp.uint32(TERMINATED), dtype=jnp.uint32
+                    )
+                )
+            off = tier
         self.num_blocks = off
         self.blk_base = np.concatenate(bases) if bases else np.zeros(0, np.uint32)
         self.blk_last_doc = (
@@ -240,7 +257,7 @@ class FusedStore:
         from .pallas_phrase import max_slab_rows
 
         rows = max(rows, max_slab_rows())
-        rows_p = -(-rows // 8) * 8
+        rows_p = _row_tier(-(-rows // 8) * 8)
         padlen = rows_p * 128 - total
         padv = jnp.full(padlen, jnp.uint32(0xFFFFFFFF), dtype=jnp.uint32)
         flat_pos = jnp.concatenate(

@@ -253,3 +253,44 @@ def test_ratchet_two_round_phase2_exact(monkeypatch):
         h = searcher.search(q, tt.TopDocs(5))
         assert [(float(s), a) for s, a in d] == \
             [(float(s), a) for s, a in h], q
+
+
+def test_row_tier_ladder_and_store_shape_stability():
+    """Store rows pad to the {1,1.5}*pow2 ladder so kernel signatures
+    survive corpus growth within a tier (compile stability across
+    commits/merges — a fresh remote Mosaic compile costs minutes)."""
+    from tantivy_tpu.ops.fused_store import FusedStore, _row_tier
+
+    assert _row_tier(1) == 128
+    assert _row_tier(128) == 128
+    assert _row_tier(129) == 192
+    assert _row_tier(193) == 256
+    assert _row_tier(400) == 512
+    assert _row_tier(600) == 768
+    for n in (1, 100, 1000, 54321):
+        t = _row_tier(n)
+        assert t >= n and t <= max(128, n + n // 2)
+
+    b = tt.Schema.builder()
+    b.add_text_field("body", tt.TEXT)
+    schema = b.build()
+    index = tt.Index.create_in_ram(schema)
+    w = index.writer()
+    for i in range(64):
+        w.add_document(tt.Document(body=f"alpha beta w{i % 7}"))
+    w.commit()
+
+    def store_shapes(idx):
+        ex = BatchExecutor(idx.reader().searcher(), mode="dense")
+        for so in range(len(ex.searcher.segment_readers())):
+            ex._ensure_fused_slab(so, "body")
+        f = ex._fused().ready()
+        f.ensure_positions()
+        return f.cstore.shape, f.postore.shape
+
+    s1 = store_shapes(index)
+    w.add_document(tt.Document(body="alpha beta extra growth doc"))
+    w.commit()
+    s2 = store_shapes(index)
+    assert s1 == s2, (s1, s2)
+    assert s1[0][0] == _row_tier(1)  # tiny corpus rides the floor tier
