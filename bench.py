@@ -215,6 +215,18 @@ def make_query_log(searcher, stream, rng, n_queries):
         tt.PhraseQuery("body", [str(a), str(b)])
         for a, b in sample_bigrams(n_queries)
     ]
+    # host-tail / expansion suites (scaled corpus only): sloppy phrases
+    # exercise the pruned host engine, phrase-prefixes the device expansion
+    from tantivy_tpu.query.phrase_query import PhrasePrefixQuery
+
+    logs["sloppy"] = [
+        tt.PhraseQuery("body", [str(a), str(b)], slop=1)
+        for a, b in sample_bigrams(n_queries)
+    ]
+    logs["prefix"] = [
+        PhrasePrefixQuery("body", [str(a), str(b)[:3]])
+        for a, b in sample_bigrams(n_queries)
+    ]
     return logs
 
 
@@ -322,6 +334,36 @@ def run_main_suites(index, stream, label, detail):
                 exact = False
                 break
         result[kind]["exact_match"] = exact
+    if label == "scaled1m":
+        # host-tail + expansion suites (1 warm batch, 2 timed): sloppy
+        # phrases measure the pruned host tail (`Weight.topk` thresholds +
+        # per-(segment, term) decode LRU); phrase-prefixes expand against
+        # the term dict and ride the device phrase kernels
+        for kind in ("sloppy", "prefix"):
+            qlog = logs[kind]
+            executor.search_batch(qlog[:BATCH], K)
+            times = []
+            total = 0
+            for b in range(1, 3):
+                batch = qlog[b * BATCH : (b + 1) * BATCH]
+                bt = time.time()
+                res = executor.search_batch(batch, K)
+                times.append(time.time() - bt)
+                total += len(res)
+            dt = np.array(times)
+            result[kind] = {
+                "qps": round(total / dt.sum(), 1),
+                "p50_ms": round(float(np.percentile(dt * 1000, 50)), 1),
+            }
+            sample = qlog[:64]
+            dev = executor.search_batch(sample, K)
+            exact = True
+            for q, d in zip(sample, dev):
+                h = searcher.search(q, tt.TopDocs(K))
+                if [a for _, a in d] != [a for _, a in h]:
+                    exact = False
+                    break
+            result[kind]["exact_match"] = exact
     if label == "wiki1k":
         # k-variation gate. Full-batch samples + a k=3 prewarm keep the
         # compiled-shape set identical across runs (Q is a static arg).
