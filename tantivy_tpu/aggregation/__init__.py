@@ -597,12 +597,18 @@ class InterBuckets(Intermediate):
             cnt, subs = entry[1][0], entry[1][1]
             return {"doc_count": cnt, **{n: i.finalize() for n, i in subs.items()}}
         if kind == "composite":
-            from functools import cmp_to_key
-
             names, dirs = _composite_dirs(body)
-            items.sort(
-                key=cmp_to_key(lambda a, b: _composite_cmp(a[0], b[0], dirs))
-            )
+            order = _composite_argsort([kv[0] for kv in items], dirs)
+            if order is not None:  # vectorized multi-key sort
+                items = [items[i] for i in order]
+            else:  # mixed/missing key types: general comparator
+                from functools import cmp_to_key
+
+                items.sort(
+                    key=cmp_to_key(
+                        lambda a, b: _composite_cmp(a[0], b[0], dirs)
+                    )
+                )
             after = body.get("after")
             if after is not None:
                 after_t = tuple(after.get(n) for n in names)
@@ -1177,6 +1183,39 @@ def _composite_dirs(body) -> tuple[list[str], list[bool]]:
         names.append(sname)
         dirs.append(sbody.get("order", "asc") == "desc")
     return names, dirs
+
+
+def _composite_argsort(keys: list, dirs) -> "np.ndarray | None":
+    """Vectorized composite bucket ordering for the common case: every
+    source's key values are homogeneous (all-str or all-numeric) with no
+    missing (None) entries. Returns the sort permutation, or None when the
+    general per-pair comparator must run (mixed types / Nones). Replaces an
+    O(n log n) Python `cmp_to_key` over every bucket — the round-3
+    composite bottleneck at 1M docs."""
+    n = len(keys)
+    if n <= 1:
+        return np.arange(n)
+    cols = []
+    for s in range(len(dirs)):
+        vals = [k[s] for k in keys]
+        first = vals[0]
+        if isinstance(first, str):
+            if not all(type(v) is str for v in vals):
+                return None
+            arr = np.array(vals, dtype=object)
+            if dirs[s]:
+                # desc str: rank-invert (argsort of unique codes)
+                _, inv = np.unique(arr, return_inverse=True)
+                cols.append(-inv)
+            else:
+                cols.append(arr)
+        else:
+            if any(v is None or isinstance(v, str) for v in vals):
+                return None
+            arr = np.asarray(vals, dtype=np.float64)
+            cols.append(-arr if dirs[s] else arr)
+    # lexsort: last key is primary
+    return np.lexsort(tuple(reversed(cols)))
 
 
 def _composite_cmp(a_key, b_key, dirs) -> int:

@@ -149,3 +149,40 @@ class TestComposite:
         ]))
         assert [(b["key"]["d"], b["doc_count"]) for b in res["comp"]["buckets"]] \
             == [(0, 2), (day, 1), (2 * day, 1)]
+
+
+def test_composite_argsort_matches_comparator():
+    """The vectorized composite bucket sort must order exactly like the
+    general `_composite_cmp` comparator (asc/desc per source, str and
+    numeric sources), and bail out (None) on mixed/missing keys."""
+    from functools import cmp_to_key
+
+    import numpy as np
+
+    from tantivy_tpu.aggregation import _composite_argsort, _composite_cmp
+
+    rng = np.random.default_rng(5)
+    words = ["ant", "bee", "cat", "dog", "elk", "fox"]
+    for trial in range(40):
+        n_src = int(rng.integers(1, 4))
+        dirs = [bool(rng.integers(0, 2)) for _ in range(n_src)]
+        kinds = [rng.integers(0, 2) for _ in range(n_src)]
+        n = int(rng.integers(2, 60))
+        keys = [
+            tuple(
+                words[int(rng.integers(0, len(words)))]
+                if kinds[s] else float(rng.integers(-20, 20))
+                for s in range(n_src)
+            )
+            for _ in range(n)
+        ]
+        order = _composite_argsort(keys, dirs)
+        assert order is not None
+        got = [keys[i] for i in order]
+        want = sorted(
+            keys, key=cmp_to_key(lambda a, b: _composite_cmp(a, b, dirs))
+        )
+        assert got == want, (dirs, kinds, got[:5], want[:5])
+    # None / mixed-type keys fall back to the comparator
+    assert _composite_argsort([(1.0,), (None,)], [False]) is None
+    assert _composite_argsort([("a",), (2.0,)], [False]) is None
