@@ -248,9 +248,35 @@ class ColumnarWriter:
             raise TypeError(f"type mismatch on column {field}: {col[0]} vs {type_name}")
         col[1].append((doc, value))
 
+    def record_raw(self, field: str, type_name: str, docs, raw,
+                   terms: list | None = None) -> None:
+        """Bulk-append one source column's (already-encoded) slice — the
+        merge path: `docs` are NEW doc ids (any order), `raw` u64 encoded
+        values; for dict columns `raw` holds ordinals into `terms` (that
+        source's sorted term table). No per-value Python objects."""
+        parts = getattr(self, "_raw", None)
+        if parts is None:
+            parts = self._raw = {}
+        parts.setdefault(field, []).append(
+            (type_name,
+             np.asarray(docs, dtype=np.uint32),
+             np.asarray(raw, dtype=np.uint64),
+             terms)
+        )
+
     def serialize(self, max_doc: int) -> dict[str, np.ndarray]:
         out: dict[str, np.ndarray] = {}
-        for field, (type_name, pairs) in self._columns.items():
+        raw_cols = getattr(self, "_raw", {})
+        fields = list(self._columns) + [
+            f for f in raw_cols if f not in self._columns
+        ]
+        for field in fields:
+            type_name, pairs = self._columns.get(field, (None, []))
+            parts = raw_cols.get(field, [])
+            if type_name is None:
+                type_name = parts[0][0]
+            if any(p[0] != type_name for p in parts):
+                raise TypeError(f"type mismatch on column {field}")
             prefix = f"col/{field}/"
             is_bytes_like = type_name in ("str", "bytes")
             if is_bytes_like:
@@ -258,17 +284,33 @@ class ColumnarWriter:
                     v.encode("utf-8") if isinstance(v, str) else bytes(v)
                     for _, v in pairs
                 ]
-                dict_terms = sorted(set(raw_vals))
+                term_set = set(raw_vals)
+                for _, _, _, terms in parts:
+                    term_set.update(terms or [])
+                dict_terms = sorted(term_set)
                 ord_of = {t: i for i, t in enumerate(dict_terms)}
                 td = TermDictionary.from_sorted_terms(dict_terms)
                 for k, v in td.to_arrays().items():
                     out[prefix + "dict_" + k] = v
-                u64_vals = np.array([ord_of[v] for v in raw_vals], dtype=np.uint64)
+                val_chunks = [np.array(
+                    [ord_of[v] for v in raw_vals], dtype=np.uint64
+                )]
+                for _, _, raw, terms in parts:
+                    remap = np.array(
+                        [ord_of[t] for t in (terms or [])], dtype=np.uint64
+                    )
+                    val_chunks.append(remap[raw.astype(np.int64)])
             else:
-                u64_vals = np.array(
+                val_chunks = [np.array(
                     [to_u64(v, type_name) for _, v in pairs], dtype=np.uint64
-                )
-            docs = np.array([d for d, _ in pairs], dtype=np.uint32)
+                )]
+                val_chunks.extend(p[2] for p in parts)
+            doc_chunks = [np.array([d for d, _ in pairs], dtype=np.uint32)]
+            doc_chunks.extend(p[1] for p in parts)
+            u64_vals = np.concatenate(val_chunks)
+            docs = np.concatenate(doc_chunks)
+            if len(docs) == 0:
+                continue
 
             # choose cardinality
             n = len(docs)

@@ -201,21 +201,44 @@ class IndexMerger:
                 term_arrays[f"{fid}/{k}"] = v
 
         # fast fields ---------------------------------------------------------
+        # every stored column merges — enumerated from the readers, NOT the
+        # schema, so JSON dynamic per-path columns survive merges too
+        # (reference `columnar/merge/mod.rs:77` merges the columnar files'
+        # actual column sets). Raw u64 slices transfer wholesale via
+        # `record_raw`: no per-(doc, value) Python objects.
+        from ..fastfield import CARD_FULL, CARD_OPTIONAL
+
         columnar = ColumnarWriter()
-        for entry in self.schema.fields():
-            if not entry.is_fast():
-                continue
+        col_names: list[str] = []
+        for r in self.readers:
+            for nm in r.fast_fields().column_fields():
+                if nm not in col_names:
+                    col_names.append(nm)
+        for nm in col_names:
             for r, m in zip(self.readers, mappings):
-                col = r.fast_fields().column(entry.name)
+                col = r.fast_fields().column(nm)
                 if col is None:
                     continue
-                for old_doc in r.doc_ids_alive():
-                    new_doc = int(m[old_doc])
-                    for v in col.values_for_doc(int(old_doc)):
-                        type_name = col.type_name
-                        if type_name == "str" and isinstance(v, bytes):
-                            v = v.decode("utf-8")
-                        columnar.record(new_doc, entry.name, v, type_name)
+                if col.cardinality == CARD_FULL:
+                    old = np.arange(r.max_doc, dtype=np.int64)
+                elif col.cardinality == CARD_OPTIONAL:
+                    old = col.present_docs.astype(np.int64)
+                else:
+                    counts = np.diff(col.offsets)
+                    old = np.repeat(
+                        np.arange(r.max_doc, dtype=np.int64), counts
+                    )
+                new = m[old]
+                keep = new >= 0
+                terms = None
+                if col.dictionary is not None:
+                    terms = [
+                        col.dictionary.term(i)
+                        for i in range(len(col.dictionary))
+                    ]
+                columnar.record_raw(
+                    nm, col.type_name, new[keep], col.values[keep], terms
+                )
 
         # store ---------------------------------------------------------------
         store = StoreWriter(Compressor.ZSTD)

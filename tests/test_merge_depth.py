@@ -277,3 +277,112 @@ class TestMergedStructures:
         for d in range(r.max_doc):
             got[idc.first(d)] = list(vc.values_for_doc(d))
         assert got == expect
+
+
+class TestMergeStructures:
+    """Positions, JSON path columns and optional columns across merges
+    (reference `merger.rs` positions DeltaComputer re-encode `:128`, columnar
+    `merge_columnar` with Shuffle order)."""
+
+    def test_phrase_positions_after_sorted_merge(self):
+        index = _mk_index(sort=("id", "desc"))
+        w = index.writer()
+        phrases = {}
+        n = 0
+        for seg in range(3):
+            for i in range(40):
+                body = f"alpha w{n % 7} beta gamma w{(n + 1) % 5} delta"
+                w.add_document(tt.Document(body=body, id=n, val=n % 9))
+                phrases[n] = body
+                n += 1
+            w.commit()
+        # delete a slice, merge, then phrase-query the merged index
+        for d in range(10, 20):
+            w.delete_term(tt.Term.from_field_u64("id", d))
+            phrases.pop(d)
+        w.commit()
+        _merge_all(index, w)
+        s = index.reader().searcher()
+        assert len(s.segment_readers()) == 1
+        q = tt.PhraseQuery("body", ["beta", "gamma"])
+        assert s.search(q, tt.Count()) == len(phrases)
+        q2 = tt.PhraseQuery("body", ["gamma", "beta"])
+        assert s.search(q2, tt.Count()) == 0
+        # a positions-sensitive 3-term phrase still matches after remap
+        q3 = tt.PhraseQuery("body", ["beta", "gamma", "w0"])
+        want = sum(
+            1 for t in phrases.values() if "beta gamma w0" in t
+        )
+        assert s.search(q3, tt.Count()) == want
+
+    def test_json_paths_after_merge(self):
+        b = tt.Schema.builder()
+        b.add_text_field("t", tt.TEXT)
+        b.add_json_field("j", tt.TEXT | tt.FAST)
+        index = tt.Index.create_in_ram(b.build())
+        w = index.writer()
+        rng = np.random.default_rng(2)
+        vals = []
+        for seg in range(3):
+            for i in range(30):
+                v = int(rng.integers(0, 6))
+                w.add_document(tt.Document(
+                    t=f"d{len(vals)}",
+                    j={"a": {"b": v}, "tag": f"k{v % 3}"},
+                ))
+                vals.append(v)
+            w.commit()
+        _merge_all(index, w)
+        s = index.reader().searcher()
+        assert len(s.segment_readers()) == 1
+        from tantivy_tpu.aggregation import AggregationCollector
+
+        res = s.search(tt.AllQuery(), AggregationCollector(
+            {"x": {"terms": {"field": "j.a.b", "size": 100}}}
+        ))
+        got = {bu["key"]: bu["doc_count"] for bu in res["x"]["buckets"]}
+        import collections
+
+        want = collections.Counter(float(v) for v in vals)
+        assert got == dict(want)
+        q = index.parse_query("j.tag:k1", ["t"])
+        assert s.search(q, tt.Count()) == sum(1 for v in vals if v % 3 == 1)
+
+    def test_optional_column_after_sorted_merge(self):
+        b = tt.Schema.builder()
+        b.add_text_field("t", tt.TEXT)
+        b.add_u64_field("id", tt.FAST | tt.INDEXED)
+        b.add_f64_field("opt", tt.FAST)
+        index = tt.Index.create_in_ram(
+            b.build(), settings=IndexSettings(sort_by_field=("id", "asc"))
+        )
+        w = index.writer()
+        present = {}
+        n = 0
+        rng = np.random.default_rng(3)
+        for seg in range(3):
+            for i in range(25):
+                d = tt.Document(t=f"d{n}", id=n)
+                if rng.random() < 0.6:
+                    d.add_f64("opt", float(n) * 0.25)
+                    present[n] = float(n) * 0.25
+                w.add_document(d)
+                n += 1
+            w.commit()
+        _merge_all(index, w)
+        s = index.reader().searcher()
+        r = s.segment_readers()[0]
+        ids = r.fast_fields().column("id").values
+        assert list(ids) == sorted(range(n))  # global k-way sorted order
+        col = r.fast_fields().column("opt")
+        got = {
+            int(ids[d]): v
+            for d, v in zip(col.present_docs, _opt_values(col))
+        }
+        assert got == present
+
+
+def _opt_values(col):
+    from tantivy_tpu.schema.term import u64_to_f64_array
+
+    return u64_to_f64_array(col.values)
