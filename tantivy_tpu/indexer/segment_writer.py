@@ -173,7 +173,7 @@ class SegmentWriter:
             entry = self.schema.get_field(field_name)
             ftype = entry.field_type
             if ftype == FieldType.TEXT:
-                self._index_text(entry, doc_id, str(value))
+                self._index_text(entry, doc_id, value)
             elif ftype in (FieldType.U64, FieldType.I64, FieldType.F64,
                            FieldType.BOOL, FieldType.DATE):
                 self._index_numeric(entry, doc_id, value)
@@ -237,7 +237,14 @@ class SegmentWriter:
                     )
                 entry, ftype, num_idx, text_fast_ok, fast, fid, npend = m
                 if ftype is FieldType.TEXT:
-                    text = str(value)
+                    if type(value) is not str and not isinstance(value, str):
+                        # PreTokenizedString (or str-able): order-dependent
+                        # positions — land pending batched values first
+                        self._flush_text_batch(fid, pend)
+                        self._index_text(entry, doc_id, value)
+                        mem += 32
+                        continue
+                    text = value
                     mem += len(text)
                     if text_fast_ok and text.isascii():
                         pend.setdefault(fid, []).append((doc_id, text))
@@ -312,9 +319,13 @@ class SegmentWriter:
             fn[d] = fn.get(d, 0) + int(k)
 
     def _stored_subdoc(self, doc: Document) -> Document:
+        from ..tokenizer import PreTokenizedString
+
         sub = Document()
         for f, v in doc.field_values():
             if self.schema.get_field(f).is_stored():
+                if isinstance(v, PreTokenizedString):
+                    v = v.text  # stored form is the text (tokenized_string.rs)
                 sub.add(f, v)
         return sub
 
@@ -328,7 +339,17 @@ class SegmentWriter:
             postings[term_bytes] = rec
         rec.record(doc_id, positions)
 
-    def _index_text(self, entry, doc_id: int, text: str) -> None:
+    def _index_text(self, entry, doc_id: int, text) -> None:
+        from ..tokenizer import PreTokenizedString
+
+        if isinstance(text, PreTokenizedString):
+            # caller-supplied tokens index verbatim; no analyzer runs
+            if entry.is_indexed():
+                self._index_tokens(entry, doc_id, text.tokens)
+            if entry.is_fast():
+                self._columnar.record(doc_id, entry.name, text.text, "str")
+            return
+        text = str(text)
         if entry.is_indexed():
             record = entry.index_record_option()
             # native fast path: default analyzer + pure-ASCII text
@@ -370,6 +391,30 @@ class SegmentWriter:
             self._fieldnorms[entry.field_id][doc_id] = prev_num_tokens + num_tokens
         if entry.is_fast():
             self._columnar.record(doc_id, entry.name, text, "str")
+
+    def _index_tokens(self, entry, doc_id: int, tokens) -> None:
+        """Subscribe an explicit token sequence (PreTokenizedString path) —
+        same position/fieldnorm bookkeeping as the analyzer loop."""
+        record = entry.index_record_option()
+        local: dict[bytes, list[int]] = {}
+        prev_num_tokens = self._fieldnorms[entry.field_id].get(doc_id, 0)
+        num_tokens = 0
+        for tok in tokens:
+            term_bytes = tok.text.encode("utf-8")
+            local.setdefault(term_bytes, []).append(
+                prev_num_tokens + tok.position
+            )
+            num_tokens += 1
+        for term_bytes, positions in local.items():
+            for _ in positions:
+                self._subscribe(entry.field_id, term_bytes, doc_id, None)
+            if record.has_positions():
+                self._postings[entry.field_id][term_bytes].positions.extend(
+                    positions
+                )
+        self._fieldnorms[entry.field_id][doc_id] = (
+            prev_num_tokens + num_tokens
+        )
 
     def _index_numeric(self, entry, doc_id: int, value) -> None:
         type_name = entry.field_type.value

@@ -32,6 +32,16 @@ class Token:
     position_length: int = 1
 
 
+@dataclass
+class PreTokenizedString:
+    """Caller-supplied tokenization for one text value (reference
+    `tokenizer-api/src/tokenized_string.rs`): indexed as the given tokens
+    verbatim (no analyzer runs), stored/displayed as `text`."""
+
+    text: str
+    tokens: list[Token] = field(default_factory=list)
+
+
 class Tokenizer:
     def token_stream(self, text: str) -> Iterator[Token]:
         raise NotImplementedError
@@ -182,6 +192,56 @@ class AlphaNumOnlyFilter(TokenFilter):
         for tok in tokens:
             if all(c.isalnum() for c in tok.text):
                 yield tok
+
+
+#: Latin-script characters the reference's folding table maps but Unicode
+#: NFD decomposition does not (no combining-mark decomposition exists):
+#: ligatures, stroked/hooked letters, and their casings
+#: (reference `ascii_folding_filter.rs` — its giant match statement reduces
+#: to NFD + combining-mark strip for the decomposable majority; this table
+#: supplies the rest for the Latin-1/Extended-A/B ranges).
+_FOLD_SUPPLEMENT = {
+    "ß": "ss", "ẞ": "SS", "æ": "ae", "Æ": "AE", "œ": "oe", "Œ": "OE",
+    "ø": "o", "Ø": "O", "đ": "d", "Đ": "D", "ð": "d", "Ð": "D",
+    "þ": "th", "Þ": "TH", "ħ": "h", "Ħ": "H", "ı": "i", "ĸ": "q",
+    "ł": "l", "Ł": "L", "ŋ": "n", "Ŋ": "N", "ŧ": "t", "Ŧ": "T",
+    "ﬀ": "ff", "ﬁ": "fi", "ﬂ": "fl", "ﬃ": "ffi", "ﬄ": "ffl",
+    "ﬅ": "st", "ﬆ": "st", "ƒ": "f", "Ƒ": "F", "ǳ": "dz", "ǆ": "dz",
+    "Ǳ": "DZ", "Ǆ": "DZ", "ǲ": "Dz", "ǅ": "Dz", "ĳ": "ij", "Ĳ": "IJ",
+}
+
+
+class AsciiFoldingFilter(TokenFilter):
+    """Fold accented/decorated Latin characters to their ASCII bases
+    (reference `ascii_folding_filter.rs`): NFD-decompose and drop combining
+    marks, plus the supplement table for non-decomposable letters. Tokens
+    already pure-ASCII pass through untouched (the hot-path check the
+    reference does with `is_ascii`)."""
+
+    def transform(self, tokens: Iterable[Token]) -> Iterator[Token]:
+        import unicodedata
+
+        for tok in tokens:
+            if tok.text.isascii():
+                yield tok
+                continue
+            out = []
+            for ch in tok.text:
+                if ord(ch) < 128:
+                    out.append(ch)
+                    continue
+                sup = _FOLD_SUPPLEMENT.get(ch)
+                if sup is not None:
+                    out.append(sup)
+                    continue
+                for d in unicodedata.normalize("NFD", ch):
+                    if ord(d) < 128:
+                        out.append(d)
+                    elif not unicodedata.combining(d):
+                        out.append(_FOLD_SUPPLEMENT.get(d, d))
+            yield Token(
+                "".join(out), tok.offset_from, tok.offset_to, tok.position
+            )
 
 
 class SplitCompoundWords(TokenFilter):
