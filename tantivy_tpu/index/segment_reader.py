@@ -215,6 +215,35 @@ class SegmentReader:
     def fast_fields(self) -> FastFieldReaders:
         return self._fast
 
+    def fields_metadata(self) -> list[dict]:
+        """Per-field presence/type metadata for this segment (reference
+        `segment_reader.rs:300` `fields_metadata`) — includes JSON dynamic
+        per-path fast columns under their dotted names."""
+        out = []
+        fast_names = set(self._fast.column_fields())
+        for entry in self.schema.fields():
+            key = f"{entry.field_id}/"
+            indexed = entry.is_indexed() and any(
+                k.startswith(key) for k in self._term
+            )
+            out.append({
+                "field_name": entry.name,
+                "typ": entry.field_type.value,
+                "indexed": indexed,
+                "stored": entry.is_stored(),
+                "fast": entry.name in fast_names,
+            })
+        for nm in sorted(fast_names):
+            if "\x01" in nm:  # JSON dynamic path column
+                out.append({
+                    "field_name": nm.replace("\x01", "."),
+                    "typ": self._fast.column(nm).type_name,
+                    "indexed": False,
+                    "stored": False,
+                    "fast": True,
+                })
+        return out
+
     def store_reader(self) -> StoreReader:
         return self._store
 

@@ -104,3 +104,21 @@ def test_pretokenized_in_batched_ingest_path():
     assert s.search(
         tt.TermQuery(tt.Term.from_field_text("t", "plain")), tt.Count()
     ) == 50
+
+
+def test_fields_metadata():
+    """SegmentReader.fields_metadata (reference `segment_reader.rs:300`)."""
+    b = tt.Schema.builder()
+    b.add_text_field("t", tt.TEXT | tt.STORED_TEXT)
+    b.add_u64_field("u", tt.FAST)
+    b.add_json_field("j", tt.TEXT | tt.FAST)
+    index = tt.Index.create_in_ram(b.build())
+    w = index.writer()
+    w.add_document(tt.Document(t="hello", u=3, j={"a": 1, "s": "x"}))
+    w.commit()
+    r = index.reader().searcher().segment_readers()[0]
+    md = {m["field_name"]: m for m in r.fields_metadata()}
+    assert md["t"]["indexed"] and md["t"]["stored"] and not md["t"]["fast"]
+    assert md["u"]["fast"] and not md["u"]["indexed"]
+    assert md["j.a"]["fast"] and md["j.a"]["typ"] == "i64"
+    assert md["j.s"]["typ"] == "str"
