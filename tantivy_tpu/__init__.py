@@ -56,6 +56,7 @@ from .query import (  # noqa: F401
 )
 from .postings.format import TERMINATED  # noqa: F401
 from .query.phrase_query import RegexPhraseQuery  # noqa: F401
+from .query.explanation import DoesNotMatchError, Explanation  # noqa: F401
 from .query.parser import QueryParser, QueryParserError  # noqa: F401
 from .aggregation import AggregationCollector, AggregationLimits  # noqa: F401
 from .collector.facet_collector import Facet, FacetCollector  # noqa: F401

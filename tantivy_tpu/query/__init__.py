@@ -65,6 +65,18 @@ class Query:
     def weight(self, searcher, scoring: bool = True) -> "Weight":
         raise NotImplementedError
 
+    def explain(self, searcher, doc_address) -> "Explanation":
+        """Score explanation tree for one document (reference
+        `query.rs:138`); raises DoesNotMatchError if the doc doesn't
+        match."""
+        from .explanation import DoesNotMatchError
+
+        w = self.weight(searcher, scoring=True)
+        reader = searcher.segment_readers()[doc_address.segment_ord]
+        if reader.is_deleted(doc_address.doc_id):
+            raise DoesNotMatchError(doc_address.doc_id)
+        return w.explain(reader, doc_address.doc_id)
+
     def count(self, searcher) -> int:
         w = self.weight(searcher, scoring=False)
         total = 0
@@ -105,6 +117,18 @@ class Weight:
         if alive is None:
             return len(res.docs)
         return int(np.count_nonzero(alive[res.docs]))
+
+    def explain(self, segment_reader, doc: int) -> "Explanation":
+        """Generic explanation: the doc's score with no breakdown
+        (specialized weights override with formula trees, reference
+        `weight.rs:75`)."""
+        from .explanation import DoesNotMatchError, Explanation
+
+        res = self.execute(segment_reader)
+        i = np.searchsorted(res.docs, doc)
+        if i >= len(res.docs) or res.docs[i] != doc:
+            raise DoesNotMatchError(doc)
+        return Explanation(type(self).__name__, res.scores[i])
 
 
 # ---------------------------------------------------------------------------
@@ -160,6 +184,26 @@ class TermWeight(Weight):
             )
         return super().count(segment_reader)
 
+    def explain(self, segment_reader, doc: int):
+        """BM25 breakdown (reference `term_weight.rs:41-53`)."""
+        from .explanation import DoesNotMatchError, Explanation
+
+        inv = segment_reader.inverted_index(self.term.field)
+        ord_ = inv.term_ord(self.term.value_bytes)
+        if ord_ is None:
+            raise DoesNotMatchError(doc)
+        docs, tfs = inv.read_postings(ord_)
+        i = np.searchsorted(docs, doc)
+        if i >= len(docs) or docs[i] != doc:
+            raise DoesNotMatchError(doc)
+        if self.bm25 is None:
+            expl = Explanation("TermQuery, no scoring", np.float32(1.0))
+        else:
+            fnid = segment_reader.fieldnorms(self.term.field)[doc]
+            expl = self.bm25.explain(int(fnid), int(tfs[i]))
+        expl.add_context(f"Term={self.term!r}")
+        return expl
+
 
 # ---------------------------------------------------------------------------
 # Boolean
@@ -199,6 +243,27 @@ class BooleanWeight(Weight):
         self.weights = weights
         self.scoring = scoring
         self.min_should = minimum_number_should_match
+
+    def explain(self, segment_reader, doc: int):
+        """Sum of matching positive clause explanations (reference
+        `boolean_weight.rs:483-500`)."""
+        from .explanation import DoesNotMatchError, Explanation
+
+        res = self.execute(segment_reader)
+        i = np.searchsorted(res.docs, doc)
+        if i >= len(res.docs) or res.docs[i] != doc:
+            raise DoesNotMatchError(doc)
+        if not self.scoring:
+            return Explanation("BooleanQuery with no scoring", 1.0)
+        expl = Explanation("BooleanClause. sum of ...", res.scores[i])
+        for occ, sub in self.weights:
+            if occ == Occur.MUST_NOT:
+                continue
+            try:
+                expl.add_detail(sub.explain(segment_reader, doc))
+            except ValueError:
+                pass
+        return expl
 
     def execute(self, segment_reader) -> SegmentResult:
         musts = [(i, w) for i, (o, w) in enumerate(self.weights) if o == Occur.MUST]

@@ -72,6 +72,36 @@ class Bm25Weight:
     def score(self, fieldnorm_id, term_freq) -> np.float32 | np.ndarray:
         return np.float32(self.weight) * self.tf_factor(fieldnorm_id, term_freq)
 
+    def explain(self, fieldnorm_id: int, term_freq: int):
+        """BM25 breakdown tree — format copied from the reference
+        (`bm25.rs:196-226`, itself copied from Lucene)."""
+        from .explanation import Explanation
+
+        score = self.score(np.uint8(fieldnorm_id), np.uint32(term_freq))
+        norm = self.cache[int(fieldnorm_id)]
+        tf = np.float32(term_freq)
+        tf_expl = Explanation(
+            "freq / (freq + k1 * (1 - b + b * dl / avgdl))",
+            tf / (tf + norm),
+        )
+        tf_expl.add_const("freq, occurrences of term within document", tf)
+        tf_expl.add_const("k1, term saturation parameter", K1)
+        tf_expl.add_const("b, length normalization parameter", B)
+        tf_expl.add_const(
+            "dl, length of field", _FIELD_NORMS_F32[int(fieldnorm_id)]
+        )
+        tf_expl.add_const(
+            "avgdl, average length of field", self.average_fieldnorm
+        )
+        expl = Explanation("TermQuery, product of...", score)
+        expl.add_detail(Explanation("(K1+1)", K1 + np.float32(1.0)))
+        expl.add_detail(Explanation(
+            "idf, computed as ln(1 + (N - n + 0.5) / (n + 0.5))",
+            np.float32(self.weight) / (K1 + np.float32(1.0)),
+        ))
+        expl.add_detail(tf_expl)
+        return expl
+
     def tf_factor(self, fieldnorm_id, term_freq) -> np.float32 | np.ndarray:
         tf = np.asarray(term_freq, dtype=np.float32)
         norm = self.cache[fieldnorm_id]
