@@ -567,16 +567,66 @@ class InterBuckets(Intermediate):
             }
         if kind in ("histogram", "date_histogram"):
             items.sort(key=lambda kv: kv[0])
-            return {
-                "buckets": [
-                    {
-                        "key": key,
-                        "doc_count": cnt,
-                        **{n: i.finalize() for n, i in subs.items()},
-                    }
-                    for key, (cnt, subs) in items
+            # reference histogram semantics (`histogram.rs:60-148`):
+            # min_doc_count 0 (default) FILLS empty buckets across the
+            # value range (extended by extended_bounds); hard_bounds drops
+            # buckets outside; keyed returns an object keyed by bucket key
+            min_dc = int(body.get("min_doc_count", 0))
+            if kind == "histogram":
+                interval = float(body["interval"])
+                offset = float(body.get("offset", 0.0))
+            else:
+                interval = _parse_fixed_interval(
+                    body.get("fixed_interval", "1d")
+                )
+                offset = float(body.get("offset", 0.0))
+            hard = body.get("hard_bounds")
+            if hard is not None:
+                items = [
+                    kv for kv in items
+                    if (hard.get("min") is None or kv[0] >= hard["min"])
+                    and (hard.get("max") is None or kv[0] < hard["max"])
                 ]
-            }
+            if min_dc == 0 and (items or body.get("extended_bounds")):
+                lo = min((kv[0] for kv in items), default=math.inf)
+                hi = max((kv[0] for kv in items), default=-math.inf)
+                ext = body.get("extended_bounds")
+                if ext is not None:
+                    if ext.get("min") is not None:
+                        b0 = (
+                            math.floor((ext["min"] - offset) / interval)
+                            * interval + offset
+                        )
+                        lo = min(lo, b0)
+                    if ext.get("max") is not None:
+                        b1 = (
+                            math.floor((ext["max"] - offset) / interval)
+                            * interval + offset
+                        )
+                        hi = max(hi, b1)
+                present = dict(items)
+                items = []
+                if lo <= hi:  # both bounds resolved
+                    i0 = round((lo - offset) / interval)
+                    i1 = round((hi - offset) / interval)
+                    for i in range(int(i0), int(i1) + 1):
+                        key = i * interval + offset
+                        items.append((key, present.get(key, [0, {}])))
+            elif min_dc > 0:
+                items = [kv for kv in items if kv[1][0] >= min_dc]
+            buckets = [
+                {
+                    "key": key,
+                    "doc_count": cnt,
+                    **{n: i.finalize() for n, i in subs.items()},
+                }
+                for key, (cnt, subs) in items
+            ]
+            if body.get("keyed"):
+                return {
+                    "buckets": {_fmt_key(b["key"]): b for b in buckets}
+                }
+            return {"buckets": buckets}
         if kind == "range":
             def range_sort_key(kv):
                 return kv[1][2] if len(kv[1]) > 2 else 0
@@ -1295,6 +1345,11 @@ def _norm_val(v):
 
 def _fmt(x):
     return "*" if math.isinf(x) else f"{x:g}"
+
+
+def _fmt_key(k):
+    """Bucket key -> object key for `keyed` responses (ES float form)."""
+    return str(float(k)) if not isinstance(k, str) else k
 
 
 def _parse_fixed_interval(s: str) -> float:

@@ -319,3 +319,76 @@ class TestTermsOptions:
         })
         keys = [b["key"] for b in res["b"]["buckets"]]
         assert keys == ["globex", "acme", "initech"]
+
+
+class TestHistogramOptions:
+    """Gap filling, bounds, keyed (reference `histogram.rs:60-148`)."""
+
+    @pytest.fixture(scope="class")
+    def hsetup(self):
+        b = tt.Schema.builder()
+        b.add_text_field("t", tt.TEXT)
+        b.add_f64_field("v", tt.FAST)
+        index = tt.Index.create_in_ram(b.build())
+        w = index.writer()
+        for v in (1.0, 2.0, 9.0, 9.5, 30.0):
+            w.add_document(tt.Document(t="x", v=v))
+        w.commit()
+        return index.reader().searcher()
+
+    def run(self, s, body):
+        from tantivy_tpu.aggregation import AggregationCollector
+
+        return s.search(
+            tt.AllQuery(), AggregationCollector({"h": {"histogram": body}})
+        )["h"]["buckets"]
+
+    def test_gap_filling_default(self, hsetup):
+        got = self.run(hsetup, {"field": "v", "interval": 10.0})
+        assert [(b["key"], b["doc_count"]) for b in got] == [
+            (0.0, 4), (10.0, 0), (20.0, 0), (30.0, 1)
+        ]
+
+    def test_min_doc_count_filters(self, hsetup):
+        got = self.run(
+            hsetup, {"field": "v", "interval": 10.0, "min_doc_count": 1}
+        )
+        assert [(b["key"], b["doc_count"]) for b in got] == [
+            (0.0, 4), (30.0, 1)
+        ]
+
+    def test_hard_bounds(self, hsetup):
+        # hard_bounds only LIMITS buckets (reference `histogram.rs:119`:
+        # "to force a range set both extended_bounds and hard_bounds")
+        got = self.run(hsetup, {
+            "field": "v", "interval": 10.0,
+            "hard_bounds": {"min": 0.0, "max": 20.0},
+        })
+        assert [(b["key"], b["doc_count"]) for b in got] == [(0.0, 4)]
+        got = self.run(hsetup, {
+            "field": "v", "interval": 10.0,
+            "hard_bounds": {"min": 0.0, "max": 20.0},
+            "extended_bounds": {"min": 0.0, "max": 19.0},
+        })
+        assert [(b["key"], b["doc_count"]) for b in got] == [
+            (0.0, 4), (10.0, 0)
+        ]
+
+    def test_extended_bounds(self, hsetup):
+        got = self.run(hsetup, {
+            "field": "v", "interval": 10.0,
+            "extended_bounds": {"min": -20.0, "max": 40.0},
+        })
+        assert [b["key"] for b in got] == [
+            -20.0, -10.0, 0.0, 10.0, 20.0, 30.0, 40.0
+        ]
+        assert got[0]["doc_count"] == 0 and got[2]["doc_count"] == 4
+
+    def test_keyed(self, hsetup):
+        got = self.run(hsetup, {
+            "field": "v", "interval": 10.0, "keyed": True,
+            "min_doc_count": 1,
+        })
+        assert isinstance(got, dict)
+        assert got["0.0"]["doc_count"] == 4
+        assert got["30.0"]["doc_count"] == 1
