@@ -641,6 +641,8 @@ class InterBuckets(Intermediate):
                         **{n: i.finalize() for n, i in subs.items()},
                     }
                 )
+            if body.get("keyed"):  # reference `range.rs:90`
+                return {"buckets": {b["key"]: b for b in out}}
             return {"buckets": out}
         if kind == "filter":
             (entry,) = items or [(None, [0, {}])]

@@ -392,3 +392,25 @@ class TestHistogramOptions:
         assert isinstance(got, dict)
         assert got["0.0"]["doc_count"] == 4
         assert got["30.0"]["doc_count"] == 1
+
+
+def test_range_keyed():
+    b = tt.Schema.builder()
+    b.add_text_field("t", tt.TEXT)
+    b.add_f64_field("v", tt.FAST)
+    index = tt.Index.create_in_ram(b.build())
+    w = index.writer()
+    for v in (1.0, 5.0, 25.0):
+        w.add_document(tt.Document(t="x", v=v))
+    w.commit()
+    s = index.reader().searcher()
+    from tantivy_tpu.aggregation import AggregationCollector
+
+    r = s.search(tt.AllQuery(), AggregationCollector({
+        "r": {"range": {"field": "v", "keyed": True,
+                        "ranges": [{"to": 10.0}, {"from": 10.0}]}}
+    }))
+    got = r["r"]["buckets"]
+    assert isinstance(got, dict)
+    assert got["*-10"]["doc_count"] == 2
+    assert got["10-*"]["doc_count"] == 1
