@@ -334,6 +334,27 @@ class QueryParser:
         return q
 
     def _leaf_term(self, text: str, field: str | None) -> Query | None:
+        # comparison shorthand `field:>5`, `>=`, `<`, `<=` — half-open
+        # ranges (reference `query_grammar.rs:468-475`)
+        m = re.match(r"^(>=|<=|>|<)(.+)$", text)
+        if m:
+            op, val = m.group(1), m.group(2).strip('"')
+            subs = []
+            for fname in self._fields_for(field):
+                entry, _ = self._resolve_field(fname)
+                if entry is None:
+                    continue
+                v = self._range_value(entry, val)
+                lo, hi = (v, None) if op in (">", ">=") else (None, v)
+                subs.append(RangeQuery(
+                    entry.name, lo, hi,
+                    include_lower=(op == ">="), include_upper=(op == "<="),
+                ))
+            if not subs:
+                return EmptyQuery() if self._lenient else None
+            if len(subs) == 1:
+                return subs[0]
+            return BooleanQuery([(Occur.SHOULD, q) for q in subs])
         prefix = False
         if text.endswith("*") and len(text) > 1:
             prefix = True

@@ -132,3 +132,15 @@ class TestParser:
         index, s, _ = setup
         q = index.parse_query("hello")
         assert docs(s, q) == [0, 2]
+
+
+def test_comparison_shorthand_ranges(setup):
+    """`field:>2004` / `>=` / `<` / `<=` half-open ranges (reference
+    `query_grammar.rs:468-475`). Years present: 2001, 2005, 2010."""
+    index, searcher = setup[0], setup[1]
+    for qs, want in [
+        ("year:>2005", 1), ("year:>=2005", 2), ("year:<2005", 1),
+        ("year:<=2005", 2), ("score:>=0", 2), ("score:<0", 1),
+    ]:
+        q = index.parse_query(qs, ["title"])
+        assert searcher.search(q, tt.Count()) == want, qs
