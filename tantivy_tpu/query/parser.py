@@ -334,6 +334,12 @@ class QueryParser:
         return q
 
     def _leaf_term(self, text: str, field: str | None) -> Query | None:
+        # `field:*` = field-presence (reference `query_grammar.rs:365`
+        # UserInputLeaf::Exists)
+        if text == "*" and field is not None:
+            from .exists_query import ExistsQuery
+
+            return ExistsQuery(field)
         # comparison shorthand `field:>5`, `>=`, `<`, `<=` — half-open
         # ranges (reference `query_grammar.rs:468-475`)
         m = re.match(r"^(>=|<=|>|<)(.+)$", text)

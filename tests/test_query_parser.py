@@ -144,3 +144,26 @@ def test_comparison_shorthand_ranges(setup):
     ]:
         q = index.parse_query(qs, ["title"])
         assert searcher.search(q, tt.Count()) == want, qs
+
+
+def test_field_star_exists(setup):
+    """`field:*` -> ExistsQuery (reference `query_grammar.rs:365`)."""
+    index, searcher = setup[0], setup[1]
+    q = index.parse_query("score:*", ["title"])
+    assert searcher.search(q, tt.Count()) == 3
+    # bare `*` (no field) stays AllQuery
+    q2 = index.parse_query("*", ["title"])
+    assert searcher.search(q2, tt.Count()) == 3
+    # json-path presence needs a FAST json field (reference
+    # `exist_query.rs:36` is column-index based) — build one
+    b = tt.Schema.builder()
+    b.add_text_field("t", tt.TEXT)
+    b.add_json_field("j", tt.TEXT | tt.FAST)
+    idx2 = tt.Index.create_in_ram(b.build())
+    w2 = idx2.writer()
+    w2.add_document(tt.Document(t="a", j={"color": "red"}))
+    w2.add_document(tt.Document(t="b", j={"n": 1}))
+    w2.commit()
+    s2 = idx2.reader().searcher()
+    q3 = idx2.parse_query("j.color:*", ["t"])
+    assert s2.search(q3, tt.Count()) == 1
