@@ -73,6 +73,15 @@ class TopDocs(Collector):
     def order_by_fast_field(self, field: str, descending: bool = True):
         return TopDocsByField(self.limit, self.offset, field, descending)
 
+    def order_by_string_fast_field(self, field: str, descending: bool = True):
+        """Order by a string fast field (reference
+        `top_score_collector.rs:312`): per-segment ordinal sort, decoded
+        terms merge across segments."""
+        return TopDocsByField(self.limit, self.offset, field, descending)
+
+    def order_by_score(self) -> "TopDocs":
+        return self
+
     def tweak_score(self, score_fn: Callable):
         return TopDocsTweaked(self.limit, self.offset, score_fn)
 

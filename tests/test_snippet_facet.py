@@ -118,3 +118,28 @@ class TestFacets:
         searcher = index.reader().searcher()
         q = tt.TermQuery(tt.Term.from_facet("category", "/electronics/computers"))
         assert searcher.search(q, tt.Count()) == 2
+
+
+def test_order_by_string_fast_field():
+    """Cross-segment string ordering decodes per-segment ordinals to terms
+    before the merge (reference `order_by_string_fast_field`)."""
+    b = tt.Schema.builder()
+    b.add_text_field("t", tt.TEXT)
+    b.add_text_field(
+        "name", tt.TextOptions(fast=True, indexed=True, tokenizer="raw")
+    )
+    index = tt.Index.create_in_ram(b.build())
+    w = index.writer()
+    # two segments with interleaved alphabet so per-segment ordinals alone
+    # would merge wrong
+    for n in ("delta", "alpha", "echo"):
+        w.add_document(tt.Document(t="x", name=n))
+    w.commit()
+    for n in ("bravo", "charlie", "foxtrot"):
+        w.add_document(tt.Document(t="x", name=n))
+    w.commit()
+    s = index.reader().searcher()
+    top = tt.TopDocs(4).order_by_string_fast_field("name", descending=False)
+    got = [v for v, _ in s.search(tt.AllQuery(), top)]
+    got = [v.decode() if isinstance(v, bytes) else v for v in got]
+    assert got == ["alpha", "bravo", "charlie", "delta"]
