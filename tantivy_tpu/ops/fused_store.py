@@ -59,6 +59,7 @@ class FusedStore:
         self.num_blocks = 0
         self.cstore = None  # device [NB, 384] u32
         self._rmax = None
+        self._rkeys = None
         # phrase extension (built on demand): positions / owners interleaved
         # in ONE 2D row-DMA-able store + per-block position offsets
         self.postore = None         # device [NPr, 256] u32: pos | owner doc
@@ -153,6 +154,7 @@ class FusedStore:
         from ..parallel.wand import RangeMax
 
         self._rmax = RangeMax(self.bfac)
+        self._rkeys = None
         # merge tails may pack (seg, doc) into one u32 (seg<<28 | doc) when
         # every segment ordinal fits 4 bits and every doc id fits 28
         segs = {s["seg_ord"] for s in self.slabs.values()}
@@ -174,6 +176,40 @@ class FusedStore:
     def rmax(self):
         self.ready()
         return self._rmax
+
+    @property
+    def region_keys(self):
+        """(cblast, cbbase) composite u64 keys: (term-region start << 32) |
+        block last/base doc. Regions are contiguous and doc-sorted within,
+        so ONE global searchsorted with a (region << 32 | doc) key answers
+        a per-region bounds query — the batched planner's replacement for
+        per-(query, clause, segment) sub-array searchsorted calls. Padding
+        rows carry the max region sentinel (sort after all real keys)."""
+        self.ready()
+        if self._rkeys is None:
+            # padding rows (slab tails + store tier pad) key by their OWN
+            # block index: > every earlier region's keys, < every later
+            # region's (region starts strictly increase), so the composite
+            # array stays globally sorted
+            rs = np.arange(self.num_blocks, dtype=np.uint64)
+            for key in self._order:
+                s = self.slabs[key]
+                dfp = s["dfp"]
+                tbs = np.asarray(dfp.term_block_start, dtype=np.int64)
+                tnb = np.asarray(dfp.term_num_blocks, dtype=np.int64)
+                starts = np.repeat(
+                    np.uint64(s["offset"]) + tbs.astype(np.uint64), tnb
+                )
+                rs[s["offset"]:s["offset"] + len(starts)] = starts
+            sh = np.uint64(32)
+            cblast = (rs << sh) | self.blk_last_doc.astype(np.uint64)
+            cbbase = (rs << sh) | self.blk_base.astype(np.uint64)
+            assert len(cblast) < 2 or (
+                np.all(cblast[1:] >= cblast[:-1])
+                and np.all(cbbase[1:] >= cbbase[:-1])
+            ), "composite region keys not globally sorted"
+            self._rkeys = (cblast, cbbase)
+        return self._rkeys
 
     def region(self, seg_ord: int, field: str, term_ord: int) -> tuple[int, int]:
         """(global block start, n_blocks) for a term of a registered slab."""

@@ -755,6 +755,15 @@ class BatchExecutor:
 
         _dt1 = debug_time("bool.plan_fused")
         _dt1.__enter__()
+        # pass 1: resolve term regions per (segment, query) and batch-plan
+        # EVERY positive clause's UB detail in one vectorized sweep
+        # (`wand.batched_clause_details`) — the per-call loop was ~2k small
+        # numpy invocations per 256-query batch
+        from .wand import batched_clause_details
+
+        plans = []
+        ub_calls = []
+        det_of: dict[tuple[int, int, int], int] = {}
         for seg_ord, reader in enumerate(readers):
             for qi, info in enumerate(qclauses):
                 T = len(info)
@@ -785,9 +794,8 @@ class BatchExecutor:
                     [min(musts, key=lambda ci: nblk[ci])] if musts
                     else list(positive)
                 )
-
-                def others_for(ci):
-                    return [
+                others = {
+                    ci: [
                         (
                             info[c2][0] == ps.KIND_MUST,
                             info[c2][2] if c2 in positive else np.float32(0.0),
@@ -802,6 +810,24 @@ class BatchExecutor:
                             or info[c2][0] == ps.KIND_MUST_NOT
                         )
                     ]
+                    for ci in positive
+                }
+                for ci in positive:
+                    det_of[(seg_ord, qi, ci)] = len(ub_calls)
+                    ub_calls.append((
+                        regions[ci][0], regions[ci][1], info[ci][2],
+                        others[ci], ci,
+                    ))
+                plans.append((seg_ord, reader, qi, info, T, ords,
+                              positive, regions, musts, nblk, shipped,
+                              others))
+        dets = batched_clause_details(fused, ub_calls)
+
+        for (seg_ord, reader, qi, info, T, ords, positive, regions, musts,
+             nblk, shipped, others) in plans:
+            if True:
+                def others_for(ci):
+                    return others[ci]
 
                 report_all = bool(q_report_all[qi])
                 Tb = ps.t_bucket(T)
@@ -821,10 +847,7 @@ class BatchExecutor:
                 while to_ship and not fallback:
                     ci = to_ship.pop()
                     oth = others_for(ci)
-                    det = fused.clause_blocks_ub(
-                        regions[ci][0], regions[ci][1], info[ci][2], oth,
-                        self_pos=ci, return_detail=True,
-                    )
+                    det = dets[det_of[(seg_ord, qi, ci)]]
                     ids, ub = det["ids"], det["ub"]
                     n_it = len(ids)
                     if not n_it:
@@ -835,10 +858,10 @@ class BatchExecutor:
                     # DMA entirely in the kernel. `frc` = true first
                     # overlapping row minus the 8-aligned DMA start: the
                     # kernel probes exactly [jlo+frc, jlo+wid).
-                    jlo = np.full((n_it, Tb), -1, dtype=np.int64)
-                    wid = np.zeros((n_it, Tb), dtype=np.int64)
-                    frc = np.zeros((n_it, Tb), dtype=np.int64)
-                    eff = np.zeros(n_it, dtype=np.int64)
+                    jlo = np.full((n_it, Tb), -1, dtype=np.int32)
+                    wid = np.zeros((n_it, Tb), dtype=np.int32)
+                    frc = np.zeros((n_it, Tb), dtype=np.int32)
+                    eff = np.zeros(n_it, dtype=np.int32)
                     slice_cols = []  # (oi, c2, wide mask) — wide MUST probes
                     for oi, (_, _, _, n2, c2) in enumerate(oth):
                         wcol = det["widths"][:, oi]
@@ -1145,7 +1168,8 @@ class BatchExecutor:
             )
 
         def _sel_flat(f, m):
-            return {kk_: v[m] for kk_, v in f.items()}
+            idx = np.nonzero(m)[0]
+            return {kk_: v.take(idx, axis=0) for kk_, v in f.items()}
 
         def _work_of(f):
             return (

@@ -162,3 +162,149 @@ class FieldWand:
                 "jlo": jlo, "i0": i0s, "i1": i1s, "terms": terms,
             }
         return ids, ub.astype(np.float32), widths
+
+
+def batched_clause_details(store, calls, cell_budget=8_000_000):
+    """Vectorized `clause_blocks_ub(..., return_detail=True)` over MANY
+    calls at once — the per-(query, clause, segment) planner loop was the
+    round-4 boolean host-planning bottleneck (~2k small-numpy calls per
+    256-query batch).
+
+    `store` is the FusedStore; each call is `(start, n, weight, others,
+    self_pos)` with `clause_blocks_ub` semantics. Results are bitwise
+    identical to per-call evaluation: the same f32 expressions run
+    elementwise (w2 * ov as f32, per-call UB accumulated in ascending
+    clause-position order — absent positions add literal 0.0, an exact
+    identity on the non-negative partial sums), and per-region searchsorted
+    is replaced by ONE global searchsorted over the store's composite
+    (region << 32 | doc) keys (`FusedStore.region_keys`).
+
+    Calls are processed in chunks bounded by `cell_budget` matrix cells
+    (rows x max-others), purely a memory cap — chunking cannot change any
+    per-call result. Returns a list of detail dicts, aligned with `calls`.
+    """
+    out = []
+    lo_c = 0
+    while lo_c < len(calls):
+        hi_c = lo_c
+        cells = 0
+        while hi_c < len(calls):
+            st, n, w, others, sp = calls[hi_c]
+            c = n * max(len(others), 1)
+            if cells + c > cell_budget and hi_c > lo_c:
+                break
+            cells += c
+            hi_c += 1
+        out.extend(_batched_details_chunk(store, calls[lo_c:hi_c]))
+        lo_c = hi_c
+    return out
+
+
+def _batched_details_chunk(store, calls):
+    n_calls = len(calls)
+    ns = np.array([c[1] for c in calls], dtype=np.int64)
+    starts = np.array([c[0] for c in calls], dtype=np.int64)
+    offs = np.zeros(n_calls + 1, dtype=np.int64)
+    np.cumsum(ns, out=offs[1:])
+    R = int(offs[-1])
+    ids = np.repeat(starts - offs[:-1], ns) + np.arange(R, dtype=np.int64)
+    lo = store.blk_base[ids].astype(np.uint64)
+    hi = store.blk_last_doc[ids].astype(np.uint64)
+
+    # pair table: one row per (call, other-clause)
+    p_call, p_oi, p_s2, p_w2, p_pos, p_must = [], [], [], [], [], []
+    o_max = 1
+    for c_i, (st, n, w, others, sp) in enumerate(calls):
+        o_max = max(o_max, len(others))
+        for oi, (is_must, w2, s2, n2, pos) in enumerate(others):
+            p_call.append(c_i)
+            p_oi.append(oi)
+            p_s2.append(s2)
+            p_w2.append(np.float32(w2))
+            p_pos.append(int(pos))
+            p_must.append(bool(is_must))
+    drop = np.zeros(R, dtype=bool)
+    jlo_m = np.zeros((R, o_max), dtype=np.int32)
+    i0_m = np.zeros((R, o_max), dtype=np.int32)
+    i1_m = np.zeros((R, o_max), dtype=np.int32)
+    wid_m = np.zeros((R, o_max), dtype=np.int32)
+    pos_present: set[int] = set()
+    terms_flat: dict[int, np.ndarray] = {}
+    if p_call:
+        p_call_a = np.array(p_call, dtype=np.int64)
+        cnt = ns[p_call_a]
+        pofs = np.zeros(len(p_call_a) + 1, dtype=np.int64)
+        np.cumsum(cnt, out=pofs[1:])
+        P = int(pofs[-1])
+        rix = (
+            np.repeat(offs[p_call_a] - pofs[:-1], cnt)
+            + np.arange(P, dtype=np.int64)
+        )
+        sh = np.uint64(32)
+        rid = np.repeat(np.array(p_s2, dtype=np.uint64), cnt) << sh
+        cblast, cbbase = store.region_keys
+        i0 = np.searchsorted(cblast, rid | lo[rix], side="left")
+        i1 = np.searchsorted(cbbase, rid | hi[rix], side="right")
+        ov = store.rmax.query(i0, i1)
+        termv = (
+            np.repeat(np.array(p_w2, dtype=np.float32), cnt) * ov
+        ).astype(np.float32)
+        must_rows = np.repeat(np.array(p_must, dtype=bool), cnt)
+        bad = must_rows & (i1 <= i0)
+        if bad.any():
+            drop[rix[bad]] = True
+        col = np.repeat(np.array(p_oi, dtype=np.int64), cnt)
+        i0a = (i0 // 8) * 8
+        jlo_m[rix, col] = i0a
+        i0_m[rix, col] = i0
+        i1_m[rix, col] = i1
+        wid_m[rix, col] = i1 - i0a
+        pos_rows = np.repeat(np.array(p_pos, dtype=np.int64), cnt)
+        for pos in np.unique(pos_rows):
+            arr = np.zeros(R, dtype=np.float32)
+            sel = pos_rows == pos
+            arr[rix[sel]] = termv[sel]
+            terms_flat[int(pos)] = arr
+            pos_present.add(int(pos))
+
+    # self terms + per-call UB accumulation in ascending position order
+    w_self = np.repeat(
+        np.array([np.float32(c[2]) for c in calls], dtype=np.float32), ns
+    )
+    self_term = (w_self * store.bfac[ids]).astype(np.float32)
+    self_pos_rows = np.repeat(
+        np.array([c[4] for c in calls], dtype=np.int64), ns
+    )
+    for pos in np.unique(self_pos_rows):
+        arr = terms_flat.get(int(pos))
+        if arr is None:
+            arr = terms_flat[int(pos)] = np.zeros(R, dtype=np.float32)
+        sel = self_pos_rows == pos
+        arr[sel] = self_term[sel]
+        pos_present.add(int(pos))
+    ub = np.zeros(R, dtype=np.float32)
+    for pos in sorted(pos_present):
+        ub = (ub + terms_flat[pos]).astype(np.float32)
+
+    out = []
+    for c_i, (st, n, w, others, sp) in enumerate(calls):
+        s, e = int(offs[c_i]), int(offs[c_i + 1])
+        keep = ~drop[s:e]
+        all_keep = bool(keep.all())
+        o_n = len(others)
+
+        def cut(a):
+            part = a[s:e]
+            return part if all_keep else part[keep]
+
+        positions = {int(p) for (_, _, _, _, p) in others} | {int(sp)}
+        out.append({
+            "ids": cut(ids),
+            "ub": cut(ub),
+            "widths": cut(wid_m)[:, :o_n],
+            "jlo": cut(jlo_m)[:, :o_n],
+            "i0": cut(i0_m)[:, :o_n],
+            "i1": cut(i1_m)[:, :o_n],
+            "terms": {p: cut(terms_flat[p]) for p in sorted(positions)},
+        })
+    return out
