@@ -1766,8 +1766,112 @@ class BatchExecutor:
                 "anchor": np.full(int(keep.sum()), anchor, dtype=np.int64),
             }
 
+        def plan_anchors_batched(calls):
+            """Vectorized `plan_anchor` over many (qi, anchor, regions,
+            offsets, ids) calls: ONE composite-key searchsorted
+            (`FusedStore.region_keys`) replaces the per-(query, segment,
+            partner) sub-array searches; per-partner f32 `min` folds are
+            exact and commutative, so results are bitwise identical to the
+            per-call loop."""
+            if not calls:
+                return []
+            ns_ = np.array([len(c[4]) for c in calls], dtype=np.int64)
+            offs = np.zeros(len(calls) + 1, dtype=np.int64)
+            np.cumsum(ns_, out=offs[1:])
+            R = int(offs[-1])
+            ids = np.concatenate([c[4] for c in calls]) if R else \
+                np.zeros(0, dtype=np.int64)
+            lpos = blk_pos[ids].astype(np.int64)
+            llen = blk_pos[ids + 1] - lpos
+            lo = fused.blk_base[ids].astype(np.uint64)
+            hi = fused.blk_last_doc[ids].astype(np.uint64)
+            S_max = 1
+            p_call, p_slot, p_s2, p_delta = [], [], [], []
+            for c_i, (qi, anchor, regions, offsets_, _) in enumerate(calls):
+                T = len(regions)
+                S_max = max(S_max, ps.t_bucket(T) - 1)
+                slot = 0
+                for t in range(T):
+                    if t == anchor:
+                        continue
+                    p_call.append(c_i)
+                    p_slot.append(slot)
+                    p_s2.append(regions[t][0])
+                    p_delta.append(offsets_[t] - offsets_[anchor])
+                    slot += 1
+            cpos = np.zeros((R, S_max), dtype=np.int64)
+            clen = np.zeros((R, S_max), dtype=np.int64)
+            delta = np.zeros((R, S_max), dtype=np.int64)
+            drop = np.zeros(R, dtype=bool)
+            span = np.zeros(R, dtype=np.int64)
+            fac = fused.bfac[ids].copy()
+            if p_call:
+                p_call_a = np.array(p_call, dtype=np.int64)
+                cnt = ns_[p_call_a]
+                pofs = np.zeros(len(p_call_a) + 1, dtype=np.int64)
+                np.cumsum(cnt, out=pofs[1:])
+                P = int(pofs[-1])
+                rix = (
+                    np.repeat(offs[p_call_a] - pofs[:-1], cnt)
+                    + np.arange(P, dtype=np.int64)
+                )
+                sh = np.uint64(32)
+                rid = np.repeat(np.array(p_s2, dtype=np.uint64), cnt) << sh
+                cblast, cbbase = fused.region_keys
+                i0 = np.searchsorted(cblast, rid | lo[rix], side="left")
+                i1 = np.searchsorted(cbbase, rid | hi[rix], side="right")
+                bad_ov = i1 <= i0
+                if bad_ov.any():
+                    drop[rix[bad_ov]] = True
+                ov = fused.rmax.query(i0, i1)
+                p0 = blk_pos[i0]
+                p1 = blk_pos[i1]
+                col = np.repeat(np.array(p_slot, dtype=np.int64), cnt)
+                cpos[rix, col] = p0
+                clen[rix, col] = p1 - p0
+                delta[rix, col] = np.repeat(
+                    np.array(p_delta, dtype=np.int64), cnt
+                )
+                slot_rows = col
+                for s_i in range(S_max):
+                    sel = slot_rows == s_i
+                    if not sel.any():
+                        continue
+                    r_s = rix[sel]
+                    fac[r_s] = np.minimum(fac[r_s], ov[sel])
+                    span[r_s] = np.maximum(span[r_s], (p1 - p0)[sel])
+            qw_rows = np.repeat(
+                np.array([np.float32(qweight[c[0]]) for c in calls],
+                         dtype=np.float32),
+                ns_,
+            )
+            ub = (qw_rows * fac).astype(np.float32)
+            bad = (llen > php.ANCHOR_POS_CAP) | (span > php.PARTNER_POS_CAP)
+            anchors = np.repeat(
+                np.array([c[1] for c in calls], dtype=np.int64), ns_
+            )
+            out = []
+            for c_i, (qi, anchor, regions, offsets_, _) in enumerate(calls):
+                s, e = int(offs[c_i]), int(offs[c_i + 1])
+                keep = ~drop[s:e]
+                S = ps.t_bucket(len(regions)) - 1
+
+                def cut(a):
+                    part = a[s:e]
+                    return part[keep] if not keep.all() else part
+
+                out.append({
+                    "ids": cut(ids), "lpos": cut(lpos), "llen": cut(llen),
+                    "cpos": cut(cpos)[:, :S], "clen": cut(clen)[:, :S],
+                    "delta": cut(delta)[:, :S], "span": cut(span),
+                    "ub": cut(ub), "bad": cut(bad), "anchor": cut(anchors),
+                })
+            return out
+
         _dtp = debug_time("phrase.plan")
         _dtp.__enter__()
+        phrase_plans = []
+        anchor_calls = []
         for seg_ord, reader in enumerate(readers):
             for qi, q in enumerate(queries):
                 field = q.field
@@ -1783,10 +1887,19 @@ class BatchExecutor:
                 ]
                 leader = min(range(T), key=lambda t: regions[t][1])
                 s0, n0 = regions[leader]
-                plan = plan_anchor(
+                anchor_calls.append((
                     qi, leader, regions, q.offsets,
                     np.arange(s0, s0 + n0, dtype=np.int64),
+                ))
+                phrase_plans.append(
+                    (seg_ord, reader, qi, q, T, regions, leader)
                 )
+        batched = plan_anchors_batched(anchor_calls)
+
+        for (seg_ord, reader, qi, q, T, regions, leader), plan in zip(
+            phrase_plans, batched
+        ):
+            if True:
                 staged = [(leader, plan)]
                 fallback = False
                 if plan["bad"].any():
