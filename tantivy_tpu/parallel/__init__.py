@@ -825,230 +825,229 @@ class BatchExecutor:
 
         for (seg_ord, reader, qi, info, T, ords, positive, regions, musts,
              nblk, shipped, others) in plans:
-            if True:
-                def others_for(ci):
-                    return others[ci]
+            def others_for(ci):
+                return others[ci]
 
-                report_all = bool(q_report_all[qi])
-                Tb = ps.t_bucket(T)
-                KWMAX = pp.fused_kw_max(Tb)
-                # slices step `stride` rows and fetch `stride_cov` rows from
-                # 8-aligned starts (8-row overlap absorbs alignment slack);
-                # stride_cov must fit the widest rung's fetched rows exactly
-                # (group rungs fetch kw rows, no slack)
-                stride = max(8, ((KWMAX - 8) // 8) * 8)
-                stride_cov = stride + 8
-                staged = []  # (clause, ids, ub, eff_width, jlo, wid [n, Tb])
-                fallback = False
-                any_skip_row = False
-                any_slice_row = False
-                ship_set = set(shipped)
-                to_ship = list(shipped)
-                while to_ship and not fallback:
-                    ci = to_ship.pop()
-                    oth = others_for(ci)
-                    det = dets[det_of[(seg_ord, qi, ci)]]
-                    ids, ub = det["ids"], det["ub"]
-                    n_it = len(ids)
-                    if not n_it:
+            report_all = bool(q_report_all[qi])
+            Tb = ps.t_bucket(T)
+            KWMAX = pp.fused_kw_max(Tb)
+            # slices step `stride` rows and fetch `stride_cov` rows from
+            # 8-aligned starts (8-row overlap absorbs alignment slack);
+            # stride_cov must fit the widest rung's fetched rows exactly
+            # (group rungs fetch kw rows, no slack)
+            stride = max(8, ((KWMAX - 8) // 8) * 8)
+            stride_cov = stride + 8
+            staged = []  # (clause, ids, ub, eff_width, jlo, wid [n, Tb])
+            fallback = False
+            any_skip_row = False
+            any_slice_row = False
+            ship_set = set(shipped)
+            to_ship = list(shipped)
+            while to_ship and not fallback:
+                ci = to_ship.pop()
+                oth = others_for(ci)
+                det = dets[det_of[(seg_ord, qi, ci)]]
+                ids, ub = det["ids"], det["ub"]
+                n_it = len(ids)
+                if not n_it:
+                    continue
+                # -1 jlo = no window: clause columns with no probe
+                # (absent clauses, and the OWN clause — its lane IS the
+                # clause, presence by construction) skip their window
+                # DMA entirely in the kernel. `frc` = true first
+                # overlapping row minus the 8-aligned DMA start: the
+                # kernel probes exactly [jlo+frc, jlo+wid).
+                jlo = np.full((n_it, Tb), -1, dtype=np.int32)
+                wid = np.zeros((n_it, Tb), dtype=np.int32)
+                frc = np.zeros((n_it, Tb), dtype=np.int32)
+                eff = np.zeros(n_it, dtype=np.int32)
+                slice_cols = []  # (oi, c2, wide mask) — wide MUST probes
+                for oi, (_, _, _, n2, c2) in enumerate(oth):
+                    wcol = det["widths"][:, oi]
+                    jlo[:, c2] = det["jlo"][:, oi]
+                    wid[:, c2] = wcol
+                    frc[:, c2] = det["i0"][:, oi] - det["jlo"][:, oi]
+                    wide = wcol > KWMAX
+                    if not wide.any():
+                        eff = np.maximum(eff, wcol)
                         continue
-                    # -1 jlo = no window: clause columns with no probe
-                    # (absent clauses, and the OWN clause — its lane IS the
-                    # clause, presence by construction) skip their window
-                    # DMA entirely in the kernel. `frc` = true first
-                    # overlapping row minus the 8-aligned DMA start: the
-                    # kernel probes exactly [jlo+frc, jlo+wid).
-                    jlo = np.full((n_it, Tb), -1, dtype=np.int32)
-                    wid = np.zeros((n_it, Tb), dtype=np.int32)
-                    frc = np.zeros((n_it, Tb), dtype=np.int32)
-                    eff = np.zeros(n_it, dtype=np.int32)
-                    slice_cols = []  # (oi, c2, wide mask) — wide MUST probes
-                    for oi, (_, _, _, n2, c2) in enumerate(oth):
-                        wcol = det["widths"][:, oi]
-                        jlo[:, c2] = det["jlo"][:, oi]
-                        wid[:, c2] = wcol
-                        frc[:, c2] = det["i0"][:, oi] - det["jlo"][:, oi]
-                        wide = wcol > KWMAX
-                        if not wide.any():
-                            eff = np.maximum(eff, wcol)
-                            continue
-                        kind2 = info[c2][0]
-                        if kind2 == ps.KIND_SHOULD and c2 in positive:
-                            if report_all and not (n2, c2) > (nblk[ci], ci):
-                                # pure-SHOULD skips must target a strictly
-                                # denser clause (full-reporter invariant)
-                                fallback = True
-                                break
-                            jlo[wide, c2] = -1  # skip; ship c2 in full
-                            eff = np.maximum(eff, np.where(wide, 0, wcol))
-                            any_skip_row = True
-                            if c2 not in ship_set:
-                                ship_set.add(c2)
-                                to_ship.append(c2)
-                        elif kind2 == ps.KIND_MUST:
-                            slice_cols.append((oi, c2, wide))
-                            eff = np.maximum(eff, np.where(wide, 0, wcol))
-                        else:  # wide MUST_NOT probe: no sound device plan
+                    kind2 = info[c2][0]
+                    if kind2 == ps.KIND_SHOULD and c2 in positive:
+                        if report_all and not (n2, c2) > (nblk[ci], ci):
+                            # pure-SHOULD skips must target a strictly
+                            # denser clause (full-reporter invariant)
                             fallback = True
                             break
-                    if fallback:
+                        jlo[wide, c2] = -1  # skip; ship c2 in full
+                        eff = np.maximum(eff, np.where(wide, 0, wcol))
+                        any_skip_row = True
+                        if c2 not in ship_set:
+                            ship_set.add(c2)
+                            to_ship.append(c2)
+                    elif kind2 == ps.KIND_MUST:
+                        slice_cols.append((oi, c2, wide))
+                        eff = np.maximum(eff, np.where(wide, 0, wcol))
+                    else:  # wide MUST_NOT probe: no sound device plan
+                        fallback = True
                         break
-                    if slice_cols:
-                        n_wide_cols = np.zeros(n_it, dtype=np.int64)
-                        for _, _, wide in slice_cols:
-                            n_wide_cols += wide
-                        if (n_wide_cols > 1).any():
-                            fallback = True  # 2+ wide MUSTs: cross product
-                            break
-                        any_slice_row = True
-                        base_keep = n_wide_cols == 0
-                        for oi, c2, wide in slice_cols:
-                            rows = np.nonzero(wide)[0]
-                            i0a = det["jlo"][rows, oi]
-                            i0r = det["i0"][rows, oi]
-                            i1r = det["i1"][rows, oi]
-                            nsl = -(-(i1r - i0a) // stride)
-                            tot = int(nsl.sum())
-                            rep = np.repeat(rows, nsl)
-                            off = (
-                                np.arange(tot, dtype=np.int64)
-                                - np.repeat(np.cumsum(nsl) - nsl, nsl)
-                            )
-                            starts = np.repeat(i0a, nsl) + off * stride
-                            jlo_sl = jlo[rep].copy()
-                            jlo_sl[:, c2] = starts
-                            wid_sl = wid[rep].copy()
-                            # clip the slice's probed range to the true
-                            # overlap [i0, i1): rows beyond i1 may belong
-                            # to the NEXT region (doc ids repeat across
-                            # regions -> spurious matches without the old
-                            # in-kernel region mask)
-                            wid_sl[:, c2] = np.minimum(
-                                stride_cov, np.repeat(i1r, nsl) - starts
-                            )
-                            frc_sl = frc[rep].copy()
-                            frc_sl[:, c2] = np.maximum(
-                                np.repeat(i0r, nsl) - starts, 0
-                            )
-                            # per-slice UB: same ordered f32 sum, with this
-                            # clause's range-max taken over the slice's
-                            # fetched rows only (tighter, still a bound)
-                            ov = fused.rmax.query(
-                                np.maximum(starts, np.repeat(i0r, nsl)),
-                                np.minimum(
-                                    starts + stride_cov, np.repeat(i1r, nsl)
-                                ),
-                            )
-                            w2 = np.float32(info[c2][2])
-                            ub_sl = np.zeros(tot, dtype=np.float32)
-                            for pos in sorted(det["terms"]):
-                                term = (
-                                    (w2 * ov).astype(np.float32)
-                                    if pos == c2
-                                    else det["terms"][pos][rep]
-                                )
-                                ub_sl = (ub_sl + term).astype(np.float32)
-                            eff_sl = np.maximum(eff[rep], stride)
-                            # slice windows are intentionally partial: keep
-                            # as singleton groups (groupable=False)
-                            staged.append(
-                                (ci, False, ids[rep], ub_sl, eff_sl, jlo_sl,
-                                 wid_sl, frc_sl)
-                            )
-                        if not base_keep.all():
-                            ids, ub = ids[base_keep], ub[base_keep]
-                            eff, jlo = eff[base_keep], jlo[base_keep]
-                            wid, frc = wid[base_keep], frc[base_keep]
-                    if len(ids):
-                        staged.append((ci, True, ids, ub, eff, jlo, wid, frc))
                 if fallback:
-                    per_query[qi].append(
-                        self._host_segment_topk(queries[qi], seg_ord, reader, k)
-                    )
-                    self._count_fallback("bool_wide")
-                    continue
-                if not staged:
-                    continue
-
-                # commit the plan row
-                g = per_tb.get(Tb)
-                if g is None:
-                    g = per_tb[Tb] = {
-                        "rows": [],     # per prow table rows
-                        "p1": [],       # work tuples
-                        "rest": [],
-                        "any_skip": False,
-                        "any_dup": False,
-                    }
-                prow = len(g["rows"])
-                row = {
-                    "qi": qi,
-                    "seg": seg_ord,
-                    "cl_weight": np.zeros(Tb, dtype=np.float32),
-                    "cl_kind": np.full(Tb, ps.KIND_ABSENT, dtype=np.int32),
-                    "cl_start": np.zeros(Tb, dtype=np.int32),
-                    "cl_len": np.zeros(Tb, dtype=np.int32),
-                    "cl_fullprobe": np.zeros(Tb, dtype=np.int32),
-                    "req_must": int(q_req_must[qi]),
-                    "req_should": int(q_req_should[qi]),
-                }
-                for ci, (c, o) in enumerate(zip(info, ords)):
-                    if o < 0:
-                        continue
-                    row["cl_weight"][ci] = (
-                        0.0 if c[0] == ps.KIND_MUST_NOT else c[2]
-                    )
-                    row["cl_kind"][ci] = c[0]
-                    row["cl_start"][ci] = regions[ci][0]
-                    row["cl_len"][ci] = regions[ci][1]
-                # fullprobe single-reporter optimization only for plain rows
-                # (no skipped probes, no sliced windows): any complexity
-                # means dual reports — every enumerator reports, the host
-                # dedups by DocAddress keeping the (exact, maximal) score.
-                if not any_skip_row and not any_slice_row:
-                    for ci in ship_set:
-                        row["cl_fullprobe"][ci] = 1
-                g["rows"].append(row)
-                if any_skip_row:
-                    g["any_skip"] = True
-                    self._count_plan("bool_skip_rows")
-                if any_slice_row:
-                    self._count_plan("bool_slice_rows")
-                if any_slice_row or (any_skip_row and not report_all):
-                    g["any_dup"] = True
-
-                # phase-1 = the prow's top-M1 blocks by UB across clauses
-                all_ub = np.concatenate([s[3] for s in staged])
-                if len(all_ub) <= M1:
-                    cut = NEG_INF
-                else:
-                    cut = np.partition(all_ub, len(all_ub) - M1)[
-                        len(all_ub) - M1
-                    ]
-                taken = 0
-                self._count_plan(
-                    "wand_candidates",
-                    sum(len(s[2]) for s in staged),
+                    break
+                if slice_cols:
+                    n_wide_cols = np.zeros(n_it, dtype=np.int64)
+                    for _, _, wide in slice_cols:
+                        n_wide_cols += wide
+                    if (n_wide_cols > 1).any():
+                        fallback = True  # 2+ wide MUSTs: cross product
+                        break
+                    any_slice_row = True
+                    base_keep = n_wide_cols == 0
+                    for oi, c2, wide in slice_cols:
+                        rows = np.nonzero(wide)[0]
+                        i0a = det["jlo"][rows, oi]
+                        i0r = det["i0"][rows, oi]
+                        i1r = det["i1"][rows, oi]
+                        nsl = -(-(i1r - i0a) // stride)
+                        tot = int(nsl.sum())
+                        rep = np.repeat(rows, nsl)
+                        off = (
+                            np.arange(tot, dtype=np.int64)
+                            - np.repeat(np.cumsum(nsl) - nsl, nsl)
+                        )
+                        starts = np.repeat(i0a, nsl) + off * stride
+                        jlo_sl = jlo[rep].copy()
+                        jlo_sl[:, c2] = starts
+                        wid_sl = wid[rep].copy()
+                        # clip the slice's probed range to the true
+                        # overlap [i0, i1): rows beyond i1 may belong
+                        # to the NEXT region (doc ids repeat across
+                        # regions -> spurious matches without the old
+                        # in-kernel region mask)
+                        wid_sl[:, c2] = np.minimum(
+                            stride_cov, np.repeat(i1r, nsl) - starts
+                        )
+                        frc_sl = frc[rep].copy()
+                        frc_sl[:, c2] = np.maximum(
+                            np.repeat(i0r, nsl) - starts, 0
+                        )
+                        # per-slice UB: same ordered f32 sum, with this
+                        # clause's range-max taken over the slice's
+                        # fetched rows only (tighter, still a bound)
+                        ov = fused.rmax.query(
+                            np.maximum(starts, np.repeat(i0r, nsl)),
+                            np.minimum(
+                                starts + stride_cov, np.repeat(i1r, nsl)
+                            ),
+                        )
+                        w2 = np.float32(info[c2][2])
+                        ub_sl = np.zeros(tot, dtype=np.float32)
+                        for pos in sorted(det["terms"]):
+                            term = (
+                                (w2 * ov).astype(np.float32)
+                                if pos == c2
+                                else det["terms"][pos][rep]
+                            )
+                            ub_sl = (ub_sl + term).astype(np.float32)
+                        eff_sl = np.maximum(eff[rep], stride)
+                        # slice windows are intentionally partial: keep
+                        # as singleton groups (groupable=False)
+                        staged.append(
+                            (ci, False, ids[rep], ub_sl, eff_sl, jlo_sl,
+                             wid_sl, frc_sl)
+                        )
+                    if not base_keep.all():
+                        ids, ub = ids[base_keep], ub[base_keep]
+                        eff, jlo = eff[base_keep], jlo[base_keep]
+                        wid, frc = wid[base_keep], frc[base_keep]
+                if len(ids):
+                    staged.append((ci, True, ids, ub, eff, jlo, wid, frc))
+            if fallback:
+                per_query[qi].append(
+                    self._host_segment_topk(queries[qi], seg_ord, reader, k)
                 )
-                for ci, grp, ids, ub, eff, jlo, wid, frc in staged:
-                    pick = ub >= cut
-                    extra = int(pick.sum()) - (M1 - taken)
-                    if extra > 0:
-                        selidx = np.nonzero(pick)[0]
-                        pick[selidx[len(selidx) - extra:]] = False
-                    taken += int(pick.sum())
-                    self._count_plan("wand_p1", int(pick.sum()))
-                    if pick.any():
-                        g["p1"].append(
-                            (prow, qi, seg_ord, ci, grp, ids[pick],
-                             eff[pick], jlo[pick], wid[pick], frc[pick])
-                        )
-                    if (~pick).any():
-                        g["rest"].append(
-                            (prow, qi, seg_ord, ci, grp, ids[~pick],
-                             ub[~pick], eff[~pick], jlo[~pick], wid[~pick],
-                             frc[~pick])
-                        )
+                self._count_fallback("bool_wide")
+                continue
+            if not staged:
+                continue
+
+            # commit the plan row
+            g = per_tb.get(Tb)
+            if g is None:
+                g = per_tb[Tb] = {
+                    "rows": [],     # per prow table rows
+                    "p1": [],       # work tuples
+                    "rest": [],
+                    "any_skip": False,
+                    "any_dup": False,
+                }
+            prow = len(g["rows"])
+            row = {
+                "qi": qi,
+                "seg": seg_ord,
+                "cl_weight": np.zeros(Tb, dtype=np.float32),
+                "cl_kind": np.full(Tb, ps.KIND_ABSENT, dtype=np.int32),
+                "cl_start": np.zeros(Tb, dtype=np.int32),
+                "cl_len": np.zeros(Tb, dtype=np.int32),
+                "cl_fullprobe": np.zeros(Tb, dtype=np.int32),
+                "req_must": int(q_req_must[qi]),
+                "req_should": int(q_req_should[qi]),
+            }
+            for ci, (c, o) in enumerate(zip(info, ords)):
+                if o < 0:
+                    continue
+                row["cl_weight"][ci] = (
+                    0.0 if c[0] == ps.KIND_MUST_NOT else c[2]
+                )
+                row["cl_kind"][ci] = c[0]
+                row["cl_start"][ci] = regions[ci][0]
+                row["cl_len"][ci] = regions[ci][1]
+            # fullprobe single-reporter optimization only for plain rows
+            # (no skipped probes, no sliced windows): any complexity
+            # means dual reports — every enumerator reports, the host
+            # dedups by DocAddress keeping the (exact, maximal) score.
+            if not any_skip_row and not any_slice_row:
+                for ci in ship_set:
+                    row["cl_fullprobe"][ci] = 1
+            g["rows"].append(row)
+            if any_skip_row:
+                g["any_skip"] = True
+                self._count_plan("bool_skip_rows")
+            if any_slice_row:
+                self._count_plan("bool_slice_rows")
+            if any_slice_row or (any_skip_row and not report_all):
+                g["any_dup"] = True
+
+            # phase-1 = the prow's top-M1 blocks by UB across clauses
+            all_ub = np.concatenate([s[3] for s in staged])
+            if len(all_ub) <= M1:
+                cut = NEG_INF
+            else:
+                cut = np.partition(all_ub, len(all_ub) - M1)[
+                    len(all_ub) - M1
+                ]
+            taken = 0
+            self._count_plan(
+                "wand_candidates",
+                sum(len(s[2]) for s in staged),
+            )
+            for ci, grp, ids, ub, eff, jlo, wid, frc in staged:
+                pick = ub >= cut
+                extra = int(pick.sum()) - (M1 - taken)
+                if extra > 0:
+                    selidx = np.nonzero(pick)[0]
+                    pick[selidx[len(selidx) - extra:]] = False
+                taken += int(pick.sum())
+                self._count_plan("wand_p1", int(pick.sum()))
+                if pick.any():
+                    g["p1"].append(
+                        (prow, qi, seg_ord, ci, grp, ids[pick],
+                         eff[pick], jlo[pick], wid[pick], frc[pick])
+                    )
+                if (~pick).any():
+                    g["rest"].append(
+                        (prow, qi, seg_ord, ci, grp, ids[~pick],
+                         ub[~pick], eff[~pick], jlo[~pick], wid[~pick],
+                         frc[~pick])
+                    )
         _dt1.__exit__(None, None, None)
 
         def finalize_tables(g, Tb):
@@ -1899,84 +1898,83 @@ class BatchExecutor:
         for (seg_ord, reader, qi, q, T, regions, leader), plan in zip(
             phrase_plans, batched
         ):
-            if True:
-                staged = [(leader, plan)]
-                fallback = False
-                if plan["bad"].any():
-                    others_nblk = [
-                        (regions[t][1], t) for t in range(T) if t != leader
-                    ]
-                    t_alt = max(others_nblk)[1]
-                    s2, n2 = regions[t_alt]
-                    bad_ids = plan["ids"][plan["bad"]]
-                    i0, i1 = overlaps(bad_ids, s2, n2)
-                    union = np.unique(
-                        np.concatenate(
-                            [np.arange(a, b) for a, b in zip(i0, i1)]
-                            or [np.zeros(0, dtype=np.int64)]
-                        )
+            staged = [(leader, plan)]
+            fallback = False
+            if plan["bad"].any():
+                others_nblk = [
+                    (regions[t][1], t) for t in range(T) if t != leader
+                ]
+                t_alt = max(others_nblk)[1]
+                s2, n2 = regions[t_alt]
+                bad_ids = plan["ids"][plan["bad"]]
+                i0, i1 = overlaps(bad_ids, s2, n2)
+                union = np.unique(
+                    np.concatenate(
+                        [np.arange(a, b) for a, b in zip(i0, i1)]
+                        or [np.zeros(0, dtype=np.int64)]
                     )
-                    plan2 = plan_anchor(
-                        qi, t_alt, regions, q.offsets, union
-                    )
-                    if plan2["bad"].any():
-                        fallback = True
-                    else:
-                        # drop the bad originals; exploded cover them
-                        good = ~plan["bad"]
-                        plan = {
-                            kk_: vv[good] for kk_, vv in plan.items()
-                        }
-                        staged = [(leader, plan), (t_alt, plan2)]
-                        self._count_plan("phrase_reanchor")
-                if fallback:
-                    per_query[qi].append(
-                        self._host_segment_topk(q, seg_ord, reader, k)
-                    )
-                    self._count_fallback("phrase_wide")
-                    continue
-                if sum(len(p["ids"]) for _, p in staged) == 0:
-                    continue
-
-                Sb = ps.t_bucket(T) - 1
-                g = groups.get(Sb)
-                if g is None:
-                    g = groups[Sb] = {
-                        "qw_rows": [], "meta": [], "p1": [], "rest": [],
-                        "any_dup": False,
-                    }
-                prow = len(g["qw_rows"])
-                g["qw_rows"].append(qweight[qi])
-                g["meta"].append((qi, seg_ord))
-                if len(staged) > 1:
-                    g["any_dup"] = True
-
-                all_ub = np.concatenate([p["ub"] for _, p in staged])
-                if len(all_ub) <= M1:
-                    cut = NEG_INF
-                else:
-                    cut = np.partition(all_ub, len(all_ub) - M1)[
-                        len(all_ub) - M1
-                    ]
-                taken = 0
-                self._count_plan(
-                    "wand_candidates",
-                    sum(len(p["ids"]) for _, p in staged),
                 )
-                for _, p in staged:
-                    pick = p["ub"] >= cut
-                    extra = int(pick.sum()) - (M1 - taken)
-                    if extra > 0:
-                        selidx = np.nonzero(pick)[0]
-                        pick[selidx[len(selidx) - extra:]] = False
-                    taken += int(pick.sum())
-                    self._count_plan("wand_p1", int(pick.sum()))
-                    for name, sel in (("p1", pick), ("rest", ~pick)):
-                        if sel.any():
-                            g[name].append(
-                                (prow, qi, seg_ord,
-                                 {kk_: vv[sel] for kk_, vv in p.items()})
-                            )
+                plan2 = plan_anchor(
+                    qi, t_alt, regions, q.offsets, union
+                )
+                if plan2["bad"].any():
+                    fallback = True
+                else:
+                    # drop the bad originals; exploded cover them
+                    good = ~plan["bad"]
+                    plan = {
+                        kk_: vv[good] for kk_, vv in plan.items()
+                    }
+                    staged = [(leader, plan), (t_alt, plan2)]
+                    self._count_plan("phrase_reanchor")
+            if fallback:
+                per_query[qi].append(
+                    self._host_segment_topk(q, seg_ord, reader, k)
+                )
+                self._count_fallback("phrase_wide")
+                continue
+            if sum(len(p["ids"]) for _, p in staged) == 0:
+                continue
+
+            Sb = ps.t_bucket(T) - 1
+            g = groups.get(Sb)
+            if g is None:
+                g = groups[Sb] = {
+                    "qw_rows": [], "meta": [], "p1": [], "rest": [],
+                    "any_dup": False,
+                }
+            prow = len(g["qw_rows"])
+            g["qw_rows"].append(qweight[qi])
+            g["meta"].append((qi, seg_ord))
+            if len(staged) > 1:
+                g["any_dup"] = True
+
+            all_ub = np.concatenate([p["ub"] for _, p in staged])
+            if len(all_ub) <= M1:
+                cut = NEG_INF
+            else:
+                cut = np.partition(all_ub, len(all_ub) - M1)[
+                    len(all_ub) - M1
+                ]
+            taken = 0
+            self._count_plan(
+                "wand_candidates",
+                sum(len(p["ids"]) for _, p in staged),
+            )
+            for _, p in staged:
+                pick = p["ub"] >= cut
+                extra = int(pick.sum()) - (M1 - taken)
+                if extra > 0:
+                    selidx = np.nonzero(pick)[0]
+                    pick[selidx[len(selidx) - extra:]] = False
+                taken += int(pick.sum())
+                self._count_plan("wand_p1", int(pick.sum()))
+                for name, sel in (("p1", pick), ("rest", ~pick)):
+                    if sel.any():
+                        g[name].append(
+                            (prow, qi, seg_ord,
+                             {kk_: vv[sel] for kk_, vv in p.items()})
+                        )
 
         def build_work(items):
             cols = {}
