@@ -237,7 +237,7 @@ class SegmentWriter:
                     )
                 entry, ftype, num_idx, text_fast_ok, fast, fid, npend = m
                 if ftype is FieldType.TEXT:
-                    if type(value) is not str and not isinstance(value, str):
+                    if not isinstance(value, str):
                         # PreTokenizedString (or str-able): order-dependent
                         # positions — land pending batched values first
                         self._flush_text_batch(fid, pend)
