@@ -12,7 +12,7 @@ from __future__ import annotations
 
 import numpy as np
 
-from ..fastfield import ColumnarWriter, from_u64
+from ..fastfield import ColumnarWriter
 from ..fieldnorm import FIELD_NORMS_TABLE
 from ..postings.format import PostingsSerializer
 from ..schema import FieldType, Schema
