@@ -125,72 +125,83 @@ class IndexMerger:
                 fieldnorm_ids=norm_ids_by_field.get(fid),
                 has_freqs=has_freqs,
             )
-            merged_terms: list[bytes] = []
-
             # merged sorted term stream (reference TermMerger k-way heap;
-            # host-side term dicts make a flat sort equally correct)
+            # host-side term dicts make a flat sort equally correct). The
+            # postings themselves merge fully VECTORIZED: one whole-field
+            # decode per source (`decode_field_host`), doc remap + alive
+            # filter as array ops, one (term, doc) lexsort, and ONE
+            # `serialize_sorted_field` pass — no per-term Python loop.
+            from ..postings.format import decode_field_host
+
             all_terms: list[tuple[bytes, int, int]] = []
             for seg_i, inv in enumerate(invs):
                 for ord_, term in inv.termdict.stream():
                     all_terms.append((term, seg_i, ord_))
             all_terms.sort(key=lambda x: (x[0], x[1]))
+            gterms: list[bytes] = []
+            seg_gid = [
+                np.zeros(inv.num_terms(), dtype=np.int64) for inv in invs
+            ]
+            for term, seg_i, ord_ in all_terms:
+                if not gterms or gterms[-1] != term:
+                    gterms.append(term)
+                seg_gid[seg_i][ord_] = len(gterms) - 1
 
-            i = 0
-            n = len(all_terms)
-            while i < n:
-                term = all_terms[i][0]
-                j = i
-                docs_parts, tfs_parts, pos_parts = [], [], []
-                while j < n and all_terms[j][0] == term:
-                    _, seg_i, ord_ = all_terms[j]
-                    inv = invs[seg_i]
-                    m = mappings[seg_i]
-                    if has_positions:
-                        docs, tfs, pos = inv.positions_for_term(ord_)
-                    else:
-                        docs, tfs = inv.read_postings(ord_)
-                        pos = None
-                    new_docs = m[docs]
-                    alive = new_docs >= 0
-                    if np.any(alive):
-                        docs_parts.append(new_docs[alive].astype(np.uint32))
-                        tfs_parts.append(tfs[alive])
-                        if pos is not None:
-                            cum = np.zeros(len(tfs) + 1, dtype=np.int64)
-                            np.cumsum(tfs, out=cum[1:])
-                            keep = np.concatenate(
-                                [
-                                    pos[cum[k] : cum[k + 1]]
-                                    for k in range(len(docs))
-                                    if alive[k]
-                                ]
-                            ) if np.any(alive) else np.zeros(0, dtype=np.uint32)
-                            pos_parts.append(keep)
-                    j += 1
-                if docs_parts:
-                    docs = np.concatenate(docs_parts)
-                    tfs = np.concatenate(tfs_parts)
-                    pos = (
-                        np.concatenate(pos_parts).astype(np.uint32)
-                        if has_positions
-                        else None
+            tid_p, docs_p, tfs_p, src_p, posflat_p = [], [], [], [], []
+            pos_base = 0
+            for seg_i, inv in enumerate(invs):
+                poff, docs, tfs = decode_field_host(inv.arrays)
+                new_docs = mappings[seg_i][docs]
+                alive = new_docs >= 0
+                dfv = np.diff(poff)
+                tid = np.repeat(seg_gid[seg_i], dfv)
+                if has_positions:
+                    # per-posting start of its position chunk, in a global
+                    # concatenated position space
+                    tps = inv.arrays["term_pos_start"].astype(np.int64)
+                    cum = np.zeros(len(tfs) + 1, dtype=np.int64)
+                    np.cumsum(tfs, out=cum[1:])
+                    src = (
+                        np.repeat(tps - cum[poff[:-1]], dfv) + cum[:-1]
                     )
-                    if self.sort_by_field is not None:
-                        # sorted mapping interleaves segments: re-sort by doc
-                        order = np.argsort(docs, kind="stable")
-                        if pos is not None:
-                            cum = np.zeros(len(tfs) + 1, dtype=np.int64)
-                            np.cumsum(tfs, out=cum[1:])
-                            pos = np.concatenate(
-                                [pos[cum[x] : cum[x + 1]] for x in order]
-                            ).astype(np.uint32) if len(order) else pos
-                        docs = docs[order]
-                        tfs = tfs[order]
-                    # stacked mapping keeps each part sorted and parts
-                    # disjoint & increasing => already sorted in that case
-                    ser.serialize_term(docs, tfs, pos)
-                    merged_terms.append(term)
-                i = j
+                    src_p.append(pos_base + src[alive])
+                    posflat_p.append(
+                        np.asarray(inv.arrays["positions"], dtype=np.uint32)
+                    )
+                    pos_base += len(posflat_p[-1])
+                tid_p.append(tid[alive])
+                docs_p.append(new_docs[alive].astype(np.uint32))
+                tfs_p.append(tfs[alive].astype(np.uint32))
+            tid = np.concatenate(tid_p) if tid_p else np.zeros(0, np.int64)
+            docs = np.concatenate(docs_p) if docs_p else \
+                np.zeros(0, np.uint32)
+            tfs = np.concatenate(tfs_p) if tfs_p else np.zeros(0, np.uint32)
+            order = np.lexsort((docs, tid))
+            tid, docs, tfs = tid[order], docs[order], tfs[order]
+            counts = np.bincount(tid, minlength=len(gterms))
+            nz = counts > 0
+            merged_terms = [t for t, k in zip(gterms, nz) if k]
+            poff_out = np.zeros(int(nz.sum()) + 1, dtype=np.int64)
+            np.cumsum(counts[nz], out=poff_out[1:])
+            positions = None
+            if has_positions:
+                src = np.concatenate(src_p) if src_p else \
+                    np.zeros(0, np.int64)
+                src = src[order]
+                pos_all = (
+                    np.concatenate(posflat_p) if posflat_p
+                    else np.zeros(0, np.uint32)
+                )
+                lens = tfs.astype(np.int64)
+                total = int(lens.sum())
+                outc = np.zeros(len(lens) + 1, dtype=np.int64)
+                np.cumsum(lens, out=outc[1:])
+                out_idx = (
+                    np.repeat(src - outc[:-1], lens)
+                    + np.arange(total, dtype=np.int64)
+                )
+                positions = pos_all[out_idx]
+            ser.serialize_sorted_field(poff_out, docs, tfs, positions)
 
             arrays = ser.finish()
             arrays["total_num_tokens"] = np.asarray([tot], dtype=np.int64)

@@ -389,6 +389,85 @@ def decode_block_host(arrays: dict[str, np.ndarray], block_id: int):
     return docs, tfs.astype(np.uint32)
 
 
+def decode_field_host(arrays: dict[str, np.ndarray], chunk_blocks=65536):
+    """Decode EVERY posting of a field in one vectorized pass ->
+    (poff [n_terms + 1] i64, docs u32, tfs u32) flat in (term, doc) order —
+    the merger's bulk read (the per-term decode loop was the round-4 merge
+    bottleneck). Block-chunked to bound the [chunk, 128] scratch."""
+    nb_per = arrays["term_num_blocks"].astype(np.int64)
+    n_terms = len(nb_per)
+    df = arrays["term_doc_freq"].astype(np.int64)
+    poff = np.zeros(n_terms + 1, dtype=np.int64)
+    np.cumsum(df, out=poff[1:])
+    total_blocks = int(nb_per.sum())
+    if total_blocks == 0:
+        return poff, np.zeros(0, np.uint32), np.zeros(0, np.uint32)
+    cum_nb = np.zeros(n_terms, dtype=np.int64)
+    np.cumsum(nb_per[:-1], out=cum_nb[1:])
+    ids_all = (
+        np.repeat(arrays["term_block_start"].astype(np.int64), nb_per)
+        + np.arange(total_blocks, dtype=np.int64)
+        - np.repeat(cum_nb, nb_per)
+    )
+    doc_parts, tf_parts = [], []
+    for lo in range(0, total_blocks, chunk_blocks):
+        ids = ids_all[lo : lo + chunk_blocks]
+        docs, tfs = _decode_blocks_host(arrays, ids)
+        doc_parts.append(docs)
+        tf_parts.append(tfs)
+    docs = np.concatenate(doc_parts)
+    tfs = np.concatenate(tf_parts)
+    assert len(docs) == int(poff[-1]), "decoded postings != doc_freq sum"
+    return poff, docs, tfs
+
+
+def _decode_blocks_host(arrays, ids):
+    """(docs, tfs) of the given block ids, flat in block order (the body of
+    `decode_term_host`, factored for whole-field chunked decode)."""
+    n = len(ids)
+    lens = arrays["blk_len"][ids].astype(np.int64)
+    bases = arrays["blk_base"][ids].astype(np.uint64)
+    docs2d = np.zeros((n, COMPRESSION_BLOCK_SIZE), dtype=np.uint64)
+    bits_col = arrays["blk_doc_bits"][ids]
+    for w in np.unique(bits_col):
+        sel = bits_col == w
+        rows = arrays["blk_doc_row"][ids[sel]]
+        if w == 0:
+            deltas = np.zeros(
+                (int(sel.sum()), COMPRESSION_BLOCK_SIZE), dtype=np.uint32
+            )
+        else:
+            deltas = bitpack.unpack_rows(
+                arrays[f"doc_w{int(w)}"][rows], int(w),
+                COMPRESSION_BLOCK_SIZE,
+            )
+        docs2d[sel] = (
+            bases[sel][:, None]
+            + np.cumsum(deltas, axis=1, dtype=np.uint64)
+            + np.arange(COMPRESSION_BLOCK_SIZE, dtype=np.uint64)
+        )
+    keep = (
+        np.arange(COMPRESSION_BLOCK_SIZE, dtype=np.int64)[None, :]
+        < lens[:, None]
+    )
+    docs = docs2d[keep].astype(np.uint32)
+    if int(arrays["has_freqs"][0]) == 0:
+        return docs, np.ones(len(docs), dtype=np.uint32)
+    tfs2d = np.zeros((n, COMPRESSION_BLOCK_SIZE), dtype=np.uint32)
+    tbits_col = arrays["blk_tf_bits"][ids]
+    for w in np.unique(tbits_col):
+        sel = tbits_col == w
+        trows = arrays["blk_tf_row"][ids[sel]]
+        if w == 0:
+            tfs2d[sel] = 1
+        else:
+            tfs2d[sel] = bitpack.unpack_rows(
+                arrays[f"tf_w{int(w)}"][trows], int(w),
+                COMPRESSION_BLOCK_SIZE,
+            ) + 1
+    return docs, tfs2d[keep].astype(np.uint32)
+
+
 def decode_term_host(arrays: dict[str, np.ndarray], term_ord: int):
     """Decode a full posting list on the host, all blocks of a bit width at
     once (vectorized `unpack_rows` — the host read path's hot loop).
