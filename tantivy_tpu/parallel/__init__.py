@@ -316,9 +316,30 @@ class BatchExecutor:
     # ------------------------------------------------------------------
     # boolean batches
 
+    @staticmethod
+    def _term_clause(sub):
+        """(TermQuery, f32 boost) for device-eligible boolean clauses:
+        plain terms and (nested) BoostQuery-wrapped terms — boost folds
+        into the clause weight exactly like the host's
+        `Bm25Weight.boost_by` (see BoostQuery.weight). None otherwise."""
+        from ..query import BoostQuery, TermQuery
+
+        if isinstance(sub, TermQuery):
+            return sub, np.float32(1.0)
+        if isinstance(sub, BoostQuery):
+            return sub.term_and_boost()
+        return None
+
+    def _clause_weight(self, sub_term, boost) -> np.float32:
+        w = np.float32(self._term_weight(sub_term.term)[0])
+        if boost != np.float32(1.0):
+            # bitwise-identical to Bm25Weight.boost_by
+            w = np.float32(w * np.float32(boost))
+        return w
+
     def _bool_device_eligible(self, q) -> bool:
         from ..ops.probe_scorer import T_MAX, _pallas_mode
-        from ..query import BooleanQuery, TermQuery
+        from ..query import BooleanQuery
 
         if not isinstance(q, BooleanQuery):
             return False
@@ -326,9 +347,10 @@ class BatchExecutor:
             return False
         fields = set()
         for occ, sub in q.clauses:
-            if not isinstance(sub, TermQuery):
+            tb = self._term_clause(sub)
+            if tb is None:
                 return False
-            fields.add(sub.term.field)
+            fields.add(tb[0].term.field)
         # the fused store handles clauses across fields; the XLA fallback
         # path is single-field only
         return len(fields) == 1 or _pallas_mode() is not None
@@ -393,13 +415,14 @@ class BatchExecutor:
                 req_should[qi] = 1 << 30  # unsatisfiable
             info = []
             for occ, sub in q.clauses:
+                tq, boost = self._term_clause(sub)
                 if occ == Occur.MUST_NOT:
                     w = np.float32(0.0)
                 else:
-                    w, _ = self._term_weight(sub.term)
-                info.append((kind_of[occ], sub.term, np.float32(w)))
+                    w = self._clause_weight(tq, boost)
+                info.append((kind_of[occ], tq.term, np.float32(w)))
             qclauses.append(info)
-            field_of_q.append(q.clauses[0][1].term.field)
+            field_of_q.append(info[0][1].field)
 
         readers = self.searcher.segment_readers()
         M1 = _m1()  # phase-1 candidate blocks per query per segment
@@ -733,12 +756,13 @@ class BatchExecutor:
                 q_req_should[qi] = 1 << 30
             info = []
             for occ, sub in q.clauses:
+                tq, boost = self._term_clause(sub)
                 w = (
                     np.float32(0.0)
                     if occ == Occur.MUST_NOT
-                    else np.float32(self._term_weight(sub.term)[0])
+                    else self._clause_weight(tq, boost)
                 )
-                info.append((kind_of[occ], sub.term, w, sub.term.field))
+                info.append((kind_of[occ], tq.term, w, tq.term.field))
             qclauses.append(info)
             q_report_all[qi] = n_must == 0 and q_req_should[qi] <= 1
 
@@ -1273,8 +1297,9 @@ class BatchExecutor:
             elif isinstance(q, BooleanQuery):
                 bool_tbs.add(ps.t_bucket(len(q.clauses)))
                 fields.update(
-                    s.term.field for _, s in q.clauses
-                    if isinstance(s, TermQuery)
+                    tb[0].term.field
+                    for tb in (self._term_clause(s) for _, s in q.clauses)
+                    if tb is not None
                 )
             elif type(q) is PhraseQuery:
                 phrase_sbs.add(ps.t_bucket(len(q.term_bytes)) - 1)
@@ -1467,17 +1492,25 @@ class BatchExecutor:
             for i, q in enumerate(queries)
             if isinstance(q, TermQuery)
         ]
+        boosted_ids = [
+            i
+            for i, q in enumerate(queries)
+            if not isinstance(q, TermQuery)
+            and self._term_clause(q) is not None
+        ]
         bool_ids = [
             i
             for i, q in enumerate(queries)
             if self._bool_device_eligible(q)
         ]
-        if term_ids and pallas:
+        if (term_ids or boosted_ids) and pallas:
             # single-SHOULD boolean == term query (identical scores and
-            # tie-breaks); the pallas probe path beats the flat term kernel
-            for i in term_ids:
+            # tie-breaks); the pallas probe path beats the flat term
+            # kernel. Top-level boosted terms fold like boolean clauses.
+            for i in term_ids + boosted_ids:
                 queries[i] = BooleanQuery.union([queries[i]])
-            bool_ids = sorted(set(bool_ids) | set(term_ids))
+            bool_ids = sorted(set(bool_ids) | set(term_ids) |
+                              set(boosted_ids))
             term_ids = []
         phrase_ids = [
             i

@@ -145,7 +145,8 @@ class TermQuery(Query):
     def __repr__(self):
         return f"TermQuery({self.term.field}:{self.term.value_bytes!r})"
 
-    def weight(self, searcher, scoring: bool = True) -> "TermWeight":
+    def weight(self, searcher, scoring: bool = True,
+               boost: float = 1.0) -> "TermWeight":
         if scoring:
             stats = searcher.term_statistics(self.term)
             bm25 = Bm25Weight.for_one_term(
@@ -153,7 +154,8 @@ class TermQuery(Query):
             )
         else:
             bm25 = None
-        return TermWeight(self.term, bm25, scoring and self.record.has_freq())
+        return TermWeight(self.term, bm25, scoring and self.record.has_freq(),
+                          boost=boost)
 
 
 class TermWeight(Weight):
@@ -345,13 +347,34 @@ class EmptyWeight(Weight):
 
 
 class BoostQuery(Query):
-    """score * boost (reference `boost_query.rs`)."""
+    """score * boost (reference `boost_query.rs`).
+
+    Boost FOLDS into the inner weight when the inner query is a TermQuery
+    (reference `boost_query.rs` passes `boost * self.boost` down the
+    `Weight::scorer` chain, so the BM25 weight itself is boosted); other
+    inner queries multiply scores post-hoc (`BoostWeight`). Folding is what
+    lets boosted term clauses ride the device kernels bit-exactly."""
 
     def __init__(self, query: Query, boost: float):
         self.query = query
         self.boost = float(boost)
 
+    def term_and_boost(self):
+        """(inner TermQuery, cumulative f32 boost) if this (possibly
+        nested) boost wraps a plain term, else None."""
+        boost = np.float32(1.0)
+        q = self
+        while isinstance(q, BoostQuery):
+            boost = np.float32(boost * np.float32(q.boost))
+            q = q.query
+        if isinstance(q, TermQuery):
+            return q, boost
+        return None
+
     def weight(self, searcher, scoring: bool = True) -> "Weight":
+        tb = self.term_and_boost()
+        if tb is not None and scoring:
+            return tb[0].weight(searcher, True, boost=float(tb[1]))
         return BoostWeight(self.query.weight(searcher, scoring), self.boost)
 
 

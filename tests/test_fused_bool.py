@@ -294,3 +294,28 @@ def test_row_tier_ladder_and_store_shape_stability():
     s2 = store_shapes(index)
     assert s1 == s2, (s1, s2)
     assert s1[0][0] == _row_tier(1)  # tiny corpus rides the floor tier
+
+
+def test_boosted_term_clauses_ride_device(zipf):
+    """BoostQuery-wrapped term clauses fold boost into the clause weight
+    (reference `boost_query.rs` boost chaining) and stay device-eligible —
+    bitwise parity with the host engine."""
+    searcher, words = zipf
+    executor = BatchExecutor(searcher)
+    queries = [
+        tt.BooleanQuery.union([
+            tt.BoostQuery(t(words[1]), 2.5), t(words[4]),
+        ]),
+        tt.BooleanQuery.intersection([
+            tt.BoostQuery(t(words[2]), 0.5),
+            tt.BoostQuery(tt.BoostQuery(t(words[3]), 2.0), 3.0),
+        ]),
+        tt.BoostQuery(t(words[5]), 4.0),  # top-level boosted term
+    ]
+    assert executor._bool_device_eligible(queries[0])
+    assert executor._bool_device_eligible(queries[1])
+    device = executor.search_batch(queries, 10)
+    for q, dev in zip(queries, device):
+        host = searcher.search(q, tt.TopDocs(10))
+        assert [(s, a) for s, a in dev] == [(s, a) for s, a in host], repr(q)
+    assert not dict(getattr(executor, "fallbacks", {}) or {})
