@@ -1470,16 +1470,35 @@ class BatchExecutor:
         queries = list(queries)
         pallas = _pallas_mode() is not None
 
-        # phrase-prefix expansion: sub-queries appended to the batch; their
-        # per-expansion top-k lists merge by dedup-keep-max afterward
+        # expansions: sub-queries appended to the batch; their per-expansion
+        # top-k lists merge by dedup-keep-max afterward. Exact for
+        # phrase-prefix (host PhrasePrefixWeight merges max-per-doc) AND for
+        # dismax with tie_breaker 0 (score = max over clause scores; a doc's
+        # max is attained in some clause c, and anything beating it in c's
+        # top-k beats it in the union — so union-max of per-clause top-k is
+        # the true top-k).
+        from ..query import DisjunctionMaxQuery
+
         sub_of: dict[int, list[int]] = {}
         if pallas:
             for i in range(n_orig):
-                if not isinstance(queries[i], PhrasePrefixQuery):
-                    continue
-                subs = self._expand_phrase_prefix(queries[i])
+                q = queries[i]
+                subs = None
+                if isinstance(q, PhrasePrefixQuery):
+                    subs = self._expand_phrase_prefix(q)
+                    if subs is None:
+                        self._count_fallback("phrase_prefix_trunc")
+                        continue
+                elif (
+                    isinstance(q, DisjunctionMaxQuery)
+                    and q.tie_breaker == 0.0
+                    and q.queries
+                    and all(
+                        self._term_clause(c) is not None for c in q.queries
+                    )
+                ):
+                    subs = q.queries
                 if subs is None:
-                    self._count_fallback("phrase_prefix_trunc")
                     continue
                 ids = []
                 for s in subs:

@@ -91,3 +91,30 @@ def test_mixed_batch_order_stability():
     for q, r in zip(qs, res):
         h = searcher.search(q, tt.TopDocs(5))
         assert [(s, a) for s, a in r] == [(s, a) for s, a in h], q
+
+
+def test_dismax_term_clauses_device_expansion(monkeypatch):
+    """DisjunctionMax (tie_breaker 0) over term/boosted-term clauses
+    expands to per-clause device queries merged keep-max — exact vs the
+    host engine (see the union-max argument in `search_batch`)."""
+    monkeypatch.setenv("TANTIVY_TPU_PALLAS", "1")
+    index = build_corpus()
+    searcher = index.reader().searcher()
+    ex = BatchExecutor(searcher)
+    qs = [
+        DisjunctionMaxQuery([
+            TermQuery(tt.Term.from_field_text("body", "w00")),
+            BoostQuery(
+                TermQuery(tt.Term.from_field_text("body", "w03")), 2.0
+            ),
+        ]),
+        # nonzero tie_breaker stays on the host path
+        DisjunctionMaxQuery([
+            TermQuery(tt.Term.from_field_text("body", "w01")),
+            TermQuery(tt.Term.from_field_text("body", "w02")),
+        ], tie_breaker=0.3),
+    ]
+    dev = ex.search_batch(qs, 10)
+    for q, d in zip(qs, dev):
+        h = searcher.search(q, tt.TopDocs(10))
+        assert [(s, a) for s, a in d] == [(s, a) for s, a in h], repr(q)
