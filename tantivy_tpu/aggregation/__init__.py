@@ -609,6 +609,15 @@ class InterBuckets(Intermediate):
                 if lo <= hi:  # both bounds resolved
                     i0 = round((lo - offset) / interval)
                     i1 = round((hi - offset) / interval)
+                    # gap filling is bounded like observed buckets are
+                    # (reference AggregationLimits; sparse wide-range data
+                    # would otherwise materialize billions of empty buckets)
+                    if i1 - i0 + 1 > 65_000:
+                        raise AggregationError(
+                            f"too many buckets: histogram gap fill spans "
+                            f"{int(i1 - i0 + 1)} buckets > limit 65000 "
+                            f"(raise min_doc_count or the interval)"
+                        )
                     for i in range(int(i0), int(i1) + 1):
                         key = i * interval + offset
                         items.append((key, present.get(key, [0, {}])))

@@ -279,6 +279,13 @@ class ColumnarWriter:
                 raise TypeError(f"type mismatch on column {field}")
             prefix = f"col/{field}/"
             is_bytes_like = type_name in ("str", "bytes")
+            doc_chunks = [np.array([d for d, _ in pairs], dtype=np.uint32)]
+            doc_chunks.extend(p[1] for p in parts)
+            docs = np.concatenate(doc_chunks)
+            if len(docs) == 0:
+                # a merged column whose docs were all deleted emits NOTHING
+                # (no orphan dict arrays without meta/values)
+                continue
             if is_bytes_like:
                 raw_vals = [
                     v.encode("utf-8") if isinstance(v, str) else bytes(v)
@@ -305,12 +312,7 @@ class ColumnarWriter:
                     [to_u64(v, type_name) for _, v in pairs], dtype=np.uint64
                 )]
                 val_chunks.extend(p[2] for p in parts)
-            doc_chunks = [np.array([d for d, _ in pairs], dtype=np.uint32)]
-            doc_chunks.extend(p[1] for p in parts)
             u64_vals = np.concatenate(val_chunks)
-            docs = np.concatenate(doc_chunks)
-            if len(docs) == 0:
-                continue
 
             # choose cardinality
             n = len(docs)

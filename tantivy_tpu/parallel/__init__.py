@@ -327,7 +327,12 @@ class BatchExecutor:
         if isinstance(sub, TermQuery):
             return sub, np.float32(1.0)
         if isinstance(sub, BoostQuery):
-            return sub.term_and_boost()
+            tb = sub.term_and_boost()
+            # negative boost inverts the block-max inequality (w * bfac_max
+            # would LOWER-bound scores), so WAND pruning is unsound — keep
+            # such clauses on the host path
+            if tb is not None and tb[1] >= np.float32(0.0):
+                return tb
         return None
 
     def _clause_weight(self, sub_term, boost) -> np.float32:

@@ -476,45 +476,5 @@ def decode_term_host(arrays: dict[str, np.ndarray], term_ord: int):
     n = int(arrays["term_num_blocks"][term_ord])
     if n == 0:
         return np.zeros(0, dtype=np.uint32), np.zeros(0, dtype=np.uint32)
-    ids = np.arange(start, start + n)
-    lens = arrays["blk_len"][ids].astype(np.int64)
-    bases = arrays["blk_base"][ids].astype(np.uint64)
-    docs2d = np.zeros((n, COMPRESSION_BLOCK_SIZE), dtype=np.uint64)
-    bits_col = arrays["blk_doc_bits"][ids]
-    for w in np.unique(bits_col):
-        sel = bits_col == w
-        rows = arrays["blk_doc_row"][ids[sel]]
-        if w == 0:
-            deltas = np.zeros(
-                (int(sel.sum()), COMPRESSION_BLOCK_SIZE), dtype=np.uint32
-            )
-        else:
-            deltas = bitpack.unpack_rows(
-                arrays[f"doc_w{int(w)}"][rows], int(w),
-                COMPRESSION_BLOCK_SIZE,
-            )
-        docs2d[sel] = (
-            bases[sel][:, None]
-            + np.cumsum(deltas, axis=1, dtype=np.uint64)
-            + np.arange(COMPRESSION_BLOCK_SIZE, dtype=np.uint64)
-        )
-    keep = (
-        np.arange(COMPRESSION_BLOCK_SIZE, dtype=np.int64)[None, :]
-        < lens[:, None]
-    )
-    docs = docs2d[keep].astype(np.uint32)
-    if int(arrays["has_freqs"][0]) == 0:
-        return docs, np.ones(len(docs), dtype=np.uint32)
-    tfs2d = np.zeros((n, COMPRESSION_BLOCK_SIZE), dtype=np.uint32)
-    tbits_col = arrays["blk_tf_bits"][ids]
-    for w in np.unique(tbits_col):
-        sel = tbits_col == w
-        trows = arrays["blk_tf_row"][ids[sel]]
-        if w == 0:
-            tfs2d[sel] = 1
-        else:
-            tfs2d[sel] = bitpack.unpack_rows(
-                arrays[f"tf_w{int(w)}"][trows], int(w),
-                COMPRESSION_BLOCK_SIZE,
-            ) + 1
-    return docs, tfs2d[keep].astype(np.uint32)
+    return _decode_blocks_host(arrays, np.arange(start, start + n))
+

@@ -41,10 +41,11 @@ def compute_tf_cache(average_fieldnorm: np.float32) -> np.ndarray:
 class Bm25Weight:
     """Per-(query-term-set, field) scoring weight. Reference `bm25.rs:73`."""
 
-    __slots__ = ("weight", "cache", "average_fieldnorm")
+    __slots__ = ("weight", "cache", "average_fieldnorm", "idf")
 
     def __init__(self, idf_value: np.float32, average_fieldnorm: np.float32):
         self.weight = np.float32(idf_value) * (np.float32(1.0) + K1)
+        self.idf = np.float32(idf_value)  # kept unboosted for explain trees
         self.average_fieldnorm = np.float32(average_fieldnorm)
         self.cache = compute_tf_cache(self.average_fieldnorm)
 
@@ -65,6 +66,7 @@ class Bm25Weight:
     def boost_by(self, boost: float) -> "Bm25Weight":
         w = Bm25Weight.__new__(Bm25Weight)
         w.weight = np.float32(self.weight * np.float32(boost))
+        w.idf = self.idf  # unchanged: explain shows the true idf
         w.average_fieldnorm = self.average_fieldnorm
         w.cache = self.cache
         return w
@@ -97,8 +99,13 @@ class Bm25Weight:
         expl.add_detail(Explanation("(K1+1)", K1 + np.float32(1.0)))
         expl.add_detail(Explanation(
             "idf, computed as ln(1 + (N - n + 0.5) / (n + 0.5))",
-            np.float32(self.weight) / (K1 + np.float32(1.0)),
+            self.idf,
         ))
+        boost = np.float32(self.weight) / np.float32(
+            self.idf * (K1 + np.float32(1.0))
+        ) if self.idf else np.float32(1.0)
+        if abs(float(boost) - 1.0) > 1e-6:
+            expl.add_detail(Explanation("boost", boost))
         expl.add_detail(tf_expl)
         return expl
 

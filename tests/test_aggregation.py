@@ -414,3 +414,28 @@ def test_range_keyed():
     assert isinstance(got, dict)
     assert got["*-10"]["doc_count"] == 2
     assert got["10-*"]["doc_count"] == 1
+
+
+def test_histogram_gap_fill_bounded():
+    """Sparse wide-range data must error on unbounded gap fill, not hang
+    (review finding: finalize would materialize one bucket per interval
+    step between min and max)."""
+    b = tt.Schema.builder()
+    b.add_text_field("t", tt.TEXT)
+    b.add_f64_field("v", tt.FAST)
+    index = tt.Index.create_in_ram(b.build())
+    w = index.writer()
+    w.add_document(tt.Document(t="a", v=0.0))
+    w.add_document(tt.Document(t="b", v=1e9))
+    w.commit()
+    s = index.reader().searcher()
+    with pytest.raises(AggregationError):
+        s.search(tt.AllQuery(), AggregationCollector(
+            {"h": {"histogram": {"field": "v", "interval": 1.0}}}
+        ))
+    # min_doc_count=1 skips the fill and works fine
+    r = s.search(tt.AllQuery(), AggregationCollector(
+        {"h": {"histogram": {"field": "v", "interval": 1.0,
+                             "min_doc_count": 1}}}
+    ))
+    assert [b_["doc_count"] for b_ in r["h"]["buckets"]] == [1, 1]
