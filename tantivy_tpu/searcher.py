@@ -79,7 +79,18 @@ class Searcher:
     # -- search --------------------------------------------------------------
 
     def search(self, query, collector, executor=None):
-        """Reference `core/searcher.rs:220` search_with_executor."""
+        """Reference `core/searcher.rs:220` search_with_executor.
+
+        `collector` may be a tuple of collectors (reference tuple
+        collectors, `collector/mod.rs:322`): the result is the tuple of
+        their fruits, collected in one pass."""
+        if isinstance(collector, tuple):
+            from .collector import MultiCollector
+
+            names = [f"c{i}" for i in range(len(collector))]
+            multi = MultiCollector(**dict(zip(names, collector)))
+            out = self.search(query, multi, executor)
+            return tuple(out[n] for n in names)
         scoring = collector.requires_scoring()
         weight = query.weight(self, scoring=scoring)
         if executor is None:

@@ -143,3 +143,21 @@ def test_order_by_string_fast_field():
     got = [v for v, _ in s.search(tt.AllQuery(), top)]
     got = [v.decode() if isinstance(v, bytes) else v for v in got]
     assert got == ["alpha", "bravo", "charlie", "delta"]
+
+
+def test_tuple_collectors():
+    """searcher.search with a tuple of collectors collects one pass and
+    returns a tuple of fruits (reference `collector/mod.rs:322`)."""
+    b = tt.Schema.builder()
+    b.add_text_field("t", tt.TEXT)
+    index = tt.Index.create_in_ram(b.build())
+    w = index.writer()
+    for i in range(30):
+        w.add_document(tt.Document(t=f"alpha {'beta' if i % 3 else 'gamma'}"))
+    w.commit()
+    s = index.reader().searcher()
+    q = index.parse_query("alpha", ["t"])
+    count, top = s.search(q, (tt.Count(), tt.TopDocs(5)))
+    assert count == 30
+    assert len(top) == 5
+    assert count == s.search(q, tt.Count())
