@@ -1269,7 +1269,7 @@ class BatchExecutor:
             out.append(_chunk_hits(per_query[qi], k))
         return out
 
-    def prewarm(self, queries_hint: list, k: int = 10, concurrency: int = 4,
+    def prewarm(self, queries_hint: list, k: int = 10, concurrency: int = 8,
                 levels=(0, 1, 2)):
         """Concurrently compile the fused-kernel shape grid that batches
         shaped like `queries_hint` will hit (only the batch SIZE, query
