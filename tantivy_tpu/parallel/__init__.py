@@ -9,6 +9,19 @@ taking the role of the rayon pool.
 
 `shard.py` extends this across a `jax.sharding.Mesh` (segments sharded over
 devices, per-device top-k, cross-device merge).
+
+Host-side structure (everything here is numpy; the device only ever sees
+fixed-tier launches):
+* planning is BATCHED: every (query, clause, segment) upper-bound detail
+  computes in one composite-key searchsorted sweep over the fused store
+  (`wand.batched_clause_details`, `FusedStore.region_keys`) instead of a
+  per-call loop;
+* results collect as struct-of-arrays hit CHUNKS per query (score/seg/doc
+  arrays); thresholds, dedup and final top-k run vectorized over whole
+  columns (`_dedup_topk_chunks`) — no per-hit Python objects;
+* every launch shape is data-independent (plan-row tiers, per-rung grid
+  tiers, store row tiers), so fresh query batches hit only compiled
+  programs and corpus growth recompiles nothing until a tier boundary.
 """
 
 from __future__ import annotations
