@@ -1751,6 +1751,20 @@ class BatchExecutor:
         Q = len(queries)
         if Q == 0:
             return []
+        # plan rows (one per (query, segment) with all terms present) ride
+        # SMEM scalar prefetch: cap Q x n_segments at the fixed plan-row
+        # tier and sub-batch beyond — prefix expansion can inflate Q far
+        # past the original batch size
+        n_segs = max(1, len(self.searcher.segment_readers()))
+        max_tb = max(ps.t_bucket(len(q.term_bytes)) for q in queries)
+        max_q = max(1, self._prow_tier(0, max_tb) // n_segs)
+        if Q > max_q:
+            out = []
+            for lo in range(0, Q, max_q):
+                out.extend(
+                    self._search_phrase_fused(queries[lo : lo + max_q], k)
+                )
+            return out
         interpret = ps._pallas_mode() == "interpret"
         qweight = np.zeros(Q, dtype=np.float32)
         for qi, q in enumerate(queries):

@@ -106,3 +106,20 @@ def test_fused_phrase_mixed_with_booleans(setup):
         t(words[2]),
     ]
     check(searcher, queries)
+
+
+def test_fused_phrase_sub_batches_past_prow_tier(setup, monkeypatch):
+    """Plan rows are one per (query, segment): a batch whose Q x n_segments
+    exceeds the fixed plan-row tier must sub-batch, not overflow the padded
+    qw table (regression: prefix expansion inflated Q to ~3000 on a
+    4-segment index and crashed the fused phrase planner)."""
+    searcher, words, texts = setup
+    monkeypatch.setattr(
+        BatchExecutor, "_prow_tier", staticmethod(lambda n, Tb=2: 8)
+    )
+    rng = np.random.default_rng(11)
+    queries = [
+        tt.PhraseQuery("body", p) for p in sample_phrases(rng, texts, 24, 2)
+    ]
+    # 24 queries x 2 segments = 48 rows > the forced 8-row tier
+    check(searcher, queries)
