@@ -51,6 +51,20 @@ def _k_eff_tb(g, Tb: int, k: int) -> int:
     return min(k * (Tb if (g["any_skip"] or g["any_dup"]) else 1), 128)
 
 
+def _q_tier(Q: int) -> int:
+    """Quantized `num_queries` for fused launches. num_queries is a STATIC
+    kernel arg (it sizes the [Q, k] output and the padding sentinel), so
+    passing the actual batch size recompiles whenever expansion (phrase
+    prefix, dismax) inflates a batch to a data-dependent Q. Rounding up to
+    a power-of-two ladder (min 256 = the design batch size) keeps the
+    compiled-shape set fixed; padded output rows never receive hits (no
+    work item carries their qid) and cost only bytes in the merge tail."""
+    t = 256
+    while t < Q:
+        t *= 2
+    return t
+
+
 def _m1() -> int:
     """Phase-1 candidate blocks per (query, segment): more phase-1 work
     buys tighter thresholds and a smaller phase 2 (overridable for
@@ -751,6 +765,7 @@ class BatchExecutor:
                     self._search_boolean_fused(queries[lo : lo + max_q], k)
                 )
             return out
+        Qp = _q_tier(Q)  # static num_queries: quantized (see _q_tier)
         interpret = ps._pallas_mode() == "interpret"
         kind_of = {
             Occur.MUST: ps.KIND_MUST,
@@ -1149,7 +1164,7 @@ class BatchExecutor:
             k_eff = _k_eff_tb(g, Tb, k)
             with debug_time("bool.fused_dispatch1"):
                 for out in pp.launch_fused_bool(
-                    fused, build_work(g["p1"]), tb_tables[Tb], k_eff, Q,
+                    fused, build_work(g["p1"]), tb_tables[Tb], k_eff, Qp,
                     interpret,
                 ):
                     pending1.append((None, out))
@@ -1246,7 +1261,7 @@ class BatchExecutor:
                 with debug_time("bool.fused_dispatch2a"):
                     for out in pp.launch_fused_bool(
                         fused, _work_of(fa), tb_tables[Tb],
-                        _k_eff(per_tb[Tb], Tb), Q, interpret,
+                        _k_eff(per_tb[Tb], Tb), Qp, interpret,
                     ):
                         pending_a.append((None, out))
             with debug_time("bool.collect2a", n=len(pending_a)):
@@ -1271,7 +1286,7 @@ class BatchExecutor:
             with debug_time("bool.fused_dispatch2"):
                 for out in pp.launch_fused_bool(
                     fused, _work_of(f), tb_tables[Tb],
-                    _k_eff(per_tb[Tb], Tb), Q, interpret,
+                    _k_eff(per_tb[Tb], Tb), Qp, interpret,
                 ):
                     pending2.append((None, out))
         with debug_time("bool.collect2", n=len(pending2)):
@@ -1304,7 +1319,7 @@ class BatchExecutor:
         interpret = ps._pallas_mode() == "interpret"
         if ps._pallas_mode() is None:
             return 0
-        Q = len(queries_hint)
+        Q = _q_tier(len(queries_hint))
         fields = set()
         bool_tbs = set()
         phrase_sbs = set()
@@ -1765,6 +1780,7 @@ class BatchExecutor:
                     self._search_phrase_fused(queries[lo : lo + max_q], k)
                 )
             return out
+        Qp = _q_tier(Q)  # static num_queries: quantized (see _q_tier)
         interpret = ps._pallas_mode() == "interpret"
         qweight = np.zeros(Q, dtype=np.float32)
         for qi, q in enumerate(queries):
@@ -2101,7 +2117,7 @@ class BatchExecutor:
                 continue
             k_eff = min(2 * k, 128) if g["any_dup"] else k
             for out in php.launch_fused_phrase(
-                fused, build_work(g["p1"]), qw_table, Sb, k_eff, Q,
+                fused, build_work(g["p1"]), qw_table, Sb, k_eff, Qp,
                 interpret,
             ):
                 pending1.append((None, out))
@@ -2170,7 +2186,7 @@ class BatchExecutor:
                     )
                     k_eff = min(2 * k, 128) if groups[Sb]["any_dup"] else k
                     for out in php.launch_fused_phrase(
-                        fused, build_work(round_a), tb_qw[Sb], Sb, k_eff, Q,
+                        fused, build_work(round_a), tb_qw[Sb], Sb, k_eff, Qp,
                         interpret,
                     ):
                         pending_a.append((None, out))
@@ -2191,7 +2207,7 @@ class BatchExecutor:
             )
             k_eff = min(2 * k, 128) if groups[Sb]["any_dup"] else k
             for out in php.launch_fused_phrase(
-                fused, build_work(items), tb_qw[Sb], Sb, k_eff, Q,
+                fused, build_work(items), tb_qw[Sb], Sb, k_eff, Qp,
                 interpret,
             ):
                 pending2.append((None, out))
