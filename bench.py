@@ -365,10 +365,8 @@ def run_main_suites(index, stream, label, detail):
                     break
             result[kind]["exact_match"] = exact
     if label == "wiki1k":
-        # k-variation gate. Full-batch samples + a k=3 prewarm keep the
-        # compiled-shape set identical across runs (Q is a static arg).
-        executor.prewarm(logs["or"][:BATCH], k=3, levels=(0,))
-        executor.prewarm(logs["phrase"][:BATCH], k=3, levels=(0,))
+        # k-variation gate. k_eff quantization makes k=3 reuse the k=10
+        # compiled programs, so no extra prewarm is needed.
         k3_ok = True
         for kind in suites:
             sample = logs[kind][:BATCH]

@@ -50,10 +50,13 @@ class DeviceFieldPostings:
         self.positions = None
         self.pos_cum = None
 
-        self.norm_ids = jnp.asarray(norm_ids, dtype=jnp.uint8)
+        self.norm_ids_np = np.ascontiguousarray(norm_ids, dtype=np.uint8)
+        self.norm_ids = jnp.asarray(self.norm_ids_np)
 
+        self._docs_dev = None
+        self._tfs_dev = None
         if mode == "dense":
-            self.docs, self.tfs = self._decode_all(arrays)
+            self.docs_np, self.tfs_np = self._decode_all(arrays)
             self.doc_mats = None
             self.tf_mats = None
         else:
@@ -65,42 +68,69 @@ class DeviceFieldPostings:
                 w: jnp.asarray(arrays[f"tf_w{w}"]) for w in _WIDTHS
                 if self.has_freqs and arrays[f"tf_w{w}"].size
             }
-            self.docs = None
-            self.tfs = None
+            self.docs_np = None
+            self.tfs_np = None
+
+    @property
+    def docs(self):
+        """Dense [NB, 128] doc ids as a DEVICE array (lazy one-shot upload
+        of the host-decoded store; None in packed mode). The fused store
+        builds from `docs_np` directly — pure-fused execution never pays
+        this HBM copy."""
+        if self.docs_np is None:
+            return None
+        if self._docs_dev is None:
+            self._docs_dev = jnp.asarray(self.docs_np)
+        return self._docs_dev
+
+    @property
+    def tfs(self):
+        if self.tfs_np is None:
+            return None
+        if self._tfs_dev is None:
+            self._tfs_dev = jnp.asarray(self.tfs_np)
+        return self._tfs_dev
 
     def _decode_all(self, arrays: dict[str, np.ndarray]):
-        """Decode every block once at load (dense mode) using the device
-        unpack kernels, scattered back into block order."""
+        """Decode every block once at load (dense mode) on the HOST with
+        vectorized numpy unpack, shipped to HBM in ONE transfer per array.
+
+        The jnp decode it replaces paid an XLA compile for every distinct
+        (row-count, width) shape — hundreds of multi-second compiles across
+        segments, which dominated index-open/prewarm time. Same strict-delta
+        semantics as `ops/decode.decode_doc_rows` (uint32 wraparound cumsum,
+        TERMINATED-masked pad lanes, tf stored minus-one)."""
+        from ..common import bitpack
+
         n = self.num_blocks
-        docs = jnp.full((n, 128), TERMINATED, dtype=jnp.uint32)
-        tfs = jnp.ones((n, 128), dtype=jnp.uint32)
-        for w in _WIDTHS:
-            mat = arrays[f"doc_w{w}"]
+        docs = np.full((n, 128), TERMINATED, dtype=np.uint32)
+        tfs = np.ones((n, 128), dtype=np.uint32)
+        lane = np.arange(128, dtype=np.uint32)[None, :]
+        for w in np.unique(self.blk_doc_bits):
             sel = np.nonzero(self.blk_doc_bits == w)[0]
-            if len(sel):
-                rows = self.blk_doc_row[sel]
-                if w == 0:
-                    words = jnp.zeros((len(sel), 0), dtype=jnp.uint32)
-                else:
-                    words = jnp.asarray(mat[rows])
-                decoded = decode_doc_rows(
-                    words,
-                    jnp.asarray(self.blk_base[sel]),
-                    jnp.asarray(self.blk_len[sel]),
-                    int(w),
+            if w == 0:
+                deltas = np.zeros((len(sel), 128), dtype=np.uint32)
+            else:
+                deltas = bitpack.unpack_rows(
+                    arrays[f"doc_w{int(w)}"][self.blk_doc_row[sel]],
+                    int(w), 128,
                 )
-                docs = docs.at[jnp.asarray(sel)].set(decoded)
-            if self.has_freqs:
-                tmat = arrays[f"tf_w{w}"]
-                tsel = np.nonzero(self.blk_tf_bits == w)[0]
-                if len(tsel):
-                    trows = self.blk_tf_row[tsel]
-                    if w == 0:
-                        twords = jnp.zeros((len(tsel), 0), dtype=jnp.uint32)
-                    else:
-                        twords = jnp.asarray(tmat[trows])
-                    tdec = decode_tf_rows(twords, int(w))
-                    tfs = tfs.at[jnp.asarray(tsel)].set(tdec)
+            d = (
+                self.blk_base[sel].astype(np.uint32)[:, None]
+                + np.cumsum(deltas, axis=1, dtype=np.uint32)
+                + lane
+            )
+            keep = lane < self.blk_len[sel].astype(np.uint32)[:, None]
+            docs[sel] = np.where(keep, d, np.uint32(TERMINATED))
+        if self.has_freqs:
+            for w in np.unique(self.blk_tf_bits):
+                if w == 0:
+                    continue  # width-0 tf rows are all ones (already set)
+                sel = np.nonzero(self.blk_tf_bits == w)[0]
+                tfs[sel] = bitpack.unpack_rows(
+                    arrays[f"tf_w{int(w)}"][self.blk_tf_row[sel]],
+                    int(w), 128,
+                ) + np.uint32(1)
         return docs, tfs
 
     def ensure_blk_top_tf(self) -> np.ndarray:
@@ -111,11 +141,28 @@ class DeviceFieldPostings:
         windows, MAX_P host fallbacks) must use this instead."""
         if getattr(self, "_blk_top_tf", None) is None:
             assert self.mode == "dense"
-            real = jnp.where(
-                self.docs != jnp.uint32(TERMINATED), self.tfs, jnp.uint32(0)
+            real = np.where(
+                self.docs_np != np.uint32(TERMINATED), self.tfs_np,
+                np.uint32(0),
             )
-            self._blk_top_tf = np.asarray(jnp.max(real, axis=1))
+            self._blk_top_tf = real.max(axis=1)
         return self._blk_top_tf
+
+    def real_tf_flat(self) -> np.ndarray:
+        """Host [NB*128] uint32: tf per store lane, 0 on pad lanes."""
+        assert self.mode == "dense"
+        return np.where(
+            self.docs_np != np.uint32(TERMINATED), self.tfs_np, np.uint32(0)
+        ).reshape(-1)
+
+    def pos_cum_np(self) -> np.ndarray:
+        """Host exclusive cumsum of real tfs over the flattened block store
+        (pad lanes contribute 0) — the position-slice base table."""
+        if getattr(self, "_pos_cum_np", None) is None:
+            flat = self.real_tf_flat()
+            incl = np.cumsum(flat, dtype=np.uint32)
+            self._pos_cum_np = incl - flat
+        return self._pos_cum_np
 
     def ensure_blk_last(self):
         """Device mirror of the per-block last-doc skip column (probe
@@ -133,11 +180,7 @@ class DeviceFieldPostings:
             assert self.mode == "dense", "phrase device path needs dense mode"
             assert len(self._positions_np) < 2**31
             self.positions = jnp.asarray(self._positions_np, dtype=jnp.uint32)
-            real = jnp.where(
-                self.docs != jnp.uint32(TERMINATED), self.tfs, jnp.uint32(0)
-            ).reshape(-1)
-            incl = jnp.cumsum(real, dtype=jnp.uint32)
-            self.pos_cum = incl - real
+            self.pos_cum = jnp.asarray(self.pos_cum_np())
         return self.positions, self.pos_cum
 
     # -- query-time block fetch ----------------------------------------------
@@ -198,6 +241,10 @@ class DeviceSegment:
         self.max_doc = segment_reader.max_doc
         self._fields: dict[str, DeviceFieldPostings] = {}
         alive = segment_reader.alive_bitset()
+        self.alive_np = (
+            np.ascontiguousarray(alive, dtype=bool)
+            if alive is not None else None
+        )
         self.alive = jnp.asarray(alive) if alive is not None else None
 
     def field_postings(self, field_name: str) -> DeviceFieldPostings:

@@ -32,6 +32,32 @@ from ..postings.format import TERMINATED
 from ..query.bm25 import compute_tf_cache
 
 
+def build_cstore_np(docs_np, tfs_np, norm_ids_np, alive_np, cache):
+    """Host (numpy) build of the [NBp, 384] u32 combined row store:
+    docs | tfs | bitcast(tf-cache denominator), NaN marking deleted/pad
+    lanes; rows padded to a multiple of 8 (Mosaic DMA tiling). Semantics
+    identical to `pallas_probe.build_cstore` (the device variant kept for
+    the non-fused probe paths); built once per (segment, field) and
+    shipped to HBM as part of ONE fused-store transfer."""
+    max_doc = len(norm_ids_np)
+    safe = np.minimum(docs_np, np.uint32(max(max_doc - 1, 0)))
+    cachev = cache[norm_ids_np[safe].astype(np.int32)].astype(np.float32)
+    dead = docs_np == np.uint32(TERMINATED)
+    if alive_np is not None:
+        dead |= ~alive_np[safe]
+    cachev = np.where(dead, np.float32(np.nan), cachev)
+    out = np.concatenate(
+        [docs_np, tfs_np, cachev.view(np.uint32)], axis=1
+    )
+    nb = out.shape[0]
+    pad = (-nb) % 8
+    if pad:
+        out = np.concatenate(
+            [out, np.full((pad, 384), np.uint32(TERMINATED), np.uint32)]
+        )
+    return np.ascontiguousarray(out)
+
+
 def _row_tier(rows: int, floor: int = 128) -> int:
     """Store rows pad up to a {1, 1.5}·pow2 ladder (waste <= 33%) so the
     kernel launch signatures — which include the cstore/postore operand
@@ -70,21 +96,23 @@ class FusedStore:
 
     def ensure_slab(self, seg_ord: int, field: str, dfp, alive,
                     avg_fieldnorm) -> dict:
-        """Register (and lazily build) the slab for a (segment, field)."""
+        """Register (and lazily build) the slab for a (segment, field).
+
+        `alive` may be a host bool mask or None. The per-slab cstore is
+        built in NUMPY (`build_cstore_np`) — the whole fused store ships to
+        HBM in ONE transfer at `_rebuild`, with zero per-slab XLA compiles
+        (the jnp per-slab build paid a compile per distinct segment shape,
+        which dominated index-open time)."""
         key = (seg_ord, field)
         slab = self.slabs.get(key)
         if slab is None:
-            import jax.numpy as jnp
-
-            from .pallas_probe import build_cstore
-
             cache = compute_tf_cache(np.float32(avg_fieldnorm))
+            a = None if alive is None else np.asarray(alive, dtype=bool)
+            cstore = build_cstore_np(
+                dfp.docs_np, dfp.tfs_np, dfp.norm_ids_np, a, cache
+            )
             nb = dfp.num_blocks
             nbp = -(-nb // 8) * 8
-            a = jnp.ones(dfp.norm_ids.shape[0], dtype=bool) if alive is None \
-                else alive
-            cstore = build_cstore(dfp.docs, dfp.tfs, dfp.norm_ids, a,
-                                  jnp.asarray(cache))
             tf = dfp.blk_max_tf.astype(np.float32)
             bfac = (tf / (tf + cache[dfp.blk_max_fnid])).astype(np.float32)
             slab = {
@@ -136,9 +164,7 @@ class FusedStore:
                 bfacs.append(np.zeros(pad, dtype=np.float32))
                 segs.append(np.zeros(pad, dtype=np.int32))
                 stores.append(
-                    jnp.full(
-                        (pad, 384), jnp.uint32(TERMINATED), dtype=jnp.uint32
-                    )
+                    np.full((pad, 384), np.uint32(TERMINATED), np.uint32)
                 )
             off = tier
         self.num_blocks = off
@@ -148,8 +174,9 @@ class FusedStore:
         )
         self.bfac = np.concatenate(bfacs) if bfacs else np.zeros(0, np.float32)
         self.blk_seg = np.concatenate(segs) if segs else np.zeros(0, np.int32)
+        # ONE host concat + ONE HBM transfer for the whole store
         self.cstore = (
-            jnp.concatenate(stores, axis=0) if stores else None
+            jnp.asarray(np.concatenate(stores, axis=0)) if stores else None
         )
         from ..parallel.wand import RangeMax
 
@@ -257,11 +284,12 @@ class FusedStore:
         for key in self._order:
             s = self.slabs[key]
             dfp = s["dfp"]
-            positions, pos_cum = dfp.ensure_positions()
+            positions = dfp._positions_np
+            pos_cum = dfp.pos_cum_np()
             npos = int(positions.shape[0])
             # per-block position offset (within slab): pos_cum at block
-            # starts; one tiny fetch per slab
-            bp = np.asarray(pos_cum[:: 128], dtype=np.int64)
+            # starts
+            bp = pos_cum[::128].astype(np.int64)
             nb, nbp = s["nb"], s["nbp"]
             # layout invariant the phrase kernel relies on: a term's flat
             # position region starts exactly at its first block's cumulative
@@ -275,15 +303,13 @@ class FusedStore:
             ext = np.full(nbp, npos, dtype=np.int64)
             ext[:nb] = bp[:nb]
             blk_pos_parts.append(pos_off + ext)
-            # owners: doc id per position (device-side repeat)
-            real_tf = jnp.where(
-                dfp.docs != jnp.uint32(TERMINATED), dfp.tfs, jnp.uint32(0)
-            ).reshape(-1)
-            owners = jnp.repeat(
-                dfp.docs.reshape(-1), real_tf, total_repeat_length=npos
+            # owners: doc id per position (host repeat)
+            owners = np.repeat(
+                dfp.docs_np.reshape(-1), dfp.real_tf_flat()
             )
-            pos_parts.append(positions)
-            own_parts.append(owners)
+            assert len(owners) == npos
+            pos_parts.append(positions.astype(np.uint32, copy=False))
+            own_parts.append(owners.astype(np.uint32, copy=False))
             s["pos_offset"] = pos_off
             pos_off += npos
         total = pos_off
@@ -295,14 +321,13 @@ class FusedStore:
         rows = max(rows, max_slab_rows())
         rows_p = _row_tier(-(-rows // 8) * 8)
         padlen = rows_p * 128 - total
-        padv = jnp.full(padlen, jnp.uint32(0xFFFFFFFF), dtype=jnp.uint32)
-        flat_pos = jnp.concatenate(
-            [p.astype(jnp.uint32) for p in pos_parts] + [padv]
-        ).reshape(rows_p, 128)
-        flat_own = jnp.concatenate(
-            [o.astype(jnp.uint32) for o in own_parts] + [padv]
-        ).reshape(rows_p, 128)
-        self.postore = jnp.concatenate([flat_pos, flat_own], axis=1)
+        padv = np.full(padlen, np.uint32(0xFFFFFFFF), dtype=np.uint32)
+        flat_pos = np.concatenate(pos_parts + [padv]).reshape(rows_p, 128)
+        flat_own = np.concatenate(own_parts + [padv]).reshape(rows_p, 128)
+        # ONE host concat + ONE HBM transfer for the whole position store
+        self.postore = jnp.asarray(
+            np.concatenate([flat_pos, flat_own], axis=1)
+        )
         self.blk_pos = np.concatenate(blk_pos_parts + [[total]]) if \
             blk_pos_parts else np.zeros(1, dtype=np.int64)
         self.num_pos = total

@@ -524,18 +524,19 @@ def launch_fused_phrase(
             )]
         )
 
-    # INDEPENDENT tier level per rung (see pallas_probe.launch_fused_bool)
+    # ONE SHARED tier level across rungs (see pallas_probe.launch_fused_bool:
+    # the signature set is the ladder DIAGONAL, fully prewarmable)
     per_rung = []
     prev = 0
     for rows, tiers in _PHRASE_RUNGS:
         sel = np.nonzero((need > prev) & (need <= rows))[0]
         prev = rows
         per_rung.append([rows, tiers, sel, 0])
-    levels_r = [
+    lvl_shared = max(
         next((i for i, w in enumerate(tiers) if len(sel) <= w),
              len(tiers) - 1)
         for rows, tiers, sel, _ in per_rung
-    ]
+    )
 
     def make_chunk(rows, tiers, sel_idx, lo, level):
         RR = rows
@@ -595,16 +596,15 @@ def launch_fused_phrase(
             interpret=interpret, pack_addr=pack_addr,
         )
 
-    # every launch carries ALL rungs (exhausted rungs ride as fully-masked
-    # padding) so overflow rounds reuse the same compiled signature — see
-    # pallas_probe.launch_fused_bool
+    # every launch carries ALL rungs at the shared level (exhausted rungs
+    # ride as fully-masked cached filler) so overflow rounds reuse the same
+    # compiled signature — see pallas_probe.launch_fused_bool
     outs = []
     while True:
         chunks = []
         progressed = False
-        for r, lvl in zip(per_rung, levels_r):
-            use = lvl if r[3] < len(r[2]) else 0
-            chunk, hi = make_chunk(r[0], r[1], r[2], r[3], use)
+        for r in per_rung:
+            chunk, hi = make_chunk(r[0], r[1], r[2], r[3], lvl_shared)
             if hi > r[3]:
                 progressed = True
             r[3] = hi

@@ -1175,17 +1175,21 @@ def launch_fused_bool(
             flush=True,
         )
 
-    # INDEPENDENT tier level per rung: a small or exhausted rung must not
-    # inherit the batch's biggest grid (its padded programs cost real
-    # per-program overhead). The compiled-signature set is the product of
-    # per-rung levels — bounded, and prewarmed in full.
-    levels_r = []
+    # ONE SHARED tier level across rungs (the max any rung needs): the
+    # compiled-signature set is the DIAGONAL of the per-rung tier ladders —
+    # linear in levels, not the product — so prewarm enumerates every
+    # reachable signature in a handful of compiles and steady state can
+    # never hit a cold shape. A lopsided batch pads its small rungs up to
+    # the shared level; padded groups are masked (the kernel elides their
+    # DMAs) so the cost is bounded by the per-program scalar sweep.
+    lvl_shared = 0
     for r in per_rung:
         kw, n = r[0], len(r[1])
         tiers = _GRP_W_TIERS[kw]
-        levels_r.append(
+        lvl_shared = max(
+            lvl_shared,
             next((i for i, w in enumerate(tiers) if n <= w),
-                 len(tiers) - 1)
+                 len(tiers) - 1),
         )
 
     def make_chunk(kw, b_s, m_s, p_s, c_s, q_s, s_s, jlo, pk, lo, level):
@@ -1253,19 +1257,16 @@ def launch_fused_bool(
             pack_addr=pack_addr,
         )
 
-    # every launch carries ALL rungs (overflow rounds pass exhausted rungs
-    # as fully-masked CACHED filler pages with zero transfer cost): one
+    # every launch carries ALL rungs at the SHARED level (exhausted rungs
+    # pass fully-masked CACHED filler pages with zero transfer cost): ONE
     # compiled program signature per (tier level, k_eff) regardless of
     # batch composition or overflow — no fresh compiles mid-run
     outs = []
     while True:
         chunks = []
         progressed = False
-        for r, lvl in zip(per_rung, levels_r):
-            # exhausted rungs drop to the SMALLEST tier for their filler
-            # pages (per-rung levels make that a fresh, tiny signature)
-            use = lvl if r[9] < len(r[1]) else 0
-            chunk, hi = make_chunk(*r[:9], r[9], use)
+        for r in per_rung:
+            chunk, hi = make_chunk(*r[:9], r[9], lvl_shared)
             if hi > r[9]:
                 progressed = True
             r[9] = hi

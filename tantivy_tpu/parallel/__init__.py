@@ -43,26 +43,34 @@ _RATCHET_MIN_PER_Q = 16
 _RATCHET_TOP_PER_Q = 8
 
 
+def _k_eff_quant(v: int) -> int:
+    """Quantize a per-row-top-k width to ONE of two ladder values (32, 128).
+    The kernel `k` is a static arg; host finalize trims each query's
+    chunk to the true k, and per-(launch, query) top-32 ⊇ top-k for any
+    k whose dup-inflated width fits 32, so quantizing UP is exact. One
+    ladder value per clause bucket = one compiled merge-tail shape
+    regardless of the caller's k (the k=3 gate reuses the k=10 programs)."""
+    return 32 if v <= 32 else 128
+
+
 def _k_eff_tb(g, Tb: int, k: int) -> int:
-    """Per-row-top-k width: quantized to TWO values per (Tb, k) — plain
-    rows use k; any dup-capable plan (skipped probes or sliced windows, up
-    to Tb reporters per doc) uses min(Tb*k, 128). Fewer distinct k_eff
-    values = fewer compiled merge-tail shapes (warmup)."""
-    return min(k * (Tb if (g["any_skip"] or g["any_dup"]) else 1), 128)
+    """Per-row-top-k width: always sized for the dup-capable worst case
+    (up to Tb reporters per doc), then quantized (`_k_eff_quant`)."""
+    return _k_eff_quant(min(k * Tb, 128))
+
+
+#: fixed `num_queries` for fused launches. num_queries is a STATIC kernel
+#: arg (it sizes the [Q, k] output and the padding sentinel); the planners
+#: sub-batch every device batch to at most this many queries, so every
+#: launch shares ONE compiled num_queries and expansion (phrase prefix,
+#: dismax) can never mint a fresh shape. Padded output rows never receive
+#: hits (no work item carries their qid) and cost only bytes in the tail.
+_Q_FIXED = 256
 
 
 def _q_tier(Q: int) -> int:
-    """Quantized `num_queries` for fused launches. num_queries is a STATIC
-    kernel arg (it sizes the [Q, k] output and the padding sentinel), so
-    passing the actual batch size recompiles whenever expansion (phrase
-    prefix, dismax) inflates a batch to a data-dependent Q. Rounding up to
-    a power-of-two ladder (min 256 = the design batch size) keeps the
-    compiled-shape set fixed; padded output rows never receive hits (no
-    work item carries their qid) and cost only bytes in the merge tail."""
-    t = 256
-    while t < Q:
-        t *= 2
-    return t
+    assert Q <= _Q_FIXED, "device batch not sub-batched to _Q_FIXED"
+    return _Q_FIXED
 
 
 def _m1() -> int:
@@ -683,7 +691,7 @@ class BatchExecutor:
             self._field_stats[field] = fs
         dseg = self._device_segments[seg_ord]
         fused.ensure_slab(
-            seg_ord, field, dseg.field_postings(field), dseg.alive,
+            seg_ord, field, dseg.field_postings(field), dseg.alive_np,
             fs.average_fieldnorm,
         )
 
@@ -757,7 +765,17 @@ class BatchExecutor:
 
         n_segs = max(1, len(self.searcher.segment_readers()))
         max_tb = max(t_bucket(len(q.clauses)) for q in queries)
-        max_q = max(1, self._prow_tier(0, max_tb) // n_segs)
+        if n_segs > self._prow_tier(0, max_tb):
+            # even one query would exceed the plan-row tier (one row per
+            # (query, segment)); sub-batching cannot help — surface it
+            # rather than overflow the table silently
+            raise ValueError(
+                f"{n_segs} segments exceed the plan-row tier "
+                f"{self._prow_tier(0, max_tb)}; merge segments first"
+            )
+        max_q = min(
+            max(1, self._prow_tier(0, max_tb) // n_segs), _Q_FIXED
+        )
         if Q > max_q:
             out = []
             for lo in range(0, Q, max_q):
@@ -765,7 +783,7 @@ class BatchExecutor:
                     self._search_boolean_fused(queries[lo : lo + max_q], k)
                 )
             return out
-        Qp = _q_tier(Q)  # static num_queries: quantized (see _q_tier)
+        Qp = _q_tier(Q)  # static num_queries: fixed (see _q_tier)
         interpret = ps._pallas_mode() == "interpret"
         kind_of = {
             Occur.MUST: ps.KIND_MUST,
@@ -1319,7 +1337,7 @@ class BatchExecutor:
         interpret = ps._pallas_mode() == "interpret"
         if ps._pallas_mode() is None:
             return 0
-        Q = _q_tier(len(queries_hint))
+        Q = _Q_FIXED
         fields = set()
         bool_tbs = set()
         phrase_sbs = set()
@@ -1345,8 +1363,6 @@ class BatchExecutor:
             fused.ensure_positions()
         nbp = max(-(-fused.num_blocks // 8) * 8, 8)
 
-        import itertools
-
         jobs = []
         for Tb in bool_tbs:
             tier = self._prow_tier(0, Tb)
@@ -1360,15 +1376,15 @@ class BatchExecutor:
                 "req_should": np.zeros(tier + 1, np.int32),
             }
             rungs = pp.fused_rungs(Tb)
-            # per-rung INDEPENDENT tier levels: warm the full level product
-            # (the launcher picks each rung's level from its own count)
-            for combo in itertools.product(levels, repeat=len(rungs)):
+            # ONE shared tier level across rungs per launch (the launcher's
+            # diagonal signature set): warm each level once
+            for lvl in levels:
                 # tier[lvl] items per rung (distinct prows so grouping keeps
                 # them apart), window widths placed to populate every rung;
                 # all work is no-op (cl_len 0) so execution is fast
                 blocks, prow, clause, width, qid, seg = [], [], [], [], [], []
                 jlo, wid, frc = [], [], []
-                for kw, lvl in zip(rungs, combo):
+                for kw in rungs:
                     tiers = pp._GRP_W_TIERS[kw]
                     nn = tiers[min(lvl, len(tiers) - 1)]
                     blocks.append(np.zeros(nn, dtype=np.int64))
@@ -1392,16 +1408,14 @@ class BatchExecutor:
                     np.vstack(jlo), np.vstack(wid), np.vstack(frc),
                     np.ones(sum(len(b) for b in blocks), dtype=bool),
                 )
-                for k_eff in {k, min(Tb * k, 128)}:
-                    jobs.append(
-                        ("bool", work, tables, k_eff, Q, interpret)
-                    )
+                k_eff = _k_eff_quant(min(Tb * k, 128))
+                jobs.append(("bool", work, tables, k_eff, Q, interpret))
         for Sb in phrase_sbs:
             qw = np.zeros(self._prow_tier(0, Sb + 1) + 1, dtype=np.float32)
             rungs = php._PHRASE_RUNGS
-            for combo in itertools.product(levels, repeat=len(rungs)):
+            for lvl in levels:
                 per_rung = []
-                for (rows, tiers), lvl in zip(rungs, combo):
+                for rows, tiers in rungs:
                     nn = tiers[min(lvl, len(tiers) - 1)]
                     llen = max((rows - 16) * 128, 1)
                     per_rung.append((nn, llen))
@@ -1432,8 +1446,8 @@ class BatchExecutor:
                     np.vstack(cp_), np.vstack(cl_), np.vstack(dl_),
                     np.concatenate(cols["anchor"]),
                 )
-                for k_eff in {k, min(2 * k, 128)}:
-                    jobs.append(("phrase", work, qw, Sb, k_eff, Q, interpret))
+                k_eff = _k_eff_quant(min(2 * k, 128))
+                jobs.append(("phrase", work, qw, Sb, k_eff, Q, interpret))
 
         def run(job):
             if job[0] == "bool":
@@ -1772,7 +1786,14 @@ class BatchExecutor:
         # past the original batch size
         n_segs = max(1, len(self.searcher.segment_readers()))
         max_tb = max(ps.t_bucket(len(q.term_bytes)) for q in queries)
-        max_q = max(1, self._prow_tier(0, max_tb) // n_segs)
+        if n_segs > self._prow_tier(0, max_tb):
+            raise ValueError(
+                f"{n_segs} segments exceed the plan-row tier "
+                f"{self._prow_tier(0, max_tb)}; merge segments first"
+            )
+        max_q = min(
+            max(1, self._prow_tier(0, max_tb) // n_segs), _Q_FIXED
+        )
         if Q > max_q:
             out = []
             for lo in range(0, Q, max_q):
@@ -1780,7 +1801,7 @@ class BatchExecutor:
                     self._search_phrase_fused(queries[lo : lo + max_q], k)
                 )
             return out
-        Qp = _q_tier(Q)  # static num_queries: quantized (see _q_tier)
+        Qp = _q_tier(Q)  # static num_queries: fixed (see _q_tier)
         interpret = ps._pallas_mode() == "interpret"
         qweight = np.zeros(Q, dtype=np.float32)
         for qi, q in enumerate(queries):
@@ -2110,12 +2131,14 @@ class BatchExecutor:
             # varies with batch content — recompiled both phase programs
             # (~40s) on every fresh batch
             tier = self._prow_tier(len(g["qw_rows"]), Sb + 1)
+            assert len(g["qw_rows"]) <= tier, \
+                "plan rows exceed the fixed prow tier"
             qw_table = np.zeros(tier + 1, dtype=np.float32)
             qw_table[: len(g["qw_rows"])] = g["qw_rows"]
             tb_qw[Sb] = qw_table
             if not g["p1"]:
                 continue
-            k_eff = min(2 * k, 128) if g["any_dup"] else k
+            k_eff = _k_eff_quant(min(2 * k, 128))
             for out in php.launch_fused_phrase(
                 fused, build_work(g["p1"]), qw_table, Sb, k_eff, Qp,
                 interpret,
@@ -2184,7 +2207,7 @@ class BatchExecutor:
                         "wand_p2",
                         sum(len(p["ids"]) for _, _, _, p in round_a),
                     )
-                    k_eff = min(2 * k, 128) if groups[Sb]["any_dup"] else k
+                    k_eff = _k_eff_quant(min(2 * k, 128))
                     for out in php.launch_fused_phrase(
                         fused, build_work(round_a), tb_qw[Sb], Sb, k_eff, Qp,
                         interpret,
@@ -2205,7 +2228,7 @@ class BatchExecutor:
             self._count_plan(
                 "wand_p2", sum(len(p["ids"]) for _, _, _, p in items)
             )
-            k_eff = min(2 * k, 128) if groups[Sb]["any_dup"] else k
+            k_eff = _k_eff_quant(min(2 * k, 128))
             for out in php.launch_fused_phrase(
                 fused, build_work(items), tb_qw[Sb], Sb, k_eff, Qp,
                 interpret,
