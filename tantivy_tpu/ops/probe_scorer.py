@@ -183,10 +183,18 @@ def per_query_topk_rows_seg(row_sc, row_doc, row_seg, qid, k: int,
     tie-break of the host fruit-merge (reference
     `sort_key_top_collector.rs:76-97`). Returns (scores, docs, segs).
 
-    With `pack_addr` (callers assert seg <= 15 and doc < 2^28), the sort
-    runs on 3 u32 arrays — (qid, score key, seg<<28|doc) — instead of 5
-    mixed arrays with 4 keys; scores are recovered exactly from the
-    invertible descending key."""
+    DUPLICATE ADDRESSES of one query are DEDUPED KEEP-MAX *before* the
+    top-k cut (one pre-sort on (qid, addr, score desc) + first-of-run
+    mask). Dual-report plans (boolean skip/slice lanes, phrase re-anchor)
+    and union-max expansions (phrase-prefix: many plan rows sharing one
+    qid) therefore cannot crowd true top-k entries out of the k_eff
+    window — the per-(launch, query) result IS the exact max-per-address
+    top-k, matching the host finalize's dedup semantics.
+
+    With `pack_addr` (callers assert seg <= 15 and doc < 2^28), the sorts
+    run on 3 u32 arrays — (qid, score key, seg<<28|doc) — instead of 5
+    mixed arrays; scores are recovered exactly from the invertible
+    descending key."""
     w, kk = row_sc.shape
     flat_scores = row_sc.reshape(-1)
     flat_docs = row_doc.reshape(-1)
@@ -200,16 +208,33 @@ def per_query_topk_rows_seg(row_sc, row_doc, row_seg, qid, k: int,
         flat_sd = (
             flat_seg.astype(jnp.uint32) << jnp.uint32(28)
         ) | flat_docs
+        # dedup pass: group (qid, addr), best score first in each run
+        q1, sd1, k1 = jax.lax.sort(
+            (flat_qid, flat_sd, skey), num_keys=3, is_stable=False
+        )
+        dup = (q1 == jnp.roll(q1, 1)) & (sd1 == jnp.roll(sd1, 1))
+        dup = dup.at[0].set(False)
+        q1 = jnp.where(dup, jnp.int32(num_queries), q1)
         sq, skey_s, ssd = jax.lax.sort(
-            (flat_qid, skey, flat_sd), num_keys=3, is_stable=False
+            (q1, k1, sd1), num_keys=3, is_stable=False
         )
         ssc = _desc_key_to_f32(skey_s)
         sdoc = ssd & jnp.uint32(0x0FFFFFFF)
         sseg = (ssd >> jnp.uint32(28)).astype(jnp.int32)
     else:
-        sq, _, sseg, sdoc, ssc = jax.lax.sort(
-            (flat_qid, skey, flat_seg, flat_docs, flat_scores),
+        q1, sg1, d1, k1, sc1 = jax.lax.sort(
+            (flat_qid, flat_seg, flat_docs, skey, flat_scores),
             num_keys=4, is_stable=False,
+        )
+        dup = (
+            (q1 == jnp.roll(q1, 1))
+            & (sg1 == jnp.roll(sg1, 1))
+            & (d1 == jnp.roll(d1, 1))
+        )
+        dup = dup.at[0].set(False)
+        q1 = jnp.where(dup, jnp.int32(num_queries), q1)
+        sq, _, sseg, sdoc, ssc = jax.lax.sort(
+            (q1, k1, sg1, d1, sc1), num_keys=4, is_stable=False,
         )
     firsts = jnp.searchsorted(sq, jnp.arange(num_queries, dtype=jnp.int32))
     nexts = jnp.searchsorted(sq, jnp.arange(1, num_queries + 1, dtype=jnp.int32))

@@ -1532,6 +1532,8 @@ class BatchExecutor:
                 q = queries[i]
                 subs = None
                 if isinstance(q, PhrasePrefixQuery):
+                    if self._prefix_device_eligible(q):
+                        continue  # rides the fused phrase launch directly
                     subs = self._expand_phrase_prefix(q)
                     if subs is None:
                         self._count_fallback("phrase_prefix_trunc")
@@ -1582,6 +1584,7 @@ class BatchExecutor:
             i
             for i, q in enumerate(queries)
             if self._phrase_device_eligible(q)
+            or (pallas and self._prefix_device_eligible(q))
         ]
         sub_ids = {i for ids in sub_of.values() for i in ids}
         other = (
@@ -1748,6 +1751,25 @@ class BatchExecutor:
             == IndexRecordOption.WITH_FREQS_AND_POSITIONS
         )
 
+    def _prefix_device_eligible(self, q) -> bool:
+        """Multi-term PhrasePrefixQuery rides the fused phrase launch
+        directly (per-segment capped expansions as plan rows — see
+        `_search_phrase_fused`); single-term prefixes expand to term
+        sub-queries in `search_batch` instead."""
+        from ..ops.phrase_scorer import T_MAX
+        from ..query.phrase_query import PhrasePrefixQuery
+        from ..schema import IndexRecordOption
+
+        if type(q) is not PhrasePrefixQuery:
+            return False
+        if not (2 <= len(q.term_bytes) <= T_MAX):
+            return False
+        entry = self.searcher.schema.get_field(q.field)
+        return (
+            entry.index_record_option()
+            == IndexRecordOption.WITH_FREQS_AND_POSITIONS
+        )
+
     def _host_segment_topk(self, query, seg_ord: int, reader, k: int):
         """Exact host evaluation of one query over one segment, as a hit
         CHUNK (scores, segs, docs arrays) — the per-segment fallback for
@@ -1762,6 +1784,24 @@ class BatchExecutor:
             docs[order].astype(np.uint32, copy=False),
         )
 
+    def _phrase_plan_rows(self, q) -> int:
+        """Upper bound on the plan rows one phrase(-prefix) query adds:
+        one per segment for plain phrases; the per-segment CAPPED
+        expansion count for phrase-prefixes (each expansion is its own
+        plan row with its own BM25 weight)."""
+        from ..query.phrase_query import PhrasePrefixQuery
+
+        readers = self.searcher.segment_readers()
+        if type(q) is not PhrasePrefixQuery:
+            return max(1, len(readers))
+        tot = 0
+        for reader in readers:
+            td = reader.inverted_index(q.field).termdict
+            tot += min(
+                len(td.prefix_ords(q.term_bytes[-1])), q.max_expansions
+            )
+        return max(tot, 1)
+
     def _search_phrase_fused(self, queries: list, k: int):
         """Fused pallas phrase batch: position-slab kernel, one launch per
         phase (see `ops/pallas_phrase.py`). Work items anchor on the rarest
@@ -1770,54 +1810,75 @@ class BatchExecutor:
         re-anchored through the densest other term (all phrase terms are
         MUSTs, so any term's blocks cover every match in their doc range);
         re-anchoring can double-report docs with identical exact scores —
-        the host dedup-by-address absorbs that. Irreducibly wide prows fall
-        back to exact host evaluation (counted)."""
+        the merge-tail dedup-by-address absorbs that. Irreducibly wide
+        prows fall back to exact host evaluation (counted).
+
+        PhrasePrefixQuery rides the SAME launch: each (query, segment,
+        expansion) becomes its own plan row — the segment's capped
+        `prefix_ords` range in term order, exactly the host truncation
+        (`phrase_query.py` PhrasePrefixWeight.execute) — carrying that
+        expansion's own Bm25 weight; all rows share the query's qid and
+        the merge tail's dedup-keep-max realizes the union-max expansion
+        semantics exactly (reference `phrase_prefix_query/`, 660 LoC)."""
         from ..ops import pallas_phrase as php
         from ..ops import probe_scorer as ps
         from ..query.bm25 import Bm25Weight
+        from ..query.phrase_query import PhrasePrefixQuery
         from ..schema.term import Term
 
         Q = len(queries)
         if Q == 0:
             return []
-        # plan rows (one per (query, segment) with all terms present) ride
-        # SMEM scalar prefetch: cap Q x n_segments at the fixed plan-row
-        # tier and sub-batch beyond — prefix expansion can inflate Q far
-        # past the original batch size
-        n_segs = max(1, len(self.searcher.segment_readers()))
+        readers = self.searcher.segment_readers()
+        # plan rows (one per (query, segment, expansion) with all terms
+        # present) ride SMEM scalar prefetch: cap total rows at the fixed
+        # plan-row tier and sub-batch beyond
+        n_segs = max(1, len(readers))
         max_tb = max(ps.t_bucket(len(q.term_bytes)) for q in queries)
-        if n_segs > self._prow_tier(0, max_tb):
-            raise ValueError(
-                f"{n_segs} segments exceed the plan-row tier "
-                f"{self._prow_tier(0, max_tb)}; merge segments first"
-            )
-        max_q = min(
-            max(1, self._prow_tier(0, max_tb) // n_segs), _Q_FIXED
-        )
-        if Q > max_q:
+        tier = self._prow_tier(0, max_tb)
+        rows_of = [self._phrase_plan_rows(q) for q in queries]
+        if Q > 1 and (Q > _Q_FIXED or sum(rows_of) > tier):
+            # greedy row-budget chunking (recursing per chunk)
             out = []
-            for lo in range(0, Q, max_q):
-                out.extend(
-                    self._search_phrase_fused(queries[lo : lo + max_q], k)
-                )
+            lo = 0
+            acc = 0
+            for i in range(Q):
+                if i > lo and (
+                    acc + rows_of[i] > tier or i - lo >= _Q_FIXED
+                ):
+                    out.extend(
+                        self._search_phrase_fused(queries[lo:i], k)
+                    )
+                    lo, acc = i, 0
+                acc += rows_of[i]
+            out.extend(self._search_phrase_fused(queries[lo:], k))
             return out
+        if rows_of and rows_of[0] > tier and Q == 1:
+            # a single query's expansion rows exceed the tier: exact host
+            from ..collector import TopDocs
+
+            self._count_fallback("phrase_rows_overflow")
+            return [self.searcher.search(queries[0], TopDocs(k))]
         Qp = _q_tier(Q)  # static num_queries: fixed (see _q_tier)
         interpret = ps._pallas_mode() == "interpret"
-        qweight = np.zeros(Q, dtype=np.float32)
-        for qi, q in enumerate(queries):
-            fs = self._field_stats.get(q.field)
-            if fs is None:
-                fs = self.searcher.field_statistics(q.field)
-                self._field_stats[q.field] = fs
-            dfs = [
-                self.searcher.doc_freq(Term(q.field, tb))
-                for tb in q.term_bytes
-            ]
-            qweight[qi] = Bm25Weight.for_terms(
-                dfs, fs.total_num_docs, fs.average_fieldnorm
-            ).weight
+        wcache: dict = {}
 
-        readers = self.searcher.segment_readers()
+        def _w_terms(field: str, term_bytes: list[bytes]) -> np.float32:
+            key = (field, tuple(term_bytes))
+            w = wcache.get(key)
+            if w is None:
+                fs = self._field_stats.get(field)
+                if fs is None:
+                    fs = self.searcher.field_statistics(field)
+                    self._field_stats[field] = fs
+                dfs = [
+                    self.searcher.doc_freq(Term(field, tb))
+                    for tb in term_bytes
+                ]
+                w = wcache[key] = Bm25Weight.for_terms(
+                    dfs, fs.total_num_docs, fs.average_fieldnorm
+                ).weight
+            return w
         for seg_ord in range(len(readers)):
             for f in {q.field for q in queries}:
                 self._ensure_fused_slab(seg_ord, f)
@@ -1840,10 +1901,10 @@ class BatchExecutor:
             )
             return i0, i1
 
-        def plan_anchor(qi, anchor, regions, offsets, ids):
+        def plan_anchor(qw, anchor, regions, offsets, ids):
             """Work columns for anchor-term blocks `ids` (global): returns
             (ok items dict, bad mask) — bad = fat anchor slab or over-wide
-            partner span."""
+            partner span. `qw` = the plan row's phrase weight."""
             T = len(regions)
             n = len(ids)
             lpos = blk_pos[ids].astype(np.int64)
@@ -1876,7 +1937,7 @@ class BatchExecutor:
                 span = np.maximum(span, p1 - p0)
                 slot += 1
             bad = (llen > php.ANCHOR_POS_CAP) | (span > php.PARTNER_POS_CAP)
-            ub = (np.float32(qweight[qi]) * fac).astype(np.float32)
+            ub = (np.float32(qw) * fac).astype(np.float32)
             keep = ~drop
             return {
                 "ids": ids[keep], "lpos": lpos[keep], "llen": llen[keep],
@@ -1887,7 +1948,7 @@ class BatchExecutor:
             }
 
         def plan_anchors_batched(calls):
-            """Vectorized `plan_anchor` over many (qi, anchor, regions,
+            """Vectorized `plan_anchor` over many (qw, anchor, regions,
             offsets, ids) calls: ONE composite-key searchsorted
             (`FusedStore.region_keys`) replaces the per-(query, segment,
             partner) sub-array searches; per-partner f32 `min` folds are
@@ -1907,7 +1968,7 @@ class BatchExecutor:
             hi = fused.blk_last_doc[ids].astype(np.uint64)
             S_max = 1
             p_call, p_slot, p_s2, p_delta = [], [], [], []
-            for c_i, (qi, anchor, regions, offsets_, _) in enumerate(calls):
+            for c_i, (qw_, anchor, regions, offsets_, _) in enumerate(calls):
                 T = len(regions)
                 S_max = max(S_max, ps.t_bucket(T) - 1)
                 slot = 0
@@ -1961,7 +2022,7 @@ class BatchExecutor:
                     fac[r_s] = np.minimum(fac[r_s], ov[sel])
                     span[r_s] = np.maximum(span[r_s], (p1 - p0)[sel])
             qw_rows = np.repeat(
-                np.array([np.float32(qweight[c[0]]) for c in calls],
+                np.array([np.float32(c[0]) for c in calls],
                          dtype=np.float32),
                 ns_,
             )
@@ -1971,7 +2032,7 @@ class BatchExecutor:
                 np.array([c[1] for c in calls], dtype=np.int64), ns_
             )
             out = []
-            for c_i, (qi, anchor, regions, offsets_, _) in enumerate(calls):
+            for c_i, (qw_, anchor, regions, offsets_, _) in enumerate(calls):
                 s, e = int(offs[c_i]), int(offs[c_i + 1])
                 keep = ~drop[s:e]
                 S = ps.t_bucket(len(regions)) - 1
@@ -1996,29 +2057,56 @@ class BatchExecutor:
             for qi, q in enumerate(queries):
                 field = q.field
                 T = len(q.term_bytes)
+                is_prefix = type(q) is PhrasePrefixQuery
+                fixed = q.term_bytes[:-1] if is_prefix else q.term_bytes
                 ords = [
                     self._term_ord(seg_ord, reader, field, tb)
-                    for tb in q.term_bytes
+                    for tb in fixed
                 ]
                 if any(o < 0 for o in ords):
                     continue
-                regions = [
-                    fused.region(seg_ord, field, o) for o in ords
-                ]
-                leader = min(range(T), key=lambda t: regions[t][1])
-                s0, n0 = regions[leader]
-                anchor_calls.append((
-                    qi, leader, regions, q.offsets,
-                    np.arange(s0, s0 + n0, dtype=np.int64),
-                ))
-                phrase_plans.append(
-                    (seg_ord, reader, qi, q, T, regions, leader)
+                offsets = (
+                    list(range(T)) if is_prefix else q.offsets
                 )
+                if is_prefix:
+                    # one plan row per CAPPED expansion (host truncation
+                    # semantics: first max_expansions ords in term order,
+                    # per segment)
+                    td = reader.inverted_index(field).termdict
+                    exp_ords = list(
+                        td.prefix_ords(q.term_bytes[-1])
+                    )[: q.max_expansions]
+                    expansions = [
+                        (eo, td.term(eo)) for eo in exp_ords
+                    ]
+                else:
+                    expansions = [(ords[-1], None)]
+                    ords = ords[:-1]
+                for eo, etb in expansions:
+                    regions = [
+                        fused.region(seg_ord, field, o) for o in ords
+                    ] + [fused.region(seg_ord, field, eo)]
+                    if is_prefix:
+                        w = _w_terms(field, fixed + [etb])
+                    else:
+                        w = _w_terms(field, q.term_bytes)
+                    leader = min(range(T), key=lambda t: regions[t][1])
+                    s0, n0 = regions[leader]
+                    anchor_calls.append((
+                        w, leader, regions, offsets,
+                        np.arange(s0, s0 + n0, dtype=np.int64),
+                    ))
+                    phrase_plans.append(
+                        (seg_ord, reader, qi, q, T, regions, leader, w,
+                         offsets)
+                    )
         batched = plan_anchors_batched(anchor_calls)
 
-        for (seg_ord, reader, qi, q, T, regions, leader), plan in zip(
-            phrase_plans, batched
-        ):
+        fell: set = set()  # (qi, seg_ord) already host-fallbacked
+        for (seg_ord, reader, qi, q, T, regions, leader, w, offsets), \
+                plan in zip(phrase_plans, batched):
+            if (qi, seg_ord) in fell:
+                continue
             staged = [(leader, plan)]
             fallback = False
             if plan["bad"].any():
@@ -2036,7 +2124,7 @@ class BatchExecutor:
                     )
                 )
                 plan2 = plan_anchor(
-                    qi, t_alt, regions, q.offsets, union
+                    w, t_alt, regions, offsets, union
                 )
                 if plan2["bad"].any():
                     fallback = True
@@ -2049,6 +2137,10 @@ class BatchExecutor:
                     staged = [(leader, plan), (t_alt, plan2)]
                     self._count_plan("phrase_reanchor")
             if fallback:
+                # once per (query, segment): the host result is the exact
+                # union-max over ALL expansions, so any expansion rows of
+                # this pair already staged stay sound (dedup keeps max)
+                fell.add((qi, seg_ord))
                 per_query[qi].append(
                     self._host_segment_topk(q, seg_ord, reader, k)
                 )
@@ -2065,7 +2157,7 @@ class BatchExecutor:
                     "any_dup": False,
                 }
             prow = len(g["qw_rows"])
-            g["qw_rows"].append(qweight[qi])
+            g["qw_rows"].append(w)
             g["meta"].append((qi, seg_ord))
             if len(staged) > 1:
                 g["any_dup"] = True

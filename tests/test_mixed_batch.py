@@ -118,3 +118,74 @@ def test_dismax_term_clauses_device_expansion(monkeypatch):
     for q, d in zip(qs, dev):
         h = searcher.search(q, tt.TopDocs(10))
         assert [(s, a) for s, a in d] == [(s, a) for s, a in h], repr(q)
+
+
+def test_phrase_prefix_device_truncation_parity(monkeypatch):
+    """Multi-term phrase-prefixes ride the fused phrase launch with
+    PER-SEGMENT capped expansion rows (no batch inflation, no
+    `phrase_prefix_trunc` fallbacks) — exact vs host even when segments
+    truncate DIFFERENT expansion sets (the case the old global-union
+    expansion could not reproduce and host-fallbacked on)."""
+    monkeypatch.setenv("TANTIVY_TPU_PALLAS", "1")
+    rng = np.random.default_rng(17)
+    # pre00..pre19 share a prefix; segment composition varies so each
+    # segment's first-max_expansions set differs
+    words = [f"pre{i:02d}" for i in range(20)] + [f"w{i:02d}" for i in range(10)]
+    b = tt.Schema.builder()
+    b.add_text_field("body", tt.TEXT)
+    schema = b.build()
+    index = tt.Index.create_in_ram(schema)
+    w = index.writer_for_tests()
+    for c in range(3):
+        pool = words if c == 0 else words[c * 6:] + words[:3]
+        for _ in range(120):
+            doc = " ".join(rng.choice(pool, 6))
+            w.add_document(tt.Document(body=doc))
+        w.commit()
+    w.close()
+    searcher = index.reader().searcher()
+    ex = BatchExecutor(searcher)
+    qs = [
+        PhrasePrefixQuery("body", ["w00", "pre"], max_expansions=4),
+        PhrasePrefixQuery("body", ["w01", "pre"], max_expansions=50),
+        PhrasePrefixQuery("body", ["pre00", "pre"], max_expansions=3),
+        PhrasePrefixQuery("body", ["w02", "pre0"]),
+        PhrasePrefixQuery("body", ["w03", "zzz"]),  # no expansions
+        PhraseQuery("body", ["w00", "w01"]),        # mixed in one launch
+    ]
+    res = ex.search_batch(qs, 10)
+    for q, r in zip(qs, res):
+        h = searcher.search(q, tt.TopDocs(10))
+        assert [(s, a) for s, a in r] == [(s, a) for s, a in h], repr(q)
+    assert "phrase_prefix_trunc" not in (getattr(ex, "fallbacks", {}) or {})
+    # and at k=3 (k_eff quantization shares the compiled shapes)
+    res3 = ex.search_batch(qs, 3)
+    for q, r in zip(qs, res3):
+        h = searcher.search(q, tt.TopDocs(3))
+        assert [(s, a) for s, a in r] == [(s, a) for s, a in h], repr(q)
+
+
+def test_phrase_prefix_row_budget_subbatching(monkeypatch):
+    """A prefix batch whose expansion rows exceed the plan-row tier must
+    sub-batch by ROW budget (not query count) and stay exact."""
+    monkeypatch.setenv("TANTIVY_TPU_PALLAS", "1")
+    import tantivy_tpu.parallel as par
+
+    index = build_corpus(seed=11)
+    searcher = index.reader().searcher()
+    ex = BatchExecutor(searcher)
+    qs = [PhrasePrefixQuery("body", ["w00", "prefix"])for _ in range(6)]
+    qs += [PhraseQuery("body", ["w01", "w02"])]
+    # shrink the tier budget via monkeypatching _prow_tier so the 6
+    # queries (2 expansions x 3 segments each) must split
+    orig = ex._prow_tier
+    monkeypatch.setattr(
+        type(ex), "_prow_tier", staticmethod(lambda n, Tb=2: 8)
+    )
+    try:
+        res = ex.search_batch(qs, 5)
+    finally:
+        monkeypatch.setattr(type(ex), "_prow_tier", staticmethod(orig))
+    for q, r in zip(qs, res):
+        h = searcher.search(q, tt.TopDocs(5))
+        assert [(s, a) for s, a in r] == [(s, a) for s, a in h], repr(q)
