@@ -24,6 +24,8 @@ import zlib
 from pathlib import Path
 from typing import Callable, Iterable
 
+from ..utils.failpoints import FailPointError, fail_point
+
 META_FILEPATH = "meta.json"
 MANAGED_FILEPATH = ".managed.json"
 
@@ -199,6 +201,9 @@ class FsDirectory(Directory):
             f.write(data)
             f.flush()
             os.fsync(f.fileno())
+        # crash with the tmp file written but the rename not performed:
+        # the previous file contents must stay live
+        fail_point("atomic-write-rename")
         os.replace(tmp, self._p(path))
         self._notify_watchers(path)
 
@@ -317,10 +322,16 @@ class ManagedDirectory(Directory):
         for path in sorted(self._managed - living):
             if self.inner.exists(path):
                 try:
+                    fail_point("managed-dir-delete")
                     self.inner.delete(path)
                     deleted.append(path)
                 except FileDoesNotExist:
                     pass
+                except (FailPointError, OSError):
+                    # recoverable delete failure: keep the path managed so
+                    # a later GC pass retries it (reference
+                    # managed_directory.rs logs and leaves the file listed)
+                    continue
             self._managed.discard(path)
         if deleted:
             self._save_managed()

@@ -144,8 +144,12 @@ class Index:
         return IndexMeta.from_json(json.loads(raw.decode("utf-8")))
 
     def save_metas(self, meta: IndexMeta) -> None:
+        from ..utils.failpoints import fail_point
+
         payload = json.dumps(meta.to_json(), indent=1).encode("utf-8")
+        fail_point("meta-file-write")  # crash BEFORE publishing new meta
         self.directory.atomic_write(META_FILEPATH, payload)
+        fail_point("meta-file-written")  # crash after publish, before sync
         self.directory.sync_directory()
 
     def searchable_segment_metas(self) -> list[SegmentMeta]:

@@ -172,7 +172,13 @@ class IndexWriter:
                 for _ in range(n_none - 1):
                     q.put(None)
                 if sw is not None and self._worker_error is None:
-                    self._write_segment(sw, ops)
+                    try:
+                        self._write_segment(sw, ops)
+                    except BaseException as e:
+                        # a death during the shutdown flush must poison the
+                        # writer too — otherwise the commit would silently
+                        # publish without this worker's segment
+                        self._worker_error = e
                 return
 
     def _join_workers(self) -> None:
@@ -250,8 +256,12 @@ class IndexWriter:
         worker threads and the single-threaded path alike)."""
         if sw.max_doc == 0:
             return
+        from ..utils.failpoints import fail_point
         from ..utils.trace import debug_time
 
+        # crash while serializing a segment: nothing is registered, the last
+        # commit stays intact (reference "FieldSerializer::close_term" point)
+        fail_point("segment-serialize")
         with debug_time("segment.serialize", docs=sw.max_doc):
             components = sw.serialize()
         sid = new_segment_id()
@@ -488,6 +498,12 @@ class IndexWriter:
                 ]
                 if merged_meta.num_docs() > 0:
                     new_segments.append(merged_meta)
+                from ..utils.failpoints import fail_point
+
+                # crash with the merged segment fully written but the
+                # manifest swap not performed: both source segments must
+                # stay searchable, the orphan output is GC'd later
+                fail_point("merge-swap")
                 self.index.save_metas(
                     IndexMeta(
                         schema_json=self.index.schema.to_json(),
