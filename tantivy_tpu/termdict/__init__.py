@@ -1,22 +1,36 @@
 """Term dictionary: sorted term bytes -> TermInfo (term ordinal).
 
 Reference counterpart: `src/termdict/` (FST or sstable backends). TPU-first
-choice: the sstable-style *sorted dense layout* (reference
-`sstable/README.md:30-80`) — 16-term blocks of front-compressed keys
-(per-term shared-prefix length + suffix) on disk, reconstructed at open into
-a flat concat + offsets + a u64 "prefix8" companion column (the first 8 key
-bytes, big-endian, so u64 order == lexicographic order on those bytes).
+choice: the sstable layout (reference `sstable/README.md:30-80`,
+`sstable/src/dictionary.rs:40`) — terms are stored front-compressed
+(per-term `keep` prefix-share + `add` suffix length, the KeepAdd scheme) in
+64-term blocks, 16 blocks per zstd-compressed chunk, and the dictionary
+stays COMPRESSED in memory: probes decompress one chunk and decode one
+block ("one fetch per get"), never materializing the whole key set.
 
-Lookups are then vectorized host work:
-* `term_ord`/`term_ords`: one `np.searchsorted` over prefix8 narrows to the
-  (tiny) run of keys sharing 8 bytes, then full-key bisect;
-* `search_levenshtein`: length prefilter + banded edit-distance DP where
-  every DP cell is a numpy vector over all surviving terms (the batched
-  dual of the reference's Levenshtein DFA ∩ FST walk,
-  `fuzzy_query.rs:80`);
-* `search_regex`: a literal-prefix scan of the pattern prunes to a prefix
-  range before matching (reference `block_match_automaton.rs` prunes
-  blocks the same way).
+Resident state per dictionary (the two-level block index of the reference
+sstable):
+
+* `zdata`      — concatenated zstd frames, one per 1024-term chunk;
+* `chunk_off`  — byte offset of each chunk's frame in `zdata`;
+* `blk_off`    — each 64-term block's offset in the UNCOMPRESSED stream;
+* `head8`      — u64 of each block head's first 8 key bytes (big-endian,
+  so u64 order == lexicographic order on those bytes): `searchsorted`
+  narrows any probe to one block (ties on the 8-byte prefix refine by
+  decoding the tied heads).
+
+Lookups:
+* `term_ord`/`term_ords`/`range_ords`: head8 searchsorted -> decode the one
+  candidate block -> bisect (blocks decode through a small LRU).
+* `search_levenshtein`: lazy term-length column + banded edit-distance DP
+  where every DP cell is a numpy vector over the surviving terms (the
+  batched dual of the reference's Levenshtein DFA ∩ FST walk,
+  `fuzzy_query.rs:80`); the candidate byte matrix materializes only the
+  candidates' blocks.
+* `search_regex`: a literal prefix extracted from the pattern prunes to a
+  block range (reference `sstable/src/block_match_automaton.rs`), then the
+  range STREAMS block-by-block through the automaton — no whole-dict
+  decode.
 
 TermInfo is implicit: `term ordinal` indexes the per-field postings arrays
 (`term_block_start/term_num_blocks/term_doc_freq`), mirroring reference
@@ -27,178 +41,281 @@ TermInfo is implicit: `term ordinal` indexes the per-field postings arrays
 from __future__ import annotations
 
 from bisect import bisect_left, bisect_right
+from collections import OrderedDict
 from typing import Iterator
 
 import numpy as np
 
-#: terms per front-compression block (reference sstable uses 16-key blocks)
-SST_BLOCK = 16
+#: terms per front-compression block (reference sstable restarts each block)
+SST_BLOCK = 64
+#: blocks per zstd chunk (the decompression unit)
+CHUNK_BLOCKS = 16
+CHUNK_TERMS = SST_BLOCK * CHUNK_BLOCKS
 
 _P8_POW = (np.uint64(1) << (np.arange(7, -1, -1, dtype=np.uint64) * np.uint64(8)))
 
 
-def _common_prefix_len(a: bytes, b: bytes) -> int:
-    n = min(len(a), len(b))
-    i = 0
-    while i < n and a[i] == b[i]:
-        i += 1
-    return i
+def _zc():
+    import zstandard
+
+    return zstandard.ZstdCompressor(level=3)
+
+
+def _zd():
+    import zstandard
+
+    return zstandard.ZstdDecompressor()
+
+
+def _write_vint(value: int, out: bytearray) -> None:
+    while True:
+        b = value & 0x7F
+        value >>= 7
+        if value:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return
+
+
+def _read_vint(data: bytes, pos: int) -> tuple[int, int]:
+    shift = 0
+    val = 0
+    while True:
+        b = data[pos]
+        pos += 1
+        val |= (b & 0x7F) << shift
+        if not (b & 0x80):
+            return val, pos
+        shift += 7
+
+
+def _key8_of(key: bytes) -> np.uint64:
+    return np.uint64(int.from_bytes(key[:8].ljust(8, b"\0"), "big"))
 
 
 class TermDictionary:
-    def __init__(self, term_data: np.ndarray, term_offsets: np.ndarray):
-        self._data_np = np.ascontiguousarray(term_data, dtype=np.uint8)
-        self._data = self._data_np.tobytes()
-        self._offsets = np.ascontiguousarray(term_offsets, dtype=np.int64)
-        self._prefix8 = self._build_prefix8()
-        self._ascii: bool | None = None
-        self._decoded: list[str] | None = None
+    def __init__(
+        self,
+        zdata: np.ndarray,
+        chunk_off: np.ndarray,
+        blk_off: np.ndarray,
+        head8: np.ndarray,
+        n_terms: int,
+        ascii_flag: bool,
+    ):
+        self._zdata = bytes(np.ascontiguousarray(zdata, dtype=np.uint8))
+        self._chunk_off = np.ascontiguousarray(chunk_off, dtype=np.int64)
+        self._blk_off = np.ascontiguousarray(blk_off, dtype=np.int64)
+        self._head8 = np.ascontiguousarray(head8, dtype=np.uint64)
+        self._n = int(n_terms)
+        self._ascii = bool(ascii_flag)
+        #: decompressed chunk LRU (bytes of CHUNK_TERMS front-compressed keys)
+        self._chunks: OrderedDict[int, bytes] = OrderedDict()
+        #: decoded block LRU: block -> list[bytes] keys
+        self._blocks: OrderedDict[int, list] = OrderedDict()
+        self._lens: np.ndarray | None = None  # lazy per-term lengths
 
-    def _build_prefix8(self) -> np.ndarray:
-        """u64 of the first 8 bytes of every key (big-endian, zero-padded) —
-        one vectorized gather."""
-        n = len(self._offsets) - 1
-        if n == 0:
-            return np.zeros(0, dtype=np.uint64)
-        off = self._offsets[:-1]
-        lens = np.diff(self._offsets)
-        total = len(self._data_np)
-        idx = np.minimum(off[:, None] + np.arange(8), max(total - 1, 0))
-        by = self._data_np[idx].astype(np.uint64)
-        by *= (np.arange(8) < lens[:, None]).astype(np.uint64)
-        return (by * _P8_POW).sum(axis=1, dtype=np.uint64)
+    _CHUNK_CACHE = 64
+    _BLOCK_CACHE = 4096
 
-    @staticmethod
-    def _key8(key: bytes) -> np.uint64:
-        return np.uint64(int.from_bytes(key[:8].ljust(8, b"\0"), "big"))
+    # -- construction ----------------------------------------------------------
 
     @classmethod
     def from_sorted_terms(cls, terms: list[bytes]) -> "TermDictionary":
-        offsets = np.zeros(len(terms) + 1, dtype=np.int64)
+        n = len(terms)
+        if n == 0:
+            return cls(
+                np.zeros(0, np.uint8), np.zeros(1, np.int64),
+                np.zeros(1, np.int64), np.zeros(0, np.uint64), 0, True,
+            )
+        keep = _common_prefix_lens(terms)
+        keep[np.arange(0, n, SST_BLOCK)] = 0  # block restarts: full key
+
+        enc = bytearray()
+        n_blocks = -(-n // SST_BLOCK)
+        blk_off = np.zeros(n_blocks + 1, dtype=np.int64)
+        head8 = np.zeros(n_blocks, dtype=np.uint64)
         for i, t in enumerate(terms):
-            offsets[i + 1] = offsets[i] + len(t)
-        data = b"".join(terms)
-        return cls(np.frombuffer(data, dtype=np.uint8), offsets)
-
-    # -- storage: 16-term blocks of front-compressed keys ---------------------
-
-    def to_arrays(self) -> dict[str, np.ndarray]:
-        n = len(self)
-        prefix_lens = np.zeros(n, dtype=np.uint8)
-        suffixes: list[bytes] = []
-        suffix_offsets = np.zeros(n + 1, dtype=np.uint32)
-        prev = b""
-        for i in range(n):
-            t = self.term(i)
             if i % SST_BLOCK == 0:
-                pl = 0  # block restart: full key
-            else:
-                pl = min(_common_prefix_len(prev, t), 0xFF)
-            prefix_lens[i] = pl
-            suf = t[pl:]
-            suffixes.append(suf)
-            suffix_offsets[i + 1] = suffix_offsets[i] + len(suf)
-            prev = t
-        data = b"".join(suffixes)
-        return {
-            "sst_suffix_data": np.frombuffer(data, dtype=np.uint8),
-            "sst_suffix_offsets": suffix_offsets,
-            "sst_prefix_lens": prefix_lens,
-        }
+                b = i // SST_BLOCK
+                blk_off[b] = len(enc)
+                head8[b] = _key8_of(t)
+            kp = int(keep[i])
+            _write_vint(kp, enc)
+            _write_vint(len(t) - kp, enc)
+            enc += t[kp:]
+        blk_off[n_blocks] = len(enc)
+
+        raw = bytes(enc)
+        comp = _zc()
+        n_chunks = -(-n_blocks // CHUNK_BLOCKS)
+        chunk_off = np.zeros(n_chunks + 1, dtype=np.int64)
+        frames = []
+        for c in range(n_chunks):
+            lo = int(blk_off[c * CHUNK_BLOCKS])
+            hi = int(blk_off[min((c + 1) * CHUNK_BLOCKS, n_blocks)])
+            frames.append(comp.compress(raw[lo:hi]))
+            chunk_off[c + 1] = chunk_off[c] + len(frames[-1])
+        zdata = np.frombuffer(b"".join(frames), dtype=np.uint8)
+        # ascii-ness of all terms == ascii-ness of the suffix stream
+        # (prefixes are built from earlier suffix bytes)
+        raw_a = np.frombuffer(raw, dtype=np.uint8)
+        ascii_flag = bool(len(raw_a) == 0 or int(raw_a.max()) < 128)
+        return cls(zdata, chunk_off, blk_off, head8, n, ascii_flag)
 
     @classmethod
     def from_arrays(cls, arrays: dict[str, np.ndarray]) -> "TermDictionary":
-        if "term_data" in arrays:  # round-1 uncompressed layout
-            return cls(arrays["term_data"], arrays["term_offsets"])
+        if "sst_zdata" in arrays:
+            return cls(
+                arrays["sst_zdata"],
+                arrays["sst_chunk_off"],
+                arrays["sst_blk_off"],
+                arrays["sst_head8"].view(np.uint64),
+                int(np.asarray(arrays["sst_n_terms"])[0]),
+                bool(np.asarray(arrays["sst_ascii"])[0]),
+            )
+        # legacy layouts (round-1 raw concat / round-4 resident
+        # front-compression): decode fully, rebuild in the current form
+        if "term_data" in arrays:
+            data = bytes(
+                np.ascontiguousarray(arrays["term_data"], dtype=np.uint8)
+            )
+            off = np.asarray(arrays["term_offsets"], dtype=np.int64)
+            terms = [data[off[i]: off[i + 1]] for i in range(len(off) - 1)]
+            return cls.from_sorted_terms(terms)
         pl = np.asarray(arrays["sst_prefix_lens"], dtype=np.int64)
         soff = np.asarray(arrays["sst_suffix_offsets"], dtype=np.int64)
-        sdata = np.ascontiguousarray(arrays["sst_suffix_data"], dtype=np.uint8)
-        n = len(pl)
-        slens = np.diff(soff)
-        lens = pl + slens
-        offsets = np.zeros(n + 1, dtype=np.int64)
-        np.cumsum(lens, out=offsets[1:])
-        out = np.empty(int(offsets[-1]), dtype=np.uint8)
+        sdata = bytes(
+            np.ascontiguousarray(arrays["sst_suffix_data"], dtype=np.uint8)
+        )
+        terms = []
+        prev = b""
+        for i in range(len(pl)):
+            # legacy block length was 16; restarts carry pl == 0 anyway
+            t = prev[: pl[i]] + sdata[soff[i]: soff[i + 1]]
+            terms.append(t)
+            prev = t
+        return cls.from_sorted_terms(terms)
 
-        def _run_scatter(dst_starts, src_starts, run_lens, src):
-            """out[dst_starts[i] + j] = src[src_starts[i] + j] for j < len[i],
-            fully vectorized."""
-            total = int(run_lens.sum())
-            if total == 0:
-                return
-            starts = np.zeros(len(run_lens), dtype=np.int64)
-            np.cumsum(run_lens[:-1], out=starts[1:])
-            within = np.arange(total, dtype=np.int64) - np.repeat(starts, run_lens)
-            out[np.repeat(dst_starts, run_lens) + within] = src[
-                np.repeat(src_starts, run_lens) + within
-            ]
+    def to_arrays(self) -> dict[str, np.ndarray]:
+        return {
+            "sst_zdata": np.frombuffer(self._zdata, dtype=np.uint8),
+            "sst_chunk_off": self._chunk_off,
+            "sst_blk_off": self._blk_off,
+            "sst_head8": self._head8.view(np.int64),
+            "sst_n_terms": np.asarray([self._n], dtype=np.int64),
+            "sst_ascii": np.asarray([int(self._ascii)], dtype=np.int64),
+        }
 
-        # all suffix bytes land in one scatter; prefix chains resolve in
-        # SST_BLOCK-1 vectorized steps (position p copies from position p-1,
-        # already materialized)
-        _run_scatter(offsets[:-1] + pl, soff[:-1], slens, sdata)
-        pos = np.arange(n) % SST_BLOCK
-        for p in range(1, SST_BLOCK):
-            sel = np.nonzero((pos == p) & (pl > 0))[0]
-            if len(sel) == 0:
-                continue
-            _run_scatter(offsets[sel], offsets[sel - 1], pl[sel], out)
-        return cls(out, offsets)
+    # -- block decode ------------------------------------------------------------
+
+    def _chunk(self, c: int) -> bytes:
+        got = self._chunks.get(c)
+        if got is not None:
+            self._chunks.move_to_end(c)
+            return got
+        lo, hi = int(self._chunk_off[c]), int(self._chunk_off[c + 1])
+        raw = _zd().decompress(self._zdata[lo:hi])
+        self._chunks[c] = raw
+        if len(self._chunks) > self._CHUNK_CACHE:
+            self._chunks.popitem(last=False)
+        return raw
+
+    def _n_blocks(self) -> int:
+        return len(self._head8)
+
+    def _block(self, b: int) -> list:
+        """Decoded keys of block b (<= SST_BLOCK entries)."""
+        got = self._blocks.get(b)
+        if got is not None:
+            self._blocks.move_to_end(b)
+            return got
+        c = b // CHUNK_BLOCKS
+        raw = self._chunk(c)
+        base = int(self._blk_off[c * CHUNK_BLOCKS])
+        pos = int(self._blk_off[b]) - base
+        end = int(self._blk_off[b + 1]) - base
+        n_here = min(SST_BLOCK, self._n - b * SST_BLOCK)
+        keys = []
+        prev = b""
+        for _ in range(n_here):
+            if pos >= end:
+                break
+            kp, pos = _read_vint(raw, pos)
+            ad, pos = _read_vint(raw, pos)
+            t = prev[:kp] + raw[pos: pos + ad]
+            pos += ad
+            keys.append(t)
+            prev = t
+        self._blocks[b] = keys
+        if len(self._blocks) > self._BLOCK_CACHE:
+            self._blocks.popitem(last=False)
+        return keys
 
     def __len__(self) -> int:
-        return len(self._offsets) - 1
+        return self._n
 
     def term(self, ordinal: int) -> bytes:
-        return self._data[self._offsets[ordinal] : self._offsets[ordinal + 1]]
+        if ordinal < 0 or ordinal >= self._n:
+            raise IndexError(ordinal)
+        return self._block(ordinal // SST_BLOCK)[ordinal % SST_BLOCK]
 
     # -- lookups ---------------------------------------------------------------
 
+    def _candidate_block(self, key: bytes) -> int:
+        """Largest block whose head <= key, or -1 if key < head(0)."""
+        nb = self._n_blocks()
+        if nb == 0:
+            return -1
+        k8 = _key8_of(key)
+        lo8 = int(np.searchsorted(self._head8, k8, side="left"))
+        hi8 = int(np.searchsorted(self._head8, k8, side="right"))
+        if lo8 == hi8:
+            return lo8 - 1
+        heads = _HeadView(self)
+        return bisect_right(heads, key, lo8, hi8) - 1
+
     def _bisect(self, key: bytes, side: str) -> int:
-        """prefix8 searchsorted narrows to the run of keys sharing the first
-        8 bytes; full-key bisect resolves within it."""
-        k8 = self._key8(key)
-        lo = int(np.searchsorted(self._prefix8, k8, side="left"))
-        hi = int(np.searchsorted(self._prefix8, k8, side="right"))
-        if lo == hi:
-            return lo
-        view = _View(self)
-        if side == "left":
-            return bisect_left(view, key, lo, hi)
-        return bisect_right(view, key, lo, hi)
+        b = self._candidate_block(key)
+        if b < 0:
+            return 0
+        keys = self._block(b)
+        fn = bisect_left if side == "left" else bisect_right
+        return b * SST_BLOCK + fn(keys, key)
 
     def term_ord(self, key: bytes) -> int | None:
-        """Exact lookup -> term ordinal, or None. One prefix8 searchsorted +
-        a scan of the (tiny) equal-prefix8 run."""
-        k8 = self._key8(key)
-        p8 = self._prefix8
-        i = int(np.searchsorted(p8, k8, side="left"))
-        n = len(self)
-        while i < n and p8[i] == k8:
-            t = self.term(i)
-            if t == key:
-                return i
-            if t > key:
-                return None
-            i += 1
+        b = self._candidate_block(key)
+        if b < 0:
+            return None
+        keys = self._block(b)
+        i = bisect_left(keys, key)
+        if i < len(keys) and keys[i] == key:
+            return b * SST_BLOCK + i
         return None
 
     def term_ords(self, keys: list[bytes]) -> np.ndarray:
-        """Batch exact lookup -> int64 ordinals (-1 where absent)."""
+        """Batch exact lookup -> int64 ordinals (-1 where absent). One
+        vectorized head8 searchsorted narrows every key to a block; block
+        decodes ride the LRU."""
         n = len(keys)
         out = np.full(n, -1, dtype=np.int64)
-        if n == 0 or len(self) == 0:
+        if n == 0 or self._n == 0:
             return out
-        k8 = np.array([self._key8(k) for k in keys], dtype=np.uint64)
-        lo = np.searchsorted(self._prefix8, k8, side="left")
-        hi = np.searchsorted(self._prefix8, k8, side="right")
-        view = _View(self)
+        k8 = np.array([_key8_of(k) for k in keys], dtype=np.uint64)
+        lo8 = np.searchsorted(self._head8, k8, side="left")
+        hi8 = np.searchsorted(self._head8, k8, side="right")
+        heads = _HeadView(self)
         for r in range(n):
-            a, b = int(lo[r]), int(hi[r])
-            if a == b:
+            b = int(lo8[r]) - 1
+            if lo8[r] != hi8[r]:
+                b = bisect_right(heads, keys[r], int(lo8[r]), int(hi8[r])) - 1
+            if b < 0:
                 continue
-            i = bisect_left(view, keys[r], a, b)
-            if i < len(self) and self.term(i) == keys[r]:
-                out[r] = i
+            blk = self._block(b)
+            i = bisect_left(blk, keys[r])
+            if i < len(blk) and blk[i] == keys[r]:
+                out[r] = b * SST_BLOCK + i
         return out
 
     def range_ords(
@@ -212,7 +329,7 @@ class TermDictionary:
         lo = 0
         if lower is not None:
             lo = self._bisect(lower, "left" if include_lower else "right")
-        hi = len(self)
+        hi = self._n
         if upper is not None:
             hi = self._bisect(upper, "right" if include_upper else "left")
         return range(lo, max(lo, hi))
@@ -220,8 +337,7 @@ class TermDictionary:
     def prefix_ords(self, prefix: bytes) -> range:
         """Ordinals of terms starting with `prefix`."""
         if not prefix:
-            return range(len(self))
-        # upper bound: prefix with last byte incremented (with carry)
+            return range(self._n)
         upper = bytearray(prefix)
         while upper and upper[-1] == 0xFF:
             upper.pop()
@@ -231,28 +347,53 @@ class TermDictionary:
         return self.range_ords(prefix, None)
 
     def stream(self) -> Iterator[tuple[int, bytes]]:
-        for i in range(len(self)):
-            yield i, self.term(i)
+        i = 0
+        for b in range(self._n_blocks()):
+            for t in self._block(b):
+                yield i, t
+                i += 1
 
     # -- automaton search -------------------------------------------------------
 
     def _is_ascii(self) -> bool:
-        if self._ascii is None:
-            self._ascii = bool(
-                len(self._data_np) == 0 or int(self._data_np.max()) < 128
-            )
         return self._ascii
 
-    def decoded_terms(self) -> list[str]:
-        """All terms as strings, decoded once and cached."""
-        if self._decoded is None:
-            data = self._data
-            off = self._offsets
-            self._decoded = [
-                data[off[i] : off[i + 1]].decode("utf-8", errors="replace")
-                for i in range(len(self))
-            ]
-        return self._decoded
+    def term_lens(self) -> np.ndarray:
+        """Per-term byte lengths (lazy; ONE pass over the compressed
+        stream — lengths decode from the KeepAdd headers without
+        materializing any key)."""
+        if self._lens is None:
+            lens = np.zeros(self._n, dtype=np.int32)
+            i = 0
+            nb = self._n_blocks()
+            for b in range(nb):
+                c = b // CHUNK_BLOCKS
+                raw = self._chunk(c)
+                base = int(self._blk_off[c * CHUNK_BLOCKS])
+                pos = int(self._blk_off[b]) - base
+                end = int(self._blk_off[b + 1]) - base
+                while pos < end and i < self._n:
+                    kp, pos = _read_vint(raw, pos)
+                    ad, pos = _read_vint(raw, pos)
+                    pos += ad
+                    lens[i] = kp + ad
+                    i += 1
+            self._lens = lens
+        return self._lens
+
+    def _materialize(self, ords: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        """(concat u8, offsets int64) of the given ordinals' key bytes —
+        decodes only the blocks the ordinals touch."""
+        parts = []
+        offsets = np.zeros(len(ords) + 1, dtype=np.int64)
+        total = 0
+        for r, o in enumerate(ords):
+            t = self.term(int(o))
+            parts.append(t)
+            total += len(t)
+            offsets[r + 1] = total
+        data = np.frombuffer(b"".join(parts), dtype=np.uint8)
+        return data, offsets
 
     def search_levenshtein(
         self, target: str, k: int, transposition: bool = False,
@@ -263,7 +404,7 @@ class TermDictionary:
         back to the scalar matcher otherwise."""
         from ..query.automaton_queries import levenshtein_within
 
-        if not (self._is_ascii() and target.isascii()) or len(self) == 0:
+        if not (self._is_ascii() and target.isascii()) or self._n == 0:
             out = []
             for i, tb in self.stream():
                 text = tb.decode("utf-8", errors="replace")
@@ -273,7 +414,7 @@ class TermDictionary:
                     out.append(i)
             return out
 
-        lens = np.diff(self._offsets)
+        lens = self.term_lens()
         if prefix:
             eff_lens = np.minimum(lens, len(target))
         else:
@@ -281,14 +422,14 @@ class TermDictionary:
         cand = np.nonzero(np.abs(eff_lens - len(target)) <= k)[0]
         if len(cand) == 0:
             return []
-        # padded byte matrix of the candidates (only first len(target)+k
-        # bytes matter)
         L = len(target) + k
-        off = self._offsets[cand]
+        data, off = self._materialize(cand)
         clens = np.minimum(eff_lens[cand], L).astype(np.int64)
-        total = len(self._data_np)
-        idx = np.minimum(off[:, None] + np.arange(max(L, 1)), max(total - 1, 0))
-        mat = self._data_np[idx]
+        total = len(data)
+        idx = np.minimum(
+            off[:-1, None] + np.arange(max(L, 1)), max(total - 1, 0)
+        )
+        mat = data[idx] if total else np.zeros((len(cand), max(L, 1)), np.uint8)
         ok = _banded_levenshtein_leq(
             np.frombuffer(target.encode("ascii"), dtype=np.uint8),
             mat, clens, k, transposition,
@@ -297,30 +438,33 @@ class TermDictionary:
 
     def search_regex(self, pattern) -> list[int]:
         """Ordinals whose term full-matches `pattern` (compiled re). A
-        literal prefix extracted from the pattern prunes the scan range."""
+        literal prefix extracted from the pattern prunes the scan range;
+        candidate blocks STREAM through the automaton (reference
+        `block_match_automaton.rs` — no whole-dictionary decode)."""
         lit = _literal_prefix(pattern.pattern)
-        rng = self.prefix_ords(lit.encode("utf-8")) if lit else range(len(self))
-        if len(rng) < len(self) // 4:
-            # pruned range: decode only the candidates
-            data, off = self._data, self._offsets
-            return [
-                i
-                for i in rng
-                if pattern.fullmatch(
-                    data[off[i] : off[i + 1]].decode("utf-8", errors="replace")
-                )
-            ]
-        decoded = self.decoded_terms()
-        return [i for i in rng if pattern.fullmatch(decoded[i])]
+        rng = self.prefix_ords(lit.encode("utf-8")) if lit else range(self._n)
+        out = []
+        if len(rng) == 0:
+            return out
+        b0, b1 = rng.start // SST_BLOCK, (rng.stop - 1) // SST_BLOCK
+        for b in range(b0, b1 + 1):
+            base = b * SST_BLOCK
+            for j, t in enumerate(self._block(b)):
+                i = base + j
+                if i < rng.start or i >= rng.stop:
+                    continue
+                if pattern.fullmatch(t.decode("utf-8", errors="replace")):
+                    out.append(i)
+        return out
 
     def search_automaton(self, accepts) -> list[int]:
         """Ordinals of terms accepted by `accepts: bytes -> bool` — generic
         fallback (reference `automaton_weight.rs`)."""
-        return [i for i in range(len(self)) if accepts(self.term(i))]
+        return [i for i, t in self.stream() if accepts(t)]
 
 
-class _View:
-    """List-like adapter for bisect over the concatenated keys."""
+class _HeadView:
+    """List-like adapter for bisect over block head keys."""
 
     __slots__ = ("td",)
 
@@ -328,10 +472,42 @@ class _View:
         self.td = td
 
     def __len__(self):
-        return len(self.td)
+        return self.td._n_blocks()
 
-    def __getitem__(self, i):
-        return self.td.term(i)
+    def __getitem__(self, b):
+        return self.td._block(b)[0]
+
+
+def _common_prefix_lens(terms: list[bytes]) -> np.ndarray:
+    """keep[i] = common prefix length of terms[i-1], terms[i] (keep[0]=0) —
+    vectorized over the first 64 bytes, exact Python extension for the
+    rare longer-shared-prefix rows (JSON path terms)."""
+    n = len(terms)
+    keep = np.zeros(n, dtype=np.int64)
+    if n < 2:
+        return keep
+    lens = np.fromiter((len(t) for t in terms), np.int64, n)
+    W = int(min(max(lens.max(), 1), 64))
+    data = np.frombuffer(b"".join(terms), dtype=np.uint8)
+    off = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(lens, out=off[1:])
+    total = len(data)
+    idx = np.minimum(off[:-1, None] + np.arange(W), max(total - 1, 0))
+    mat = data[idx] if total else np.zeros((n, W), np.uint8)
+    minlen = np.minimum(lens[1:], lens[:-1])
+    eq = (mat[1:] == mat[:-1]) & (np.arange(W) < minlen[:, None])
+    allw = eq.all(axis=1)
+    cpl = np.where(allw, np.minimum(W, minlen), np.argmin(eq, axis=1))
+    keep[1:] = cpl
+    # rows whose shared prefix may extend past the vectorized window
+    for r in np.nonzero(allw & (minlen > W))[0]:
+        a, b = terms[r], terms[r + 1]
+        i = W
+        m = int(minlen[r])
+        while i < m and a[i] == b[i]:
+            i += 1
+        keep[r + 1] = i
+    return keep
 
 
 def _has_toplevel_alternation(pattern: str) -> bool:
