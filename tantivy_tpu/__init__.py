@@ -35,6 +35,11 @@ from .collector import (  # noqa: F401
     MultiCollector,
     TopDocs,
 )
+from .collector.sort_key import (  # noqa: F401
+    SortByCallable,
+    SortByFastField,
+    SortByScore,
+)
 from .query import (  # noqa: F401
     AllQuery,
     BooleanQuery,

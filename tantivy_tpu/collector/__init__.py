@@ -82,6 +82,17 @@ class TopDocs(Collector):
     def order_by_score(self) -> "TopDocs":
         return self
 
+    def order_by(self, computers):
+        """General (SortKeyComputer, Order) sort keys, incl. lexicographic
+        tuples of up to 4 components (reference
+        `top_score_collector.rs:322`, `collector/sort_key/`). `computers`
+        is a component, a `(component, "asc"/"desc")` pair, or a list of
+        either; components are `SortByScore()`, `SortByFastField(field)`,
+        or `SortByCallable(fn)` (see `collector/sort_key.py`)."""
+        from .sort_key import TopDocsBySortKey
+
+        return TopDocsBySortKey(self.limit, self.offset, computers)
+
     def tweak_score(self, score_fn: Callable):
         return TopDocsTweaked(self.limit, self.offset, score_fn)
 
