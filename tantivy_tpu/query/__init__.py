@@ -335,6 +335,14 @@ class AllWeight(Weight):
         docs = np.arange(segment_reader.max_doc, dtype=np.uint32)
         return SegmentResult(docs, np.ones(len(docs), dtype=np.float32))
 
+    def count(self, segment_reader) -> int:
+        # O(1): num_docs from the manifest — no arange materialization
+        # (reference all_query.rs Weight::count)
+        alive = segment_reader.alive_bitset()
+        if alive is None:
+            return int(segment_reader.max_doc)
+        return int(np.count_nonzero(alive))
+
 
 class EmptyQuery(Query):
     def weight(self, searcher, scoring: bool = True) -> "Weight":

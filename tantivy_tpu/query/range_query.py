@@ -100,13 +100,17 @@ class TermRangeWeight(Weight):
         ords = inv.termdict.range_ords(
             lower, upper, self.q.include_lower, self.q.include_upper
         )
-        parts = []
+        if len(ords) == 0:
+            return SegmentResult.empty()
+        # bitmap-accumulated union (reference `range_query.rs` collects the
+        # term range into a BitSetDocSet, `src/query/bitset/mod.rs`): peak
+        # memory is O(max_doc) bits + one posting list, not the
+        # concatenation of every term's postings
+        bits = np.zeros(segment_reader.max_doc, dtype=bool)
         for o in ords:
             docs, _ = inv.read_postings(o)
-            parts.append(docs)
-        if not parts:
-            return SegmentResult.empty()
-        docs = np.unique(np.concatenate(parts))
+            bits[docs] = True
+        docs = np.nonzero(bits)[0].astype(np.uint32)
         return SegmentResult(docs, np.ones(len(docs), dtype=np.float32))
 
 
