@@ -67,11 +67,18 @@ def _synthetic_token_stream(rng, n_tokens=400_000, vocab=30_000):
     return list(rng.choice(words, n_tokens, p=probs))
 
 
+#: bump to invalidate cached bench indexes when the bench schema changes
+SCHEMA_V = 2
+
+
 def _scaled_schema():
     import tantivy_tpu as tt
 
     b = tt.Schema.builder()
-    b.add_text_field("body", tt.TEXT)
+    # body STORED: the doc-fetch suite reads real row payloads back
+    # (reference treats store reads as a first-class perf surface,
+    # `src/store/reader.rs:25,63`)
+    b.add_text_field("body", tt.TEXT | tt.STORED_TEXT)
     b.add_u64_field("score", tt.FAST)
     b.add_f64_field("score_f64", tt.FAST)
     b.add_u64_field("ts", tt.FAST)
@@ -112,11 +119,14 @@ def _open_or_build(name, docs_fn, n_docs, with_fast=False, commit_every=None):
     info_path = path / "bench_build_info.json"
     if (path / "meta.json").exists():
         try:
+            info = (
+                json.loads(info_path.read_text()) if info_path.exists()
+                else {}
+            )
+            if info.get("schema_v") != SCHEMA_V:
+                raise ValueError("bench schema changed; rebuild")
             index = tt.Index.open_in_dir(path)
-            build_s = 0.0
-            if info_path.exists():
-                build_s = json.loads(info_path.read_text())["build_s"]
-            return index, build_s
+            return index, info.get("build_s", 0.0)
         except Exception:
             import shutil
 
@@ -125,7 +135,9 @@ def _open_or_build(name, docs_fn, n_docs, with_fast=False, commit_every=None):
     index, build_s = _build_index(
         path, docs_fn(), n_docs, with_fast, commit_every=commit_every
     )
-    info_path.write_text(json.dumps({"build_s": build_s, "docs": n_docs}))
+    info_path.write_text(json.dumps(
+        {"build_s": build_s, "docs": n_docs, "schema_v": SCHEMA_V}
+    ))
     return index, build_s
 
 
@@ -411,6 +423,39 @@ def run_range_suite(searcher, executor, n_docs):
     }
 
 
+def run_docfetch_suite(searcher, executor, stream):
+    """Batched `searcher.docs()` over the top-K addresses of term batches
+    (the post-ranking fetch of a real serving path). Reference bar:
+    `store/reader.rs:25,63` block-cached reads."""
+    rng = np.random.default_rng(55)
+    logs = make_query_log(searcher, stream, rng, BATCH * 3)
+    addr_sets = []
+    for b in range(3):
+        hits = executor.search_batch(logs["term"][b * BATCH:(b + 1) * BATCH],
+                                     K)
+        addr_sets.append([a for h in hits for _, a in h])
+    # warm one set (store LRU + JSON decode code paths)
+    docs = searcher.docs(addr_sets[0])
+    ok = all(
+        d is not None and d.get_first("body") is not None for d in docs[:32]
+    )
+    fetched = 0
+    t0 = time.time()
+    for addrs in addr_sets:
+        fetched += len(searcher.docs(addrs))
+    dt = time.time() - t0
+    stats = searcher.doc_store_cache_stats()
+    return {
+        "docs_per_s": round(fetched / dt, 1),
+        "fetched": fetched,
+        "stored_ok": ok,
+        "cache_hit_rate": round(
+            stats["cache_hits"]
+            / max(stats["cache_hits"] + stats["cache_misses"], 1), 3,
+        ),
+    }
+
+
 def _agg_goldens(searcher, results, n_docs):
     """Golden exactness gate: recompute avg/stats/histogram/terms/range/
     composite straight from the raw fast-field columns in plain numpy
@@ -582,6 +627,7 @@ def main():
         if with_fast:
             res["range"] = run_range_suite(searcher, executor, n_docs)
             res["agg"] = run_agg_suite(searcher, executor, n_docs)
+            res["docfetch"] = run_docfetch_suite(searcher, executor, stream)
         detail["corpora"][name] = res
         if with_fast:
             all_qps = [res[k]["qps"] for k in ("term", "and", "or", "phrase")]

@@ -53,6 +53,22 @@ class Searcher:
     def doc(self, address: DocAddress):
         return self._segment_readers[address.segment_ord].doc(address.doc_id)
 
+    def docs(self, addresses: list) -> list:
+        """Batched document fetch, input-order results. Addresses group by
+        segment and fetch in doc-id order so each ~16KB store block
+        decompresses once and stays hot in the LRU while its docs drain
+        (reference `store/reader.rs:25,63` block cache)."""
+        out = [None] * len(addresses)
+        by_seg: dict[int, list[int]] = {}
+        for i, a in enumerate(addresses):
+            by_seg.setdefault(a.segment_ord, []).append(i)
+        for seg, idxs in by_seg.items():
+            reader = self._segment_readers[seg]
+            idxs.sort(key=lambda i: addresses[i].doc_id)
+            for i in idxs:
+                out[i] = reader.doc(addresses[i].doc_id)
+        return out
+
     def doc_freq(self, term) -> int:
         return sum(
             r.inverted_index(term.field).doc_freq(term.value_bytes)

@@ -415,3 +415,29 @@ class TestReaderReload:
         assert reader.searcher().num_docs() == 0
         reader.reload()
         assert reader.searcher().num_docs() == 1
+
+
+def test_batched_docs_fetch():
+    """Searcher.docs: input-order batched fetch grouped by (segment,
+    block) (reference `store/reader.rs:25,63` block-cached reads)."""
+    b = tt.Schema.builder()
+    b.add_text_field("body", tt.TEXT | tt.STORED_TEXT)
+    index = tt.Index.create_in_ram(b.build())
+    w = index.writer_for_tests()
+    from tantivy_tpu.indexer.merge_policy import NoMergePolicy
+
+    w.set_merge_policy(NoMergePolicy())
+    for seg in range(2):
+        for i in range(40):
+            w.add_document(tt.Document(body=f"doc s{seg} n{i}"))
+        w.commit()
+    s = index.reader().searcher()
+    addrs = [
+        tt.DocAddress(1, 7), tt.DocAddress(0, 39), tt.DocAddress(0, 0),
+        tt.DocAddress(1, 0), tt.DocAddress(0, 7),
+    ]
+    docs = s.docs(addrs)
+    assert [d.get_first("body") for d in docs] == [
+        "doc s1 n7", "doc s0 n39", "doc s0 n0", "doc s1 n0", "doc s0 n7",
+    ]
+    assert s.doc(addrs[0]).get_first("body") == "doc s1 n7"
