@@ -24,8 +24,16 @@ from .segment_reader import SegmentReader
 
 
 class ReloadPolicy(str, Enum):
+    """Reference `src/reader/mod.rs:21`: Manual / OnCommitWithDelay.
+    ON_COMMIT reloads synchronously in the watch callback;
+    ON_COMMIT_WITH_DELAY debounces bursts of commits — the reload runs on
+    a background thread after `reload_delay_s`, coalescing every commit
+    that lands in the window into one searcher generation (and one warmer
+    pass — exactly where device-store warming wants coalescing)."""
+
     MANUAL = "manual"
     ON_COMMIT = "on_commit"
+    ON_COMMIT_WITH_DELAY = "on_commit_with_delay"
 
 
 class IndexSettings:
@@ -182,8 +190,11 @@ class Index:
 
         return IndexWriter(self, merge_policy=NoMergePolicy(), num_threads=1)
 
-    def reader(self, reload_policy: ReloadPolicy = ReloadPolicy.ON_COMMIT) -> "IndexReader":
-        return IndexReader(self, reload_policy)
+    def reader(self, reload_policy: ReloadPolicy = ReloadPolicy.ON_COMMIT,
+               warmers: list | None = None,
+               reload_delay_s: float = 0.1) -> "IndexReader":
+        return IndexReader(self, reload_policy, warmers=warmers,
+                           reload_delay_s=reload_delay_s)
 
     # -- convenience ---------------------------------------------------------
 
@@ -203,16 +214,23 @@ class IndexReader:
     """Searcher factory with reload policy (reference `src/reader/`)."""
 
     def __init__(self, index: Index, reload_policy: ReloadPolicy,
-                 warmers: list | None = None):
+                 warmers: list | None = None, reload_delay_s: float = 0.1):
         self.index = index
         self.reload_policy = reload_policy
+        self.reload_delay_s = reload_delay_s
         self._warmers = list(warmers or [])
         self._lock = threading.Lock()
         self._searcher: Searcher | None = None
         self._watch_handle = None
+        self._delay_timer: threading.Timer | None = None
+        self._timer_lock = threading.Lock()
         self.reload()
         if reload_policy == ReloadPolicy.ON_COMMIT:
             self._watch_handle = index.directory.watch(self._on_commit)
+        elif reload_policy == ReloadPolicy.ON_COMMIT_WITH_DELAY:
+            self._watch_handle = index.directory.watch(
+                self._on_commit_delayed
+            )
 
     def _on_commit(self) -> None:
         try:
@@ -220,10 +238,32 @@ class IndexReader:
         except Exception:
             pass
 
+    def _on_commit_delayed(self) -> None:
+        """Debounced reload (reference OnCommitWithDelay,
+        `src/reader/mod.rs:21`): restart the timer on every commit so a
+        burst coalesces into ONE reload + warm pass after the window."""
+        with self._timer_lock:
+            if self._delay_timer is not None:
+                self._delay_timer.cancel()
+            t = threading.Timer(self.reload_delay_s, self._on_commit)
+            t.daemon = True
+            self._delay_timer = t
+            t.start()
+
     def reload(self) -> None:
         metas = self.index.load_metas()
+        with self._lock:
+            prev = self._searcher
+        # reuse readers of unchanged segments from the previous generation:
+        # their lazily-built caches (decoded postings, device slabs) carry
+        # over, so an incremental commit only pays for its new segments
+        old = {}
+        if prev is not None:
+            for r in prev.segment_readers():
+                old[(r.meta.segment_id, r.meta.delete_opstamp)] = r
         readers = [
-            SegmentReader(m, self.index.directory, self.index.schema)
+            old.get((m.segment_id, m.delete_opstamp))
+            or SegmentReader(m, self.index.directory, self.index.schema)
             for m in metas.segments
         ]
         searcher = Searcher(self.index, readers)

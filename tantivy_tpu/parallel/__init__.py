@@ -187,8 +187,56 @@ def _phase2_keep(ub, blk_base, seg_ord, th, th_seg, th_doc):
     return (ub > th) | ((ub == th) & ~later)
 
 
+class DeviceSearchWarmer:
+    """Warmer (reference `src/reader/warming.rs:14`) that pre-builds the
+    device search state for each new searcher generation: the fused HBM
+    slabs for `fields` on every segment (+ position store if phrases are
+    expected), and — on the first generation — the compiled shape grid via
+    `BatchExecutor.prewarm` (later generations reuse the persistent
+    compilation cache, so re-warming shapes is free). The warmed executor
+    is stashed on the searcher; fetch it with
+    `BatchExecutor.for_searcher(searcher)` so the first post-commit query
+    pays neither HBM uploads nor compiles. Combined with IndexReader's
+    reader reuse, an incremental commit only uploads its new segments'
+    slabs."""
+
+    def __init__(self, fields: list, queries_hint: list | None = None,
+                 k: int = 10, with_positions: bool = False,
+                 mode: str = "dense"):
+        self.fields = list(fields)
+        self.queries_hint = queries_hint
+        self.k = k
+        self.with_positions = with_positions
+        self.mode = mode
+        self._shapes_warmed = False
+
+    def warm(self, searcher) -> None:
+        ex = BatchExecutor(searcher, mode=self.mode)
+        for seg_ord in range(len(searcher.segment_readers())):
+            for f in self.fields:
+                ex._ensure_fused_slab(seg_ord, f)
+        fused = ex._fused().ready()
+        if self.with_positions and fused.slabs:
+            fused.ensure_positions()
+        if self.queries_hint and not self._shapes_warmed:
+            ex.prewarm(self.queries_hint, k=self.k)
+            self._shapes_warmed = True
+        searcher._warm_executor = ex
+
+
 class BatchExecutor:
     """Executes homogeneous batches of term queries on device."""
+
+    @classmethod
+    def for_searcher(cls, searcher: Searcher,
+                     mode: str = "dense") -> "BatchExecutor":
+        """The searcher's warmed executor if a DeviceSearchWarmer ran on
+        this generation (HBM slabs + shapes already hot), else a fresh
+        one."""
+        ex = getattr(searcher, "_warm_executor", None)
+        if ex is not None and ex.mode == mode:
+            return ex
+        return cls(searcher, mode=mode)
 
     def __init__(self, searcher: Searcher, mode: str = "dense"):
         self.searcher = searcher

@@ -73,3 +73,85 @@ def test_tracer_spans_and_chrome_trace(tmp_path):
     data = json.load(open(path))
     evs = data["traceEvents"] if isinstance(data, dict) else data
     assert any(e.get("name") == "unit.test_span" for e in evs)
+
+
+def test_reload_policy_on_commit_with_delay():
+    """ON_COMMIT_WITH_DELAY debounces a burst of commits into one reload
+    (reference OnCommitWithDelay, `src/reader/mod.rs:21`)."""
+    import time
+
+    b = tt.Schema.builder()
+    b.add_text_field("body", tt.TEXT)
+    index = tt.Index.create_in_ram(b.build())
+    w = index.writer_for_tests()
+    w.add_document(tt.Document(body="alpha"))
+    w.commit()
+
+    from tantivy_tpu.index import ReloadPolicy
+
+    reloads = []
+    reader = index.reader(ReloadPolicy.ON_COMMIT_WITH_DELAY,
+                          reload_delay_s=0.15)
+    orig = reader.reload
+
+    def counting():
+        reloads.append(time.time())
+        orig()
+
+    reader.reload = counting
+    for i in range(4):  # burst: 4 commits inside one window
+        w.add_document(tt.Document(body=f"bravo {i}"))
+        w.commit()
+    assert reloads == []  # nothing reloaded synchronously
+    deadline = time.time() + 3.0
+    while time.time() < deadline:
+        s = reader.searcher()
+        from tantivy_tpu.collector import Count
+
+        if s.search(index.parse_query("bravo", ["body"]), Count()) == 4:
+            break
+        time.sleep(0.02)
+    assert len(reloads) == 1  # the burst coalesced
+
+
+def test_reload_reuses_unchanged_segment_readers():
+    b = tt.Schema.builder()
+    b.add_text_field("body", tt.TEXT)
+    index = tt.Index.create_in_ram(b.build())
+    w = index.writer_for_tests()
+    from tantivy_tpu.indexer.merge_policy import NoMergePolicy
+
+    w.set_merge_policy(NoMergePolicy())
+    w.add_document(tt.Document(body="alpha"))
+    w.commit()
+    from tantivy_tpu.index import ReloadPolicy
+
+    reader = index.reader(ReloadPolicy.MANUAL)
+    first = reader.searcher().segment_readers()
+    w.add_document(tt.Document(body="bravo"))
+    w.commit()
+    reader.reload()
+    second = reader.searcher().segment_readers()
+    assert len(second) == 2
+    assert any(r is first[0] for r in second)  # unchanged segment reused
+
+
+def test_device_search_warmer_stashes_executor():
+    b = tt.Schema.builder()
+    b.add_text_field("body", tt.TEXT)
+    index = tt.Index.create_in_ram(b.build())
+    w = index.writer_for_tests()
+    w.add_document(tt.Document(body="alpha bravo"))
+    w.commit()
+    from tantivy_tpu.index import ReloadPolicy
+    from tantivy_tpu.parallel import BatchExecutor, DeviceSearchWarmer
+
+    warmer = DeviceSearchWarmer(["body"])
+    reader = index.reader(ReloadPolicy.MANUAL, warmers=[warmer])
+    s = reader.searcher()
+    ex = BatchExecutor.for_searcher(s)
+    assert ex is s._warm_executor
+    assert (0, "body") in ex._fused().slabs  # slab pre-built by the warmer
+    q = tt.TermQuery(tt.Term.from_field_text("body", "alpha"))
+    hits = ex.search_batch([q], 10)
+    assert len(hits[0]) == 1
