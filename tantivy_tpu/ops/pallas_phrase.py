@@ -41,7 +41,6 @@ from jax.experimental.pallas import tpu as pltpu
 from ..postings.format import TERMINATED
 from .fmath import exact_div
 from .probe_scorer import (
-    group_topk_rows,
     pack_results_seg,
     per_query_topk_rows_seg,
 )
@@ -96,7 +95,8 @@ def _phrase_scal_layout(n_partners: int, G: int):
     return stride, rows
 
 
-def _phrase_kernel_body(n_partners: int, rows: int, num_prows: int, G: int):
+def _phrase_kernel_body(n_partners: int, rows: int, num_prows: int, G: int,
+                        kk: int):
     S = n_partners
     RR = rows
     STRIDE, R = _phrase_scal_layout(S, G)
@@ -107,11 +107,13 @@ def _phrase_kernel_body(n_partners: int, rows: int, num_prows: int, G: int):
         scal_hbm,     # [P, R, 128] i32 — per-item scalars (see layout)
         cstore_ref,   # [NB, 384] u32 (HBM)
         postore_ref,  # [NPr, 256] u32 positions | owner docs (HBM)
-        scores_ref,   # out [G*8, 128] f32
-        docs_ref,     # out [G*8, 128] u32
+        scores_ref,   # out [G, 128] f32 — per-GROUP top-kk lanes
+        docs_ref,     # out [G, 128] u32
         lane_buf,     # scratch VMEM [G, 8, 384] u32
         apos_buf,     # scratch VMEM [G, RR, 256] u32
         ppos_buf,     # scratch VMEM [G, S, RR, 256] u32
+        rs_buf,       # scratch VMEM [8, 128] f32 — member-row scores
+        rd_buf,       # scratch VMEM [8, 128] i32 — member-row docs
         scal_ref,     # scratch SMEM [1, R, 128] i32
         sems,         # DMA sems [G, 2 + S]
         scal_sem,
@@ -120,13 +122,13 @@ def _phrase_kernel_body(n_partners: int, rows: int, num_prows: int, G: int):
             scal_hbm.at[pl.ds(pl.program_id(0), 1)], scal_ref, scal_sem
         )
         cp.start()
-        # ONE block-wide memset covers every padding / masked-member row;
-        # real rows are overwritten by the per-row stores below
-        scores_ref[...] = jnp.full(
-            (G * 8, 128), NEG_INF, dtype=jnp.float32
-        )
+        # ONE block-wide memset covers every padding / masked group row;
+        # real groups overwrite their row with the in-kernel per-group
+        # top-kk reduction (see pallas_probe._grp_kernel_body — the XLA
+        # group_topk_rows pass over padded member rows dominated launches)
+        scores_ref[...] = jnp.full((G, 128), NEG_INF, dtype=jnp.float32)
         docs_ref[...] = jnp.full(
-            (G * 8, 128), jnp.uint32(TERMINATED), dtype=jnp.uint32
+            (G, 128), jnp.uint32(TERMINATED), dtype=jnp.uint32
         )
         cp.wait()
 
@@ -180,6 +182,11 @@ def _phrase_kernel_body(n_partners: int, rows: int, num_prows: int, G: int):
             def _(g=g):
                 for d in dmas(g):
                     d.wait()
+                # member-row scratch: rows whose mask bit is 0 keep -inf
+                rs_buf[...] = jnp.full((8, 128), NEG_INF, dtype=jnp.float32)
+                rd_buf[...] = jnp.full(
+                    (8, 128), jnp.int32(TERMINATED), dtype=jnp.int32
+                )
 
                 # dynamic row loop (a static 8x unroll of the whole anchor /
                 # partner machinery multiplies Mosaic compile time; see
@@ -296,13 +303,67 @@ def _phrase_kernel_body(n_partners: int, rows: int, num_prows: int, G: int):
                         tf = count.astype(jnp.float32)
                         score = qw_ref[q] * exact_div(tf, tf + cachev)
                         ok = lane_ok & (count > 0)
-                        scores_ref[pl.ds(g * 8 + r8, 1), :] = jnp.where(
+                        rs_buf[pl.ds(r8, 1), :] = jnp.where(
                             ok, score, NEG_INF
                         )
-                        docs_ref[pl.ds(g * 8 + r8, 1), :] = docs_row
+                        rd_buf[pl.ds(r8, 1), :] = docs_row.astype(jnp.int32)
                     return 0
 
                 jax.lax.fori_loop(0, 8, row_body, 0)
+
+                # in-kernel per-group top-kk (bitwise the group_topk_rows
+                # selection: flat (member row, lane) order on ties — rows
+                # ascend by block, lanes by doc)
+                sc = rs_buf[...]
+                dci = rd_buf[...]
+                flat = (
+                    jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0) * 128
+                    + jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
+                )
+                lane_j = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
+
+                def extract(j, carry):
+                    s, b_sc, b_dc = carry
+                    m = jnp.max(
+                        jnp.max(s, axis=0, keepdims=True),
+                        axis=1, keepdims=True,
+                    )
+                    eq = s == m
+                    pick = jnp.min(
+                        jnp.min(
+                            jnp.where(eq, flat, jnp.int32(8 * 128)),
+                            axis=0, keepdims=True,
+                        ),
+                        axis=1, keepdims=True,
+                    )
+                    hit = flat == pick
+                    d = jnp.sum(
+                        jnp.sum(
+                            jnp.where(hit, dci, 0),
+                            axis=0, keepdims=True, dtype=jnp.int32,
+                        ),
+                        axis=1, keepdims=True, dtype=jnp.int32,
+                    )
+                    sel = lane_j == j
+                    b_sc = jnp.where(sel, m, b_sc)
+                    b_dc = jnp.where(sel, d, b_dc)
+                    s = jnp.where(hit, NEG_INF, s)
+                    return s, b_sc, b_dc
+
+                _, best_sc, best_dc = jax.lax.fori_loop(
+                    0, kk, extract,
+                    (
+                        sc,
+                        jnp.full((1, 128), NEG_INF, dtype=jnp.float32),
+                        jnp.full(
+                            (1, 128), jnp.int32(TERMINATED), dtype=jnp.int32
+                        ),
+                    ),
+                )
+                scores_ref[pl.ds(g, 1), :] = best_sc
+                docs_ref[pl.ds(g, 1), :] = pltpu.bitcast(
+                    best_dc, jnp.uint32
+                )
             return 0
 
         jax.lax.fori_loop(0, G, compute_g, 0)
@@ -311,8 +372,8 @@ def _phrase_kernel_body(n_partners: int, rows: int, num_prows: int, G: int):
 
 
 def _phrase_rows(scal, qw, cstore, postore, *, n_partners, rows, num_prows,
-                 G, W, interpret):
-    kernel = _phrase_kernel_body(n_partners, rows, num_prows, G)
+                 G, W, kk, interpret):
+    kernel = _phrase_kernel_body(n_partners, rows, num_prows, G, kk)
     P = W // G
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -323,15 +384,17 @@ def _phrase_rows(scal, qw, cstore, postore, *, n_partners, rows, num_prows,
             pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=[
-            pl.BlockSpec((G * 8, 128), lambda i, *_: (i, 0),
+            pl.BlockSpec((G, 128), lambda i, *_: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((G * 8, 128), lambda i, *_: (i, 0),
+            pl.BlockSpec((G, 128), lambda i, *_: (i, 0),
                          memory_space=pltpu.VMEM),
         ],
         scratch_shapes=[
             pltpu.VMEM((G, 8, 384), jnp.uint32),
             pltpu.VMEM((G, rows, 256), jnp.uint32),
             pltpu.VMEM((G, n_partners, rows, 256), jnp.uint32),
+            pltpu.VMEM((8, 128), jnp.float32),
+            pltpu.VMEM((8, 128), jnp.int32),
             pltpu.SMEM(
                 (1, _phrase_scal_layout(n_partners, G)[1], 128), jnp.int32
             ),
@@ -343,8 +406,8 @@ def _phrase_rows(scal, qw, cstore, postore, *, n_partners, rows, num_prows,
         kernel,
         grid_spec=grid_spec,
         out_shape=[
-            jax.ShapeDtypeStruct((W * 8, 128), jnp.float32),
-            jax.ShapeDtypeStruct((W * 8, 128), jnp.uint32),
+            jax.ShapeDtypeStruct((W, 128), jnp.float32),
+            jax.ShapeDtypeStruct((W, 128), jnp.uint32),
         ],
         interpret=interpret,
     )(qw, scal, cstore, postore)
@@ -386,12 +449,12 @@ def fused_phrase_topk(
             scal = scal + token
         scores, docs = _phrase_rows(
             scal, qw, cstore, postore, n_partners=n_partners,
-            rows=rows, num_prows=num_prows, G=G, W=W, interpret=interpret,
+            rows=rows, num_prows=num_prows, G=G, W=W, kk=kk,
+            interpret=interpret,
         )
         token = (docs[0, 0] & jnp.uint32(0)).astype(jnp.int32)
-        sc, dc = group_topk_rows(scores, docs, k)
-        row_sc.append(sc)
-        row_doc.append(dc)
+        row_sc.append(scores[:, :kk])
+        row_doc.append(docs[:, :kk])
         row_qid.append(qid)
         row_seg.append(seg)
     return pack_results_seg(

@@ -38,7 +38,6 @@ from .probe_scorer import (
     KIND_MUST_NOT,
     KIND_SHOULD,
     T_MAX,
-    group_topk_rows,
     pack_results,
     pack_results_seg,
     per_query_topk_from_rows,
@@ -525,7 +524,8 @@ def _g_items_grp(kw: int, n_clauses: int) -> int:
     return 4
 
 
-def _grp_kernel_body(n_clauses: int, kw: int, num_prows: int, G: int):
+def _grp_kernel_body(n_clauses: int, kw: int, num_prows: int, G: int,
+                     kk: int):
     STRIDE, SPR, R = _grp_scal_layout(n_clauses, G)
     kw8 = _grp_kw8(kw)
     A = 4 + n_clauses
@@ -540,8 +540,8 @@ def _grp_kernel_body(n_clauses: int, kw: int, num_prows: int, G: int):
         req_s_ref,     # [Pp] i32
         scal_hbm,      # [P, R, 128] i32 (HBM) per-item packed scalars
         cstore_ref,    # [NB, 384] u32 (HBM)
-        scores_ref,    # out [G*8, 128] f32 (VMEM)
-        docs_ref,      # out [G*8, 128] u32 (VMEM)
+        scores_ref,    # out [G, 128] f32 (VMEM) — per-GROUP top-kk lanes
+        docs_ref,      # out [G, 128] u32 (VMEM)
         lane_buf,      # scratch VMEM [G, 8, 384] u32
         win_buf,       # scratch VMEM [G, T, kw8, 256] u32
         probe_buf,     # scratch VMEM [T*16, 128] i32 — per clause t, rows
@@ -554,13 +554,16 @@ def _grp_kernel_body(n_clauses: int, kw: int, num_prows: int, G: int):
             scal_hbm.at[pl.ds(pl.program_id(0), 1)], scal_ref, scal_sem
         )
         cp.start()
-        # ONE block-wide memset covers every padding / masked-member row;
-        # real rows are overwritten by the per-group combine stores
-        scores_ref[...] = jnp.full(
-            (G * 8, 128), NEG_INF, dtype=jnp.float32
-        )
+        # ONE block-wide memset covers every padding / masked group row;
+        # real groups overwrite their row in the per-group top-kk store.
+        # The output is [G, 128] (one row per group, lanes 0..kk-1 = the
+        # group's top-kk), NOT [G*8, 128] member rows: the in-kernel
+        # reduction below replaces the XLA group_topk_rows pass, whose
+        # lax.top_k over the PADDED member-row matrix dominated launch
+        # time (~500ms at the 65536-group tier, measured masked).
+        scores_ref[...] = jnp.full((G, 128), NEG_INF, dtype=jnp.float32)
         docs_ref[...] = jnp.full(
-            (G * 8, 128), jnp.uint32(TERMINATED), dtype=jnp.uint32
+            (G, 128), jnp.uint32(TERMINATED), dtype=jnp.uint32
         )
         cp.wait()
 
@@ -810,10 +813,59 @@ def _grp_kernel_body(n_clauses: int, kw: int, num_prows: int, G: int):
                     & (cnt_should >= req_s)
                     & jnp.logical_not(has_not)
                 )
-                scores_ref[pl.ds(g * 8, 8), :] = jnp.where(
-                    ok, score, NEG_INF
+                sc = jnp.where(ok, score, NEG_INF)          # [8, 128]
+
+                # in-kernel per-group top-kk: iterative first-argmax
+                # extraction in FLAT (member row, lane) order — bitwise the
+                # same selection as group_topk_rows' two-stage lax.top_k
+                # (ties keep flat index order; member rows ascend by block
+                # and lanes by doc, so equal scores stay doc-ascending).
+                flat = (
+                    jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0) * 128
+                    + jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
                 )
-                docs_ref[pl.ds(g * 8, 8), :] = docs8
+                lane_j = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
+
+                def extract(j, carry):
+                    s, b_sc, b_dc = carry
+                    m = jnp.max(
+                        jnp.max(s, axis=0, keepdims=True),
+                        axis=1, keepdims=True,
+                    )                                        # [1, 1]
+                    eq = s == m
+                    pick = jnp.min(
+                        jnp.min(
+                            jnp.where(eq, flat, jnp.int32(8 * 128)),
+                            axis=0, keepdims=True,
+                        ),
+                        axis=1, keepdims=True,
+                    )                                        # [1, 1]
+                    hit = flat == pick
+                    d = jnp.sum(
+                        jnp.sum(
+                            jnp.where(hit, docs8i, 0),
+                            axis=0, keepdims=True, dtype=jnp.int32,
+                        ),
+                        axis=1, keepdims=True, dtype=jnp.int32,
+                    )                                        # [1, 1]
+                    sel = lane_j == j
+                    b_sc = jnp.where(sel, m, b_sc)
+                    b_dc = jnp.where(sel, d, b_dc)
+                    s = jnp.where(hit, NEG_INF, s)
+                    return s, b_sc, b_dc
+
+                _, best_sc, best_dc = jax.lax.fori_loop(
+                    0, kk, extract,
+                    (
+                        sc,
+                        jnp.full((1, 128), NEG_INF, dtype=jnp.float32),
+                        jnp.full(
+                            (1, 128), jnp.int32(TERMINATED), dtype=jnp.int32
+                        ),
+                    ),
+                )
+                scores_ref[pl.ds(g, 1), :] = best_sc
+                docs_ref[pl.ds(g, 1), :] = pltpu.bitcast(best_dc, jnp.uint32)
             return 0
 
         jax.lax.fori_loop(0, G, compute_g, 0)
@@ -824,11 +876,12 @@ def _grp_kernel_body(n_clauses: int, kw: int, num_prows: int, G: int):
 def _grp_rows(
     scal, cl_weight, cl_kind, cl_start, cl_len, cl_shipped, req_must,
     req_should, cstore, *, n_clauses: int, kw: int, num_prows: int, G: int,
-    W: int, interpret: bool,
+    W: int, kk: int, interpret: bool,
 ):
     """Run the GROUP probe kernel over one rung's packed scalars; returns
-    raw (scores [W*8, 128], docs [W*8, 128])."""
-    kernel = _grp_kernel_body(n_clauses, kw, num_prows, G)
+    per-GROUP top-kk candidates (scores [W, 128], docs [W, 128]; lanes
+    kk.. hold -inf padding)."""
+    kernel = _grp_kernel_body(n_clauses, kw, num_prows, G, kk)
     cl_weight = cl_weight.reshape(-1)
     cl_kind = cl_kind.reshape(-1)
     cl_start = cl_start.reshape(-1)
@@ -844,9 +897,9 @@ def _grp_rows(
             pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=[
-            pl.BlockSpec((G * 8, 128), lambda i, *_: (i, 0),
+            pl.BlockSpec((G, 128), lambda i, *_: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((G * 8, 128), lambda i, *_: (i, 0),
+            pl.BlockSpec((G, 128), lambda i, *_: (i, 0),
                          memory_space=pltpu.VMEM),
         ],
         scratch_shapes=[
@@ -864,8 +917,8 @@ def _grp_rows(
         kernel,
         grid_spec=grid_spec,
         out_shape=[
-            jax.ShapeDtypeStruct((W * 8, 128), jnp.float32),
-            jax.ShapeDtypeStruct((W * 8, 128), jnp.uint32),
+            jax.ShapeDtypeStruct((W, 128), jnp.float32),
+            jax.ShapeDtypeStruct((W, 128), jnp.uint32),
         ],
         interpret=interpret,
     )(
@@ -941,9 +994,10 @@ def fused_bool_topk(
     pack_addr: bool = False,
 ):
     """One launch for a whole batch phase: one GROUP probe pallas_call per
-    rung, a per-GROUP top-kk reduction (8 member rows share one
-    (query, segment) — see `group_topk_rows`), then a single cross-rung
-    cross-segment top-k merge tail. Returns packed [3, Q, k]
+    rung emitting per-GROUP top-kk candidates IN-KERNEL (8 member rows
+    share one (query, segment); the old XLA group_topk_rows pass over the
+    padded member-row matrix was the dominant launch cost), then a single
+    cross-rung cross-segment top-k merge tail. Returns packed [3, Q, k]
     (score bits | doc | seg)."""
     row_sc, row_doc, row_qid, row_seg = [], [], [], []
     kk = min(k, 128)
@@ -956,12 +1010,11 @@ def fused_bool_topk(
         scores, docs = _grp_rows(
             scal, cl_weight, cl_kind, cl_start, cl_len, cl_shipped,
             req_must, req_should, cstore, n_clauses=n_clauses, kw=kw,
-            num_prows=num_prows, G=G, W=W, interpret=interpret,
+            num_prows=num_prows, G=G, W=W, kk=kk, interpret=interpret,
         )
         token = (docs[0, 0] & jnp.uint32(0)).astype(jnp.int32)
-        sc, dc = group_topk_rows(scores, docs, k)
-        row_sc.append(sc)
-        row_doc.append(dc)
+        row_sc.append(scores[:, :kk])
+        row_doc.append(docs[:, :kk])
         row_qid.append(qid)
         row_seg.append(seg)
     return pack_results_seg(
@@ -1180,17 +1233,22 @@ def launch_fused_bool(
     # linear in levels, not the product — so prewarm enumerates every
     # reachable signature in a handful of compiles and steady state can
     # never hit a cold shape. A lopsided batch pads its small rungs up to
-    # the shared level; padded groups are masked (the kernel elides their
-    # DMAs) so the cost is bounded by the per-program scalar sweep.
-    lvl_shared = 0
-    for r in per_rung:
-        kw, n = r[0], len(r[1])
-        tiers = _GRP_W_TIERS[kw]
-        lvl_shared = max(
-            lvl_shared,
-            next((i for i, w in enumerate(tiers) if n <= w),
-                 len(tiers) - 1),
-        )
+    # the shared level; padding is NOT free (the padded output rows still
+    # flow through the group-topk + merge tail, ~6-7us/group measured), so
+    # the level is recomputed from the REMAINING work before every round —
+    # overflow rounds drop to the smallest diagonal member that fits their
+    # remainder instead of re-paying the first round's tier.
+    def _shared_level():
+        lvl = 0
+        for r in per_rung:
+            kw, n_left = r[0], len(r[1]) - r[9]
+            tiers = _GRP_W_TIERS[kw]
+            lvl = max(
+                lvl,
+                next((i for i, w in enumerate(tiers) if n_left <= w),
+                     len(tiers) - 1),
+            )
+        return lvl
 
     def make_chunk(kw, b_s, m_s, p_s, c_s, q_s, s_s, jlo, pk, lo, level):
         tiers = _GRP_W_TIERS[kw]
@@ -1265,6 +1323,7 @@ def launch_fused_bool(
     while True:
         chunks = []
         progressed = False
+        lvl_shared = _shared_level()
         for r in per_rung:
             chunk, hi = make_chunk(*r[:9], r[9], lvl_shared)
             if hi > r[9]:

@@ -48,8 +48,9 @@ class RangeMax:
         if not nonempty.any():
             return out
         lev = np.zeros(len(i0), dtype=np.int64)
-        # exact for integer lengths (f64 mantissa >> any real block count)
-        lev[nonempty] = np.floor(np.log2(length[nonempty])).astype(np.int64)
+        # floor(log2(n)) via frexp exponent (exact for ints < 2^53 and ~3x
+        # cheaper than np.log2 on the planner's hot path)
+        lev[nonempty] = np.frexp(length[nonempty])[1].astype(np.int64) - 1
         for j in np.unique(lev[nonempty]):
             sel = nonempty & (lev == j)
             t = self.tables[j]
