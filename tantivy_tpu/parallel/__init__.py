@@ -239,6 +239,8 @@ class BatchExecutor:
         return cls(searcher, mode=mode)
 
     def __init__(self, searcher: Searcher, mode: str = "dense"):
+        import threading
+
         self.searcher = searcher
         self.mode = mode
         self._device_segments = [
@@ -247,6 +249,10 @@ class BatchExecutor:
         self._field_stats: dict[str, object] = {}
         self._term_weight_cache: dict[tuple[str, bytes], tuple] = {}
         self._term_ord_cache: dict[tuple[int, str, bytes], int] = {}
+        # serializes fused-store slab building: slab offsets are assigned
+        # by append order, so concurrent pipelined batches must not
+        # interleave ensure_slab calls (reads of a built store are free)
+        self._fused_lock = threading.RLock()
 
     def _device_for(self, reader):
         from ..ops.device_index import DeviceSegment
@@ -726,22 +732,28 @@ class BatchExecutor:
         if fs is None:
             from ..ops.fused_store import FusedStore
 
-            fs = self._fused_store_obj = FusedStore()
+            with self._fused_lock:
+                fs = getattr(self, "_fused_store_obj", None)
+                if fs is None:
+                    fs = self._fused_store_obj = FusedStore()
         return fs
 
     def _ensure_fused_slab(self, seg_ord: int, field: str):
         fused = self._fused()
         if (seg_ord, field) in fused.slabs:
             return
-        fs = self._field_stats.get(field)
-        if fs is None:
-            fs = self.searcher.field_statistics(field)
-            self._field_stats[field] = fs
-        dseg = self._device_segments[seg_ord]
-        fused.ensure_slab(
-            seg_ord, field, dseg.field_postings(field), dseg.alive_np,
-            fs.average_fieldnorm,
-        )
+        with self._fused_lock:
+            if (seg_ord, field) in fused.slabs:
+                return
+            fs = self._field_stats.get(field)
+            if fs is None:
+                fs = self.searcher.field_statistics(field)
+                self._field_stats[field] = fs
+            dseg = self._device_segments[seg_ord]
+            fused.ensure_slab(
+                seg_ord, field, dseg.field_postings(field), dseg.alive_np,
+                fs.average_fieldnorm,
+            )
 
     def _count_fallback(self, kind: str) -> None:
         fb = getattr(self, "fallbacks", None)
@@ -1676,6 +1688,46 @@ class BatchExecutor:
             results[i] = hits[:k]
         for i in sorted(other):
             results[i] = self.searcher.search(queries[i], TopDocs(k))
+        return results
+
+    def search_batches(self, batches: list, k: int, pipeline: int = 2):
+        """Pipelined execution of consecutive query batches: up to
+        `pipeline` batches in flight on worker threads, so one batch's
+        host work (numpy planning, which releases the GIL on large ops,
+        and device-result fetches, which block outside the GIL) overlaps
+        another batch's device execution. The TPU stream serializes the
+        actual kernel launches; the pipeline hides host latency behind
+        them — the steady-state rate approaches
+        max(host_s, device_s) per batch instead of their sum.
+
+        Per-batch worker spans (seconds, processing start -> finish, so
+        queue wait is excluded) land in `self.batch_spans`. Results are
+        returned one list per batch, in submission order.
+
+        Reference contrast: tantivy fans one query out across segments via
+        a rayon pool (`core/searcher.rs:220-237`); here the query stream
+        itself is the parallel axis and the overlap is host-vs-device."""
+        import concurrent.futures as cf
+        import time as _time
+
+        if not batches:
+            self.batch_spans = []
+            return []
+        results: list = [None] * len(batches)
+        spans = [0.0] * len(batches)
+
+        def run(i: int):
+            t0 = _time.monotonic()
+            results[i] = self.search_batch(batches[i], k)
+            spans[i] = _time.monotonic() - t0
+
+        if pipeline <= 1 or len(batches) == 1:
+            for i in range(len(batches)):
+                run(i)
+        else:
+            with cf.ThreadPoolExecutor(max_workers=pipeline) as pool:
+                list(pool.map(run, range(len(batches))))
+        self.batch_spans = spans
         return results
 
     # ------------------------------------------------------------------

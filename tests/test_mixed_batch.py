@@ -189,3 +189,33 @@ def test_phrase_prefix_row_budget_subbatching(monkeypatch):
     for q, r in zip(qs, res):
         h = searcher.search(q, tt.TopDocs(5))
         assert [(s, a) for s, a in r] == [(s, a) for s, a in h], repr(q)
+
+
+def test_search_batches_pipelined_parity():
+    """The pipelined multi-batch API must return exactly what per-batch
+    sequential calls return, in order, with a span per batch — two
+    batches in flight share the executor's caches and the fused store."""
+    index = build_corpus(seed=11)
+    searcher = index.reader().searcher()
+    ex = BatchExecutor(searcher)
+
+    def t(word):
+        return TermQuery(tt.Term.from_field_text("body", word))
+
+    batches = []
+    for b in range(5):
+        qs = []
+        for i in range(6):
+            w = f"w{(b * 6 + i) % 38:02d}"
+            qs.append(t(w))
+            qs.append(tt.BooleanQuery.union([t(w), t("w39")]))
+            qs.append(PhraseQuery("body", [w, f"w{(b + i + 1) % 38:02d}"]))
+        batches.append(qs)
+    want = [ex.search_batch(b, 7) for b in batches]
+    got = ex.search_batches(batches, 7, pipeline=2)
+    assert got == want
+    assert len(ex.batch_spans) == len(batches)
+    assert all(s > 0 for s in ex.batch_spans)
+    # degenerate pipelines
+    assert ex.search_batches([], 7) == []
+    assert ex.search_batches(batches[:1], 7, pipeline=4) == want[:1]
