@@ -46,6 +46,12 @@ from .probe_scorer import (
 
 NEG_INF = np.float32(-np.inf)
 
+#: dev-only kernel ablation knob for perf diagnostics (scripts/diag_*):
+#: None (production) | "nodma" | "noprobe2" | "nocombine" | "noextract".
+#: Read at TRACE time — diagnostic scripts must build a fresh jit wrapper
+#: per mode. Never set in production paths.
+_ABLATE = None
+
 
 def _kw8(kw: int) -> int:
     """Fetched window rows for rung kw: rounded to the 8-row DMA
@@ -599,7 +605,8 @@ def _grp_kernel_body(n_clauses: int, kw: int, num_prows: int, G: int,
                         win_dma(g, t, j).start()
             return 0
 
-        jax.lax.fori_loop(0, G, start_g, 0)
+        if _ABLATE != "nodma":
+            jax.lax.fori_loop(0, G, start_g, 0)
 
         def compute_g(g, _):
             q = it(g, 1)
@@ -613,11 +620,12 @@ def _grp_kernel_body(n_clauses: int, kw: int, num_prows: int, G: int,
             # writes for padding dominated overflow launches)
             @pl.when(mask != 0)
             def _(g=g):
-                lane_dma(g).wait()
-                for t in range(n_clauses):
-                    @pl.when(js[t] >= 0)
-                    def _(t=t):
-                        win_dma(g, t, js[t]).wait()
+                if _ABLATE != "nodma":
+                    lane_dma(g).wait()
+                    for t in range(n_clauses):
+                        @pl.when(js[t] >= 0)
+                        def _(t=t):
+                            win_dma(g, t, js[t]).wait()
 
                 req_m = req_m_ref[q]
                 req_s = req_s_ref[q]
@@ -746,7 +754,10 @@ def _grp_kernel_body(n_clauses: int, kw: int, num_prows: int, G: int,
                 probe_buf[...] = jnp.zeros(
                     (n_clauses * 16, 128), dtype=jnp.int32
                 )
-                jax.lax.fori_loop(0, 8, row_probe, 0)
+                if _ABLATE not in ("noprobe2", "nocombine"):
+                    jax.lax.fori_loop(0, 8, row_probe, 0)
+                if _ABLATE == "nocombine":
+                    return
 
                 # -- combine phase: all 8 member rows at once ([8, 128]
                 # vector ops). Elementwise f32 ops and the clause-order
@@ -854,6 +865,14 @@ def _grp_kernel_body(n_clauses: int, kw: int, num_prows: int, G: int,
                     s = jnp.where(hit, NEG_INF, s)
                     return s, b_sc, b_dc
 
+                if _ABLATE == "noextract":
+                    scores_ref[pl.ds(g, 1), :] = jnp.max(
+                        sc, axis=0, keepdims=True
+                    )
+                    docs_ref[pl.ds(g, 1), :] = pltpu.bitcast(
+                        jnp.max(docs8i, axis=0, keepdims=True), jnp.uint32
+                    )
+                    return
                 _, best_sc, best_dc = jax.lax.fori_loop(
                     0, kk, extract,
                     (
