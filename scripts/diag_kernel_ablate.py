@@ -76,17 +76,25 @@ n_clauses = int(d["n_clauses"])
 num_prows = int(d["num_prows"])
 kk = min(int(d["k"]), 128)
 cstore = jnp.asarray(d["cstore"])
-tables = tuple(jnp.asarray(d[f"t{j}"]) for j in range(7))
+n_tabs = len([k for k in d.files if k.startswith("t") and k[1:].isdigit()])
+tables = tuple(jnp.asarray(d[f"t{j}"]) for j in range(min(n_tabs, 7)))
 chunks = []
 for i in range(int(d["n_chunks"])):
     W, kw, G = (int(x) for x in d[f"c{i}_wkg"])
     chunks.append(((W, kw, G), d[f"c{i}_scal"]))
 print("chunks:", [c[0] for c in chunks], "kk:", kk, flush=True)
 
-# flattened tables as _grp_rows expects
+# flattened tables as _grp_rows expects (+ row_th: all -inf = blind extract,
+# matching the captured pre-threshold behavior; captures taken after the
+# row_th change carry their own t7)
+if n_tabs > 7:
+    row_th = jnp.asarray(d["t7"])
+else:
+    row_th = jnp.full((num_prows + 1,), -np.inf, jnp.float32)
 flat_tables = (
     tables[0].reshape(-1), tables[1].reshape(-1), tables[2].reshape(-1),
     tables[3].reshape(-1), tables[4].reshape(-1), tables[5], tables[6],
+    row_th,
 )
 
 for mode in ("full", "nodma", "noprobe2", "nocombine", "noextract"):

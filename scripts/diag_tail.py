@@ -34,6 +34,7 @@ tables = (
     jnp.zeros((num_prows + 1, T), jnp.int32),
     jnp.full((num_prows + 1,), 1 << 30, jnp.int32),
     jnp.zeros(num_prows + 1, jnp.int32),
+    jnp.full((num_prows + 1,), -np.inf, jnp.float32),  # row_th
 )
 cstore = jnp.full((NB, 384), np.uint32(pp.TERMINATED), jnp.uint32)
 

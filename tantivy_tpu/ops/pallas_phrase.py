@@ -104,6 +104,7 @@ def _phrase_kernel_body(n_partners: int, rows: int, num_prows: int, G: int,
 
     def kernel(
         qw_ref,       # [Pp] f32 — phrase BM25 weight per plan row
+        row_th_ref,   # [Pp] f32 — per-row score threshold (NEG_INF = none)
         scal_hbm,     # [P, R, 128] i32 — per-item scalars (see layout)
         cstore_ref,   # [NB, 384] u32 (HBM)
         postore_ref,  # [NPr, 256] u32 positions | owner docs (HBM)
@@ -350,8 +351,16 @@ def _phrase_kernel_body(n_partners: int, rows: int, num_prows: int, G: int,
                     s = jnp.where(hit, NEG_INF, s)
                     return s, b_sc, b_dc
 
+                # threshold-bounded extraction (see
+                # pallas_probe._grp_kernel_body): phase-2 rows carry the
+                # query's current kth score; survivors are typically 0-3,
+                # so the loop runs far below its blind kk trip count
+                th_q = row_th_ref[q]
+                n_sur = jnp.sum(
+                    ((sc >= th_q) & (sc != NEG_INF)).astype(jnp.int32)
+                )
                 _, best_sc, best_dc = jax.lax.fori_loop(
-                    0, kk, extract,
+                    0, jnp.minimum(n_sur, kk), extract,
                     (
                         sc,
                         jnp.full((1, 128), NEG_INF, dtype=jnp.float32),
@@ -371,12 +380,12 @@ def _phrase_kernel_body(n_partners: int, rows: int, num_prows: int, G: int,
     return kernel
 
 
-def _phrase_rows(scal, qw, cstore, postore, *, n_partners, rows, num_prows,
-                 G, W, kk, interpret):
+def _phrase_rows(scal, qw, row_th, cstore, postore, *, n_partners, rows,
+                 num_prows, G, W, kk, interpret):
     kernel = _phrase_kernel_body(n_partners, rows, num_prows, G, kk)
     P = W // G
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
+        num_scalar_prefetch=2,
         grid=(P,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.HBM),
@@ -410,7 +419,7 @@ def _phrase_rows(scal, qw, cstore, postore, *, n_partners, rows, num_prows,
             jax.ShapeDtypeStruct((W, 128), jnp.uint32),
         ],
         interpret=interpret,
-    )(qw, scal, cstore, postore)
+    )(qw, row_th, scal, cstore, postore)
 
 
 @functools.partial(
@@ -423,6 +432,7 @@ def _phrase_rows(scal, qw, cstore, postore, *, n_partners, rows, num_prows,
 def fused_phrase_topk(
     rung_scal, rung_qid, rung_seg,
     qw,         # [Pp] f32
+    row_th,     # [Pp] f32 — per-row extraction threshold (NEG_INF = none)
     cstore, postore,
     k: int,
     num_queries: int,
@@ -448,7 +458,7 @@ def fused_phrase_topk(
         if token is not None:
             scal = scal + token
         scores, docs = _phrase_rows(
-            scal, qw, cstore, postore, n_partners=n_partners,
+            scal, qw, row_th, cstore, postore, n_partners=n_partners,
             rows=rows, num_prows=num_prows, G=G, W=W, kk=kk,
             interpret=interpret,
         )
@@ -513,12 +523,14 @@ def _phrase_groups(ids, prow, anchor, lpos, llen, cpos, clen, npr: int):
 
 def launch_fused_phrase(
     fused, work, qw_table, n_partners: int, k: int, num_queries: int,
-    interpret: bool,
+    interpret: bool, row_th=None,
 ) -> list:
     """Group per-block phrase work items into masked 8-runs, assemble rung
     chunks, and launch. `work` columns (numpy, per BLOCK): blocks [N],
     prow [N], qid [N], seg [N], lpos [N], llen [N], cpos [N, S], clen [N, S],
-    delta [N, S], anchor [N] (anchor term index, group key only)."""
+    delta [N, S], anchor [N] (anchor term index, group key only). `row_th`
+    [Pp] f32 (optional) carries each plan row's current kth score for
+    threshold-bounded in-kernel extraction."""
     blocks, prow, qid, seg, lpos, llen, cpos, clen, delta, anchor = work
     if len(blocks) == 0:
         return []
@@ -646,6 +658,9 @@ def launch_fused_phrase(
                 jnp.asarray(s_pad)), hi
 
     qw_dev = jnp.asarray(qw_table)
+    if row_th is None:
+        row_th = np.full(num_prows + 1, NEG_INF, dtype=np.float32)
+    th_dev = jnp.asarray(row_th)
     pack_addr = bool(getattr(fused, "pack_addr_ok", False))
 
     def launch(chunks):
@@ -653,7 +668,7 @@ def launch_fused_phrase(
             tuple(c[1] for c in chunks),
             tuple(c[2] for c in chunks),
             tuple(c[3] for c in chunks),
-            qw_dev, fused.cstore, fused.postore,
+            qw_dev, th_dev, fused.cstore, fused.postore,
             k=k, num_queries=num_queries, num_prows=num_prows,
             n_partners=S, rungs=tuple(c[0] for c in chunks),
             interpret=interpret, pack_addr=pack_addr,

@@ -544,6 +544,7 @@ def _grp_kernel_body(n_clauses: int, kw: int, num_prows: int, G: int,
         cl_ship_ref,   # [Pp * T] i32
         req_m_ref,     # [Pp] i32
         req_s_ref,     # [Pp] i32
+        row_th_ref,    # [Pp] f32 — per-row score threshold (NEG_INF = none)
         scal_hbm,      # [P, R, 128] i32 (HBM) per-item packed scalars
         cstore_ref,    # [NB, 384] u32 (HBM)
         scores_ref,    # out [G, 128] f32 (VMEM) — per-GROUP top-kk lanes
@@ -873,8 +874,22 @@ def _grp_kernel_body(n_clauses: int, kw: int, num_prows: int, G: int,
                         jnp.max(docs8i, axis=0, keepdims=True), jnp.uint32
                     )
                     return
+                # threshold-bounded extraction: phase-2 launches carry each
+                # plan row's CURRENT kth score (thresholds only rise, so a
+                # lane scoring < th can never enter the final top-k; == th
+                # ties are kept for the merge's address tie-break). Typical
+                # survivor counts are 0-3, so the loop runs ~kk/10 of its
+                # blind trip count — the extract loop was 62% of kernel
+                # time (scripts/diag_kernel_ablate.py). Extraction is in
+                # descending score order, so the top-n_sur ARE exactly the
+                # lanes >= th; output lanes past n_sur keep the carry's
+                # -inf/TERMINATED fill, which the merge tail ignores.
+                th_q = row_th_ref[q]
+                n_sur = jnp.sum(
+                    ((sc >= th_q) & (sc != NEG_INF)).astype(jnp.int32)
+                )
                 _, best_sc, best_dc = jax.lax.fori_loop(
-                    0, kk, extract,
+                    0, jnp.minimum(n_sur, kk), extract,
                     (
                         sc,
                         jnp.full((1, 128), NEG_INF, dtype=jnp.float32),
@@ -894,12 +909,13 @@ def _grp_kernel_body(n_clauses: int, kw: int, num_prows: int, G: int,
 
 def _grp_rows(
     scal, cl_weight, cl_kind, cl_start, cl_len, cl_shipped, req_must,
-    req_should, cstore, *, n_clauses: int, kw: int, num_prows: int, G: int,
-    W: int, kk: int, interpret: bool,
+    req_should, row_th, cstore, *, n_clauses: int, kw: int, num_prows: int,
+    G: int, W: int, kk: int, interpret: bool,
 ):
     """Run the GROUP probe kernel over one rung's packed scalars; returns
     per-GROUP top-kk candidates (scores [W, 128], docs [W, 128]; lanes
-    kk.. hold -inf padding)."""
+    kk.. hold -inf padding). `row_th` [Pp] f32 holds each plan row's
+    current kth-score threshold (NEG_INF = extract blindly)."""
     kernel = _grp_kernel_body(n_clauses, kw, num_prows, G, kk)
     cl_weight = cl_weight.reshape(-1)
     cl_kind = cl_kind.reshape(-1)
@@ -909,7 +925,7 @@ def _grp_rows(
     P = W // G
     kw8 = _grp_kw8(kw)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=7,
+        num_scalar_prefetch=8,
         grid=(P,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.HBM),
@@ -942,7 +958,7 @@ def _grp_rows(
         interpret=interpret,
     )(
         cl_weight, cl_kind, cl_start, cl_len, cl_shipped, req_must,
-        req_should, scal, cstore,
+        req_should, row_th, scal, cstore,
     )
 
 
@@ -1003,6 +1019,7 @@ def fused_bool_topk(
     cl_shipped,  # [Pp, T] i32
     req_must,    # [Pp] i32
     req_should,  # [Pp] i32
+    row_th,      # [Pp] f32 — per-row extraction threshold (NEG_INF = none)
     cstore,      # [NB, 384] u32 — the fused store
     k: int,
     num_queries: int,
@@ -1028,8 +1045,9 @@ def fused_bool_topk(
             scal = scal + token
         scores, docs = _grp_rows(
             scal, cl_weight, cl_kind, cl_start, cl_len, cl_shipped,
-            req_must, req_should, cstore, n_clauses=n_clauses, kw=kw,
-            num_prows=num_prows, G=G, W=W, kk=kk, interpret=interpret,
+            req_must, req_should, row_th, cstore, n_clauses=n_clauses,
+            kw=kw, num_prows=num_prows, G=G, W=W, kk=kk,
+            interpret=interpret,
         )
         token = (docs[0, 0] & jnp.uint32(0)).astype(jnp.int32)
         row_sc.append(scores[:, :kk])
@@ -1301,6 +1319,9 @@ def launch_fused_bool(
         return ((W, kw, G), jnp.asarray(scal), jnp.asarray(q_pad),
                 jnp.asarray(s_pad)), hi
 
+    row_th = tables.get("row_th")
+    if row_th is None:
+        row_th = np.full(num_prows + 1, NEG_INF, dtype=np.float32)
     table_args = (
         jnp.asarray(tables["cl_weight"]),
         jnp.asarray(tables["cl_kind"]),
@@ -1309,6 +1330,7 @@ def launch_fused_bool(
         jnp.asarray(tables["cl_shipped"].astype(np.int32)),
         jnp.asarray(tables["req_must"]),
         jnp.asarray(tables["req_should"]),
+        jnp.asarray(row_th),
     )
 
     pack_addr = bool(getattr(fused, "pack_addr_ok", False))

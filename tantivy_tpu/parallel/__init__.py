@@ -1314,6 +1314,17 @@ class BatchExecutor:
         def _k_eff(g, Tb):
             return _k_eff_tb(g, Tb, k)
 
+        def _th_tables(Tb, f, th):
+            """Per-phase plan tables + row_th: each plan row's CURRENT kth
+            score, shipped to the kernel so per-group extraction stops at
+            the survivors (score >= th) instead of a blind kk loop — the
+            extract loop was 62% of fused-kernel time
+            (scripts/diag_kernel_ablate.py)."""
+            t = tb_tables[Tb]
+            rt = np.full(len(t["req_must"]), NEG_INF, dtype=np.float32)
+            rt[f["prow"]] = th[f["qid"]]
+            return dict(t, row_th=rt)
+
         surv = {}
         for Tb, g in per_tb.items():
             if not g["rest"]:
@@ -1338,7 +1349,7 @@ class BatchExecutor:
                 self._count_plan("wand_p2", len(fa["ids"]))
                 with debug_time("bool.fused_dispatch2a"):
                     for out in pp.launch_fused_bool(
-                        fused, _work_of(fa), tb_tables[Tb],
+                        fused, _work_of(fa), _th_tables(Tb, fa, th),
                         _k_eff(per_tb[Tb], Tb), Qp, interpret,
                     ):
                         pending_a.append((None, out))
@@ -1363,7 +1374,7 @@ class BatchExecutor:
             self._count_plan("wand_p2", len(f["ids"]))
             with debug_time("bool.fused_dispatch2"):
                 for out in pp.launch_fused_bool(
-                    fused, _work_of(f), tb_tables[Tb],
+                    fused, _work_of(f), _th_tables(Tb, f, th),
                     _k_eff(per_tb[Tb], Tb), Qp, interpret,
                 ):
                     pending2.append((None, out))
@@ -2400,9 +2411,12 @@ class BatchExecutor:
                         sum(len(p["ids"]) for _, _, _, p in round_a),
                     )
                     k_eff = _k_eff_quant(min(2 * k, 128))
+                    rt = np.full(len(tb_qw[Sb]), NEG_INF, dtype=np.float32)
+                    for prow, qi, _, _p in round_a:
+                        rt[prow] = th[qi]
                     for out in php.launch_fused_phrase(
                         fused, build_work(round_a), tb_qw[Sb], Sb, k_eff, Qp,
-                        interpret,
+                        interpret, row_th=rt,
                     ):
                         pending_a.append((None, out))
             _dta.__exit__(None, None, None)
@@ -2421,9 +2435,12 @@ class BatchExecutor:
                 "wand_p2", sum(len(p["ids"]) for _, _, _, p in items)
             )
             k_eff = _k_eff_quant(min(2 * k, 128))
+            rt = np.full(len(tb_qw[Sb]), NEG_INF, dtype=np.float32)
+            for prow, qi, _, _p in items:
+                rt[prow] = th[qi]
             for out in php.launch_fused_phrase(
                 fused, build_work(items), tb_qw[Sb], Sb, k_eff, Qp,
-                interpret,
+                interpret, row_th=rt,
             ):
                 pending2.append((None, out))
         _dt2.__exit__(None, None, None)
