@@ -2214,6 +2214,7 @@ class BatchExecutor:
         batched = plan_anchors_batched(anchor_calls)
 
         fell: set = set()  # (qi, seg_ord) already host-fallbacked
+        pending_rows: dict[int, list] = {}  # qi -> [(Sb, prow, seg, staged)]
         for (seg_ord, reader, qi, q, T, regions, leader, w, offsets), \
                 plan in zip(phrase_plans, batched):
             if (qi, seg_ord) in fell:
@@ -2272,33 +2273,53 @@ class BatchExecutor:
             g["meta"].append((qi, seg_ord))
             if len(staged) > 1:
                 g["any_dup"] = True
-
-            all_ub = np.concatenate([p["ub"] for _, p in staged])
-            if len(all_ub) <= M1:
-                cut = NEG_INF
-            else:
-                cut = np.partition(all_ub, len(all_ub) - M1)[
-                    len(all_ub) - M1
-                ]
-            taken = 0
             self._count_plan(
                 "wand_candidates",
                 sum(len(p["ids"]) for _, p in staged),
             )
-            for _, p in staged:
-                pick = p["ub"] >= cut
-                extra = int(pick.sum()) - (M1 - taken)
-                if extra > 0:
-                    selidx = np.nonzero(pick)[0]
-                    pick[selidx[len(selidx) - extra:]] = False
-                taken += int(pick.sum())
-                self._count_plan("wand_p1", int(pick.sum()))
-                for name, sel in (("p1", pick), ("rest", ~pick)):
-                    if sel.any():
-                        g[name].append(
-                            (prow, qi, seg_ord,
-                             {kk_: vv[sel] for kk_, vv in p.items()})
-                        )
+            pr = pending_rows.setdefault(qi, [])
+            pr.append((Sb, prow, seg_ord, staged))
+
+        # phase-1 slice with a per-QUERY budget: M1 best-UB items per
+        # (query, segment-with-rows) shared ACROSS the query's plan rows.
+        # A plain phrase has one row per segment so the budget matches the
+        # old per-row cut; a phrase-PREFIX has one row per (segment,
+        # expansion) — up to max_expansions per segment — and the old
+        # per-row cut shipped M1 x expansions items into phase 1 (~26x a
+        # plain phrase at the bench's 1M-doc prefix mix), defeating the
+        # point of the slice. The split is planning-only: phase 2 prunes
+        # the remainder against exact thresholds, so results are
+        # unchanged (reference contrast: block_wand pivots per query, not
+        # per expansion — `block_wand_union.rs:16`).
+        for qi, rows in pending_rows.items():
+            segs_q = {so for _, _, so, _ in rows}
+            budget = M1 * max(len(segs_q), 1)
+            all_ub = np.concatenate(
+                [p["ub"] for _, _, _, staged in rows for _, p in staged]
+            )
+            if len(all_ub) <= budget:
+                cut = NEG_INF
+            else:
+                cut = np.partition(all_ub, len(all_ub) - budget)[
+                    len(all_ub) - budget
+                ]
+            taken = 0
+            for Sb, prow, seg_ord, staged in rows:
+                g = groups[Sb]
+                for _, p in staged:
+                    pick = p["ub"] >= cut
+                    extra = int(pick.sum()) - (budget - taken)
+                    if extra > 0:
+                        selidx = np.nonzero(pick)[0]
+                        pick[selidx[len(selidx) - extra:]] = False
+                    taken += int(pick.sum())
+                    self._count_plan("wand_p1", int(pick.sum()))
+                    for name, sel in (("p1", pick), ("rest", ~pick)):
+                        if sel.any():
+                            g[name].append(
+                                (prow, qi, seg_ord,
+                                 {kk_: vv[sel] for kk_, vv in p.items()})
+                            )
 
         def build_work(items):
             cols = {}
