@@ -28,6 +28,7 @@ from __future__ import annotations
 
 import numpy as np
 
+from ..postings.format import TERMINATED as TERMINATED_U32
 from ..query.bm25 import Bm25Weight
 from ..searcher import DocAddress, Searcher
 from ..utils.trace import debug_time
@@ -2228,13 +2229,33 @@ class BatchExecutor:
                 t_alt = max(others_nblk)[1]
                 s2, n2 = regions[t_alt]
                 bad_ids = plan["ids"][plan["bad"]]
-                i0, i1 = overlaps(bad_ids, s2, n2)
-                union = np.unique(
-                    np.concatenate(
-                        [np.arange(a, b) for a, b in zip(i0, i1)]
-                        or [np.zeros(0, dtype=np.int64)]
+                # doc-level alt-block selection: when the bad anchor blocks
+                # are few (a rare term whose sparse blocks span the whole
+                # segment — every phrase-prefix expansion looks like this),
+                # decode their doc ids from the slab's host cstore and keep
+                # only alt blocks CONTAINING one, instead of every alt
+                # block in the doc-range overlap (which is ALL of a common
+                # partner's blocks). Exact: a phrase match needs all terms
+                # in the doc, so a matching doc's alt block always holds
+                # one of these docs. This is the reference's
+                # enumerate-rarest / seek-denser intersection shape
+                # (`phrase_scorer.rs`, `block_wand_intersection.rs`).
+                if len(bad_ids) <= 64:
+                    slab = fused.slabs[(seg_ord, q.field)]
+                    local = bad_ids - slab["offset"]
+                    docs = slab["cstore"][local, 0:128].ravel()
+                    docs = docs[docs != TERMINATED_U32]
+                    lastd = fused.blk_last_doc[s2 : s2 + n2]
+                    j = s2 + np.searchsorted(lastd, docs)
+                    union = np.unique(j[j < s2 + n2]).astype(np.int64)
+                else:
+                    i0, i1 = overlaps(bad_ids, s2, n2)
+                    union = np.unique(
+                        np.concatenate(
+                            [np.arange(a, b) for a, b in zip(i0, i1)]
+                            or [np.zeros(0, dtype=np.int64)]
+                        )
                     )
-                )
                 plan2 = plan_anchor(
                     w, t_alt, regions, offsets, union
                 )
