@@ -587,7 +587,32 @@ def run_agg_suite(searcher, executor, n_docs):
 
 def measure_indexing(stream):
     """Cold single-thread vs multi-thread ingest throughput (reference
-    indexes full Wikipedia '<3 min, multithreaded', README.md:39)."""
+    indexes full Wikipedia '<3 min, multithreaded', README.md:39).
+
+    Runs in a SUBPROCESS: by this point the bench process holds the 1M-doc
+    searcher, device stores, agg caches and the doc-store LRU — allocator
+    and GC state that slowed the in-process measurement ~2-4x on a 1-CPU
+    box. A fresh interpreter measures what a cold indexer actually does."""
+    import subprocess
+
+    code = (
+        "import sys, json; sys.path.insert(0, %r); "
+        "import bench; corpora, stream, _ = bench.make_corpora(); "
+        "print(json.dumps(bench._measure_indexing_inproc(stream)))"
+        % str(Path(__file__).resolve().parent)
+    )
+    try:
+        env = dict(os.environ, JAX_PLATFORMS="cpu")
+        r = subprocess.run(
+            [sys.executable, "-c", code], capture_output=True, text=True,
+            timeout=1200, env=env,
+        )
+        return json.loads(r.stdout.strip().splitlines()[-1])
+    except Exception:
+        return _measure_indexing_inproc(stream)
+
+
+def _measure_indexing_inproc(stream):
     import shutil
     import tempfile
 
