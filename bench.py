@@ -321,7 +321,7 @@ def run_main_suites(index, stream, label, detail):
             executor.search_batch(qlog[b * BATCH : (b + 1) * BATCH], K)
         warm_s += time.time() - t0
 
-        # pipelined stream: two batches in flight (host planning of one
+        # pipelined stream: three batches in flight (host planning of one
         # overlaps device execution of the other); QPS is end-to-end wall
         # over the whole stream, latencies are per-batch worker spans
         batches = [

@@ -1214,6 +1214,8 @@ def launch_fused_bool(
     plan-row tables (cl_* [P+1, T], req_*). `k` may be inflated by the
     planner (k_eff) when skipped probes / slice overlap can double-report
     docs. Returns [packed [3, Q, k]] or [] if empty."""
+    from ..utils.trace import debug_time
+
     (blocks, prow, clause, width, qid, seg, jlo_all, wid_all, frc_all,
      groupable) = work
     n_items = len(blocks)
@@ -1224,10 +1226,12 @@ def launch_fused_bool(
     nbp = -(-fused.num_blocks // 8) * 8
     rungs_t = fused_rungs(T)
 
-    base, mask, g_prow, g_cl, g_qid, g_seg, g_jlo, g_pk, eff = _group_work(
-        blocks, prow, clause, qid, seg, jlo_all, wid_all, frc_all,
-        groupable, rungs_t[-1],
-    )
+    with debug_time("launch.group_work", n=n_items):
+        base, mask, g_prow, g_cl, g_qid, g_seg, g_jlo, g_pk, eff = \
+            _group_work(
+                blocks, prow, clause, qid, seg, jlo_all, wid_all, frc_all,
+                groupable, rungs_t[-1],
+            )
 
     # bucket per rung, clamping window starts so the kw8-row DMA stays in
     # bounds (8-aligned; -1 skip sentinels pass through). A clamp shifts
@@ -1235,6 +1239,8 @@ def launch_fused_bool(
     # because region ends never exceed the padded store.
     per_rung = []
     prev_kw = -1
+    _bucket_span = debug_time("launch.bucket", n=len(base))
+    _bucket_span.__enter__()
     for kw in rungs_t:
         sel = (eff > prev_kw) & (eff <= kw)
         prev_kw = kw
@@ -1252,6 +1258,7 @@ def launch_fused_bool(
             [kw, base[sel], mask[sel], g_prow[sel], g_cl[sel], g_qid[sel],
              g_seg[sel], j_s, pk_s, 0]
         )
+    _bucket_span.__exit__(None, None, None)
     assert sum(len(r[1]) for r in per_rung) == len(base), \
         "group item wider than the widest rung reached the launcher"
 
@@ -1365,15 +1372,17 @@ def launch_fused_bool(
         chunks = []
         progressed = False
         lvl_shared = _shared_level()
-        for r in per_rung:
-            chunk, hi = make_chunk(*r[:9], r[9], lvl_shared)
-            if hi > r[9]:
-                progressed = True
-            r[9] = hi
-            chunks.append(chunk)
+        with debug_time("launch.make_chunks"):
+            for r in per_rung:
+                chunk, hi = make_chunk(*r[:9], r[9], lvl_shared)
+                if hi > r[9]:
+                    progressed = True
+                r[9] = hi
+                chunks.append(chunk)
         if not progressed and outs:
             break
-        outs.append(launch(chunks))
+        with debug_time("launch.dispatch"):
+            outs.append(launch(chunks))
         if all(r[9] >= len(r[1]) for r in per_rung):
             break
     return outs

@@ -1702,12 +1702,14 @@ class BatchExecutor:
             results[i] = self.searcher.search(queries[i], TopDocs(k))
         return results
 
-    def search_batches(self, batches: list, k: int, pipeline: int = 2):
+    def search_batches(self, batches: list, k: int, pipeline: int = 3):
         """Pipelined execution of consecutive query batches: up to
         `pipeline` batches in flight on worker threads, so one batch's
         host work (numpy planning, which releases the GIL on large ops,
         and device-result fetches, which block outside the GIL) overlaps
-        another batch's device execution. The TPU stream serializes the
+        another batch's device execution. Depth 3 measures best on the
+        1M-doc OR suite (~150-170 QPS vs 128 sequential, GIL thrash beyond
+        depth 4 — scripts/profile_or.py). The TPU stream serializes the
         actual kernel launches; the pipeline hides host latency behind
         them — the steady-state rate approaches
         max(host_s, device_s) per batch instead of their sum.
