@@ -1088,6 +1088,15 @@ def _group_work(blocks, prow, clause, qid, seg, jlo_all, wid_all, frc_all,
     singleton groups (their per-item windows fit a rung by planner
     construction). Returns (base, mask, prow, clause, qid, seg, jlo [N,T],
     pk [N,T,8] packed member windows, eff)."""
+    from ..native_probe import group_work_sorted
+
+    native = group_work_sorted(
+        blocks, prow, clause, qid, seg, jlo_all, wid_all, frc_all,
+        groupable, kw_max,
+    )
+    if native is not None:
+        return native
+
     T = jlo_all.shape[1]
 
     _I32MAX = np.iinfo(np.int32).max

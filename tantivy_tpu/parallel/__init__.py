@@ -891,6 +891,8 @@ class BatchExecutor:
 
         _dt1 = debug_time("bool.plan_fused")
         _dt1.__enter__()
+        _dtp1 = debug_time("bool.plan_pass1")
+        _dtp1.__enter__()
         # pass 1: resolve term regions per (segment, query) and batch-plan
         # EVERY positive clause's UB detail in one vectorized sweep
         # (`wand.batched_clause_details`) — the per-call loop was ~2k small
@@ -957,8 +959,12 @@ class BatchExecutor:
                 plans.append((seg_ord, reader, qi, info, T, ords,
                               positive, regions, musts, nblk, shipped,
                               others))
-        dets = batched_clause_details(fused, ub_calls)
+        _dtp1.__exit__(None, None, None)
+        with debug_time("bool.plan_details", n=len(ub_calls)):
+            dets = batched_clause_details(fused, ub_calls)
 
+        _dtp2 = debug_time("bool.plan_pass2")
+        _dtp2.__enter__()
         for (seg_ord, reader, qi, info, T, ords, positive, regions, musts,
              nblk, shipped, others) in plans:
             def others_for(ci):
@@ -1152,6 +1158,12 @@ class BatchExecutor:
             if any_slice_row or (any_skip_row and not report_all):
                 g["any_dup"] = True
 
+            # clause-ascending staging order keeps the flat work columns'
+            # (prow, clause, block) keys sorted — the native single-pass
+            # group collapse (native/probe_plan.cc) requires it, and the
+            # numpy path skips its argsort
+            staged.sort(key=lambda s: s[0])
+
             # phase-1 = the prow's top-M1 blocks by UB across clauses
             all_ub = np.concatenate([s[3] for s in staged])
             if len(all_ub) <= M1:
@@ -1184,6 +1196,7 @@ class BatchExecutor:
                          ub[~pick], eff[~pick], jlo[~pick], wid[~pick],
                          frc[~pick])
                     )
+        _dtp2.__exit__(None, None, None)
         _dt1.__exit__(None, None, None)
 
         def finalize_tables(g, Tb):
